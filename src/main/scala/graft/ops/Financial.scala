@@ -1,0 +1,294 @@
+package graft.ops
+
+import graft.{Dx, Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Financial analytics — the reference's financial_metrics module
+  * re-expressed over the TPC-H-ish testdata.
+  *
+  * Reference behavior covered (SURVEY.md §2): revenue per product (A5),
+  * ABC Pareto classification via windowed cumulative share (W1/W2 + C13,
+  * `wsm/etl_pipeline/transform/financial_metrics.py:22-41`), class counts
+  * (A6), weighted average cost (A7, `financial_metrics.py:60-62` and
+  * `wsm/database_function/functions.sql:200-212`), stock valuation (J3/C8,
+  * `financial_metrics.py:65-69`), top-k by value (O3,
+  * `load/report_generator.py:124`), and the one-row financial summary (A8).
+  *
+  * Scale design: revenue/cost aggregations are partial+final hash aggs over
+  * the fact table keyed by part — the natural shuffle key; dimension joins
+  * broadcast. The ABC cumulative window orders globally, which Spark plans
+  * as a single-partition window — fine for dimension-sized inputs (#parts ≪
+  * facts; 20M parts at 100 TB still fits one task after the aggregation
+  * collapses the fact table). If parts themselves were huge, swap in the
+  * two-pass partition-prefix-sum (per-partition totals broadcast as
+  * offsets); decimal arithmetic makes that refactor bit-identical.
+  */
+object Financial {
+
+  private val REV = "l_extendedprice * (1.0 - l_discount)"
+
+  /** Revenue per part with exact decimal cumsum, Pareto share and ABC class.
+    * Thresholds mirror the reference config (A≤0.80, B≤0.95 cumulative,
+    * inclusive boundaries pinned by its own unit test —
+    * `wsm/etl_pipeline/tests/test_transformations.py:66-90`). */
+  def abcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+    val rev = li
+      .groupBy($"l_partkey".as("part_id"))
+      .agg(Dx.decSum(expr(REV)).as("rev_dec"))
+    // Global-order window: deliberate single partition over the *aggregated*
+    // dimension-sized table (see scaladoc above for the 100 TB variant).
+    val byRev = Window
+      .orderBy($"rev_dec".desc, $"part_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window
+      .partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rev
+      .withColumn("cum_dec", sum($"rev_dec").over(byRev))
+      .withColumn("tot_dec", sum($"rev_dec").over(total))
+      .withColumn("revenue_percent",
+        $"cum_dec".cast("double") / $"tot_dec".cast("double"))
+      .select(
+        $"part_id",
+        $"rev_dec".cast("double").as("revenue"),
+        $"cum_dec".cast("double").as("revenue_cumsum"),
+        $"tot_dec".cast("double").as("total_revenue"),
+        $"revenue_percent",
+        when($"revenue_percent" <= 0.80, "A")
+          .when($"revenue_percent" <= 0.95, "B")
+          .otherwise("C")
+          .as("abc_class"))
+      .orderBy($"part_id")
+  }
+
+  private val abcOracle =
+    s"""WITH rev AS (
+       |  SELECT l_partkey AS part_id,
+       |         SUM(CAST(($REV) AS DECIMAL(30,6))) AS rev_dec
+       |  FROM lineitem GROUP BY 1
+       |), w AS (
+       |  SELECT part_id, rev_dec,
+       |         SUM(rev_dec) OVER (ORDER BY rev_dec DESC, part_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec,
+       |         SUM(rev_dec) OVER () AS tot_dec
+       |  FROM rev
+       |)
+       |SELECT part_id,
+       |       CAST(rev_dec AS DOUBLE) AS revenue,
+       |       CAST(cum_dec AS DOUBLE) AS revenue_cumsum,
+       |       CAST(tot_dec AS DOUBLE) AS total_revenue,
+       |       CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) AS revenue_percent,
+       |       CASE WHEN CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) <= 0.80 THEN 'A'
+       |            WHEN CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) <= 0.95 THEN 'B'
+       |            ELSE 'C' END AS abc_class
+       |FROM w ORDER BY part_id""".stripMargin
+
+  /** ABC class counts (A6). */
+  def abcClassCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    abcAnalysis(spark, dir)
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).cast("long").as("n_parts"))
+      .orderBy($"abc_class")
+  }
+
+  private val abcCountsOracle =
+    s"""WITH rev AS (
+       |  SELECT l_partkey AS part_id,
+       |         SUM(CAST(($REV) AS DECIMAL(30,6))) AS rev_dec
+       |  FROM lineitem GROUP BY 1
+       |), w AS (
+       |  SELECT part_id, rev_dec,
+       |         SUM(rev_dec) OVER (ORDER BY rev_dec DESC, part_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec,
+       |         SUM(rev_dec) OVER () AS tot_dec
+       |  FROM rev
+       |)
+       |SELECT CASE WHEN CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) <= 0.80 THEN 'A'
+       |            WHEN CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) <= 0.95 THEN 'B'
+       |            ELSE 'C' END AS abc_class,
+       |       CAST(COUNT(*) AS BIGINT) AS n_parts
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Weighted average unit cost per part (A7) with the reference's explicit
+    * zero-denominator guard (`functions.sql:204-207`). */
+  def weightedAvgCost(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_partkey".as("part_id"))
+      .agg(
+        Dx.dsum(expr("l_extendedprice")).as("cost_sum"),
+        Dx.dsum(expr("l_quantity")).as("qty_sum"))
+      .select(
+        $"part_id",
+        when($"qty_sum" === 0.0, 0.0)
+          .otherwise($"cost_sum" / $"qty_sum")
+          .as("avg_cost"))
+      .orderBy($"part_id")
+  }
+
+  private val weightedAvgCostOracle =
+    s"""SELECT l_partkey AS part_id,
+       |       CASE WHEN ${Dx.sqlDsum("l_quantity")} = 0.0 THEN 0.0
+       |            ELSE ${Dx.sqlDsum("l_extendedprice")} / ${Dx.sqlDsum("l_quantity")}
+       |       END AS avg_cost
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Stock valuation per (part, supplier) cell — quantity-on-hand proxy
+    * joined (left) to per-part weighted cost, missing cost → 0 (J3 + C5 +
+    * C8). The per-part cost side is dimension-sized → broadcast it. */
+  def stockValue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables(spark, dir, "lineitem")
+      .groupBy($"l_partkey".as("part_id"), $"l_suppkey".as("supplier_id"))
+      .agg(Dx.dsum(expr("l_quantity")).as("quantity_on_hand"))
+    val cost = weightedAvgCost(spark, dir)
+    cells
+      .join(broadcast(cost), Seq("part_id"), "left")
+      .withColumn("avg_cost", coalesce($"avg_cost", lit(0.0)))
+      .withColumn("stock_value", $"quantity_on_hand" * $"avg_cost")
+      .select("part_id", "supplier_id", "quantity_on_hand", "avg_cost", "stock_value")
+      .orderBy($"part_id", $"supplier_id")
+  }
+
+  private val stockValueSql =
+    s"""WITH cost AS (
+       |  SELECT l_partkey AS part_id,
+       |         CASE WHEN ${Dx.sqlDsum("l_quantity")} = 0.0 THEN 0.0
+       |              ELSE ${Dx.sqlDsum("l_extendedprice")} / ${Dx.sqlDsum("l_quantity")}
+       |         END AS avg_cost
+       |  FROM lineitem GROUP BY 1
+       |), cells AS (
+       |  SELECT l_partkey AS part_id, l_suppkey AS supplier_id,
+       |         ${Dx.sqlDsum("l_quantity")} AS quantity_on_hand
+       |  FROM lineitem GROUP BY 1, 2
+       |)
+       |SELECT cells.part_id AS part_id, cells.supplier_id AS supplier_id,
+       |       cells.quantity_on_hand AS quantity_on_hand,
+       |       COALESCE(cost.avg_cost, 0.0) AS avg_cost,
+       |       cells.quantity_on_hand * COALESCE(cost.avg_cost, 0.0) AS stock_value
+       |FROM cells LEFT JOIN cost ON cells.part_id = cost.part_id""".stripMargin
+
+  private val stockValueOracle =
+    s"SELECT * FROM (${stockValueSql}\n) ORDER BY part_id, supplier_id"
+
+  /** Top-10 stock-value cells (O3 `nlargest(10)`) — Spark plans
+    * TakeOrderedAndProject: no global sort, per-partition heaps. */
+  def top10StockValue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stockValue(spark, dir)
+      .orderBy($"stock_value".desc, $"part_id".asc, $"supplier_id".asc)
+      .limit(10)
+  }
+
+  private val top10Oracle =
+    s"SELECT * FROM (${stockValueSql}\n) ORDER BY stock_value DESC, part_id, supplier_id LIMIT 10"
+
+  /** One-row financial summary (A8 + S7): exact total over the valuation. */
+  def financialSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stockValue(spark, dir).agg(
+      Dx.dsum2(col("stock_value")).as("total_inventory_value"),
+      Dx.dsum(col("quantity_on_hand")).as("total_units"),
+      count(lit(1)).cast("long").as("n_stock_cells"))
+  }
+
+  private val financialSummaryOracle =
+    s"""WITH sv AS (${stockValueSql})
+       |SELECT ${Dx.sqlDsum2("stock_value")} AS total_inventory_value,
+       |       ${Dx.sqlDsum("quantity_on_hand")} AS total_units,
+       |       CAST(COUNT(*) AS BIGINT) AS n_stock_cells
+       |FROM sv""".stripMargin
+
+  /** Daily revenue + exact running total over ship date (W1 over time). */
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // date_trunc (timestamp), not to_date: DATE columns round-trip through
+    // parquet/pandas differently per engine; TIMESTAMP is portable.
+    val daily = Tables(spark, dir, "lineitem")
+      .groupBy(date_trunc("day", $"l_shipdate").as("ship_day"))
+      .agg(Dx.decSum(expr(REV)).as("rev_dec"))
+    val w = Window.orderBy($"ship_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_dec", sum($"rev_dec").over(w))
+      .select(
+        $"ship_day",
+        $"rev_dec".cast("double").as("revenue"),
+        $"cum_dec".cast("double").as("cum_revenue"))
+      .orderBy($"ship_day")
+  }
+
+  private val runningRevenueOracle =
+    s"""WITH daily AS (
+       |  SELECT date_trunc('day', l_shipdate) AS ship_day,
+       |         SUM(CAST(($REV) AS DECIMAL(30,6))) AS rev_dec
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT ship_day,
+       |       CAST(rev_dec AS DOUBLE) AS revenue,
+       |       CAST(SUM(rev_dec) OVER (ORDER BY ship_day
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+       |FROM daily ORDER BY ship_day""".stripMargin
+
+  /** TPC-H-Q1-style pricing summary — the scan→filter→hash-agg headline
+    * (covers S1/F5/A-family in one plan; also the bench flagship). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        Dx.dsum(expr("l_quantity")).as("sum_qty"),
+        Dx.dsum(expr("l_extendedprice")).as("sum_base_price"),
+        Dx.dsum(expr(REV)).as("sum_disc_price"),
+        Dx.dsum(expr(s"($REV) * (1.0 + l_tax)")).as("sum_charge"),
+        (Dx.decSum(expr("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (Dx.decSum(expr("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        (Dx.decSum(expr("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).cast("long").as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val pricingSummaryOracle =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       ${Dx.sqlDsum("l_quantity")} AS sum_qty,
+       |       ${Dx.sqlDsum("l_extendedprice")} AS sum_base_price,
+       |       ${Dx.sqlDsum(REV)} AS sum_disc_price,
+       |       ${Dx.sqlDsum(s"($REV) * (1.0 + l_tax)")} AS sum_charge,
+       |       ${Dx.sqlDsum("l_quantity")} / COUNT(*) AS avg_qty,
+       |       ${Dx.sqlDsum("l_extendedprice")} / COUNT(*) AS avg_price,
+       |       ${Dx.sqlDsum("l_discount")} / COUNT(*) AS avg_disc,
+       |       CAST(COUNT(*) AS BIGINT) AS count_order
+       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val all: Seq[Query] = Seq(
+    Query("q01_pricing_summary",
+      "TPC-H-Q1-style scan→hash-agg pricing summary over lineitem",
+      pricingSummary, Some(pricingSummaryOracle)),
+    Query("q02_abc_analysis",
+      "ABC Pareto classification: revenue/part, exact decimal cumsum, class by cumulative share",
+      abcAnalysis, Some(abcOracle)),
+    Query("q03_abc_class_counts",
+      "count of parts per ABC class",
+      abcClassCounts, Some(abcCountsOracle)),
+    Query("q04_weighted_avg_cost",
+      "weighted average unit cost per part with zero-denominator guard",
+      weightedAvgCost, Some(weightedAvgCostOracle)),
+    Query("q05_stock_value",
+      "per-(part,supplier) quantity × weighted cost valuation, left join + coalesce 0",
+      stockValue, Some(stockValueOracle)),
+    Query("q06_top10_stock_value",
+      "top-10 valuation cells (TakeOrderedAndProject)",
+      top10StockValue, Some(top10Oracle)),
+    Query("q07_financial_summary",
+      "one-row exact total inventory value",
+      financialSummary, Some(financialSummaryOracle)),
+    Query("q08_running_revenue",
+      "daily revenue with exact running total (window cumsum)",
+      runningRevenue, Some(runningRevenueOracle)))
+}

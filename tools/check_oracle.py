@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB against the raw testdata
+parquet tables, and compares: row count, column names, and exact values
+(columns sorted by name, rows sorted by all columns).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+            duck_df = con.execute(sql).df()
+            a, b = norm(spark_df), norm(duck_df)
+            if list(a.columns) != list(b.columns):
+                print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+                n_fail += 1
+                continue
+            if len(a) != len(b):
+                print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+                n_fail += 1
+                continue
+            # exact compare, treating NaN == NaN; report first mismatch
+            neq = ~((a.values == b.values) | (a.isna().values & b.isna().values))
+            if neq.any():
+                r, c = [x[0] for x in neq.nonzero()]
+                col = a.columns[c]
+                print(f"FAIL {name}: value mismatch at row {r} col {col}: "
+                      f"spark={a.iloc[r, c]!r} duck={b.iloc[r, c]!r} "
+                      f"({neq.sum()} cells differ)")
+                n_fail += 1
+                continue
+            print(f"PASS {name}: {len(a)} rows x {len(a.columns)} cols exact")
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+    print(f"{'ALL PASS' if n_fail == 0 else f'{n_fail} FAILURES'} "
+          f"({len(oracle)} oracle-checked queries)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -12,4 +12,7 @@ final case class Query(
     name: String,
     doc: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Included in the per-round benchmark run (the reference-report
+      * analogs); heavy auxiliary ops can opt out. */
+    headline: Boolean = true)

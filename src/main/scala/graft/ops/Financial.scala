@@ -28,29 +28,33 @@ import org.apache.spark.sql.types._
   */
 object Financial {
 
+  /** Discounted revenue. Summed via [[Dx.dsum]] (raw decimal cast, no cents
+    * rounding): valid ONLY because the fixture prices/discounts are ≤2-dp, so
+    * the product is ≤6-dp exact and clear of the DECIMAL(30,6) rounding
+    * boundary in both engines. If fixture precision ever exceeds 2 dp, route
+    * sums of this through [[Dx.dsum2]] instead (see its doc). */
   private val REV = "l_extendedprice * (1.0 - l_discount)"
 
-  /** Revenue per part with exact decimal cumsum, Pareto share and ABC class.
-    * Thresholds mirror the reference config (A≤0.80, B≤0.95 cumulative,
-    * inclusive boundaries pinned by its own unit test —
-    * `wsm/etl_pipeline/tests/test_transformations.py:66-90`). */
-  def abcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+  /** Core ABC computation (thresholds mirror the reference config: A≤0.80,
+    * B≤0.95 cumulative, inclusive boundaries pinned by its own unit test —
+    * `wsm/etl_pipeline/tests/test_transformations.py:66-90`) WITHOUT the
+    * cosmetic final sort, so consumers that re-aggregate (class counts)
+    * don't inherit a useless global `orderBy`. */
+  def abcCore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables(spark, dir, "lineitem")
     val rev = li
       .groupBy($"l_partkey".as("part_id"))
       .agg(Dx.decSum(expr(REV)).as("rev_dec"))
-    // Global-order window: deliberate single partition over the *aggregated*
-    // dimension-sized table (see scaladoc above for the 100 TB variant).
-    val byRev = Window
-      .orderBy($"rev_dec".desc, $"part_id".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = Window
-      .partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    rev
-      .withColumn("cum_dec", sum($"rev_dec").over(byRev))
-      .withColumn("tot_dec", sum($"rev_dec").over(total))
+    // Distributed exact prefix sum (Scale.prefixSum): range-partition by the
+    // sort key, per-partition decimal cumsums, tiny per-partition offsets
+    // joined back — no single-partition window even at 100 TB dimension
+    // cardinalities. tot_dec is the last partition's offset+total, delivered
+    // by the same broadcast (no second scan, no empty-partition window).
+    val ranked = Scale.prefixSum(
+      rev, Seq($"rev_dec".desc, $"part_id".asc), $"rev_dec",
+      "cum_dec", "tot_dec")
+    ranked
       .withColumn("revenue_percent",
         $"cum_dec".cast("double") / $"tot_dec".cast("double"))
       .select(
@@ -63,7 +67,13 @@ object Financial {
           .when($"revenue_percent" <= 0.95, "B")
           .otherwise("C")
           .as("abc_class"))
-      .orderBy($"part_id")
+  }
+
+  /** Revenue per part with exact decimal cumsum, Pareto share and ABC class
+    * (presentation order: by part_id). */
+  def abcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    abcCore(spark, dir).orderBy($"part_id")
   }
 
   private val abcOracle =
@@ -91,7 +101,7 @@ object Financial {
   /** ABC class counts (A6). */
   def abcClassCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    abcAnalysis(spark, dir)
+    abcCore(spark, dir)
       .groupBy($"abc_class")
       .agg(count(lit(1)).cast("long").as("n_parts"))
       .orderBy($"abc_class")
@@ -139,18 +149,33 @@ object Financial {
        |       END AS avg_cost
        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Stock valuation per (part, supplier) cell — quantity-on-hand proxy
-    * joined (left) to per-part weighted cost, missing cost → 0 (J3 + C5 +
-    * C8). The per-part cost side is dimension-sized → broadcast it. */
+  /** Stock valuation per (part, supplier) cell: quantity-on-hand proxy ×
+    * per-part weighted cost (C8; the reference joins a cost table, J3 —
+    * here both sides derive from the same fact, so a SINGLE scan computes
+    * cell sums and a per-part window rolls them up; the genuine left-join +
+    * coalesce-0 J3 shape lives in Udtf.stockValuationAvg where the cost pool
+    * is a different table).
+    *
+    * 100 TB plan: one scan of lineitem → partial+final hash agg keyed
+    * (part, supplier) → window partitionBy(part) over the already-aggregated
+    * cells (same key prefix, a dimension-sized exchange, no fact re-scan, no
+    * broadcast of a fact-derived aggregate — round-1's scale-killer). All
+    * sums stay DECIMAL inside the window so the rollup is order-independent
+    * and equals the oracle's direct per-part aggregation exactly. */
   def stockValue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cells = Tables(spark, dir, "lineitem")
       .groupBy($"l_partkey".as("part_id"), $"l_suppkey".as("supplier_id"))
-      .agg(Dx.dsum(expr("l_quantity")).as("quantity_on_hand"))
-    val cost = weightedAvgCost(spark, dir)
+      .agg(
+        Dx.decSum(expr("l_quantity")).as("qty_dec"),
+        Dx.decSum(expr("l_extendedprice")).as("cost_dec"))
+    val perPart = Window.partitionBy($"part_id")
     cells
-      .join(broadcast(cost), Seq("part_id"), "left")
-      .withColumn("avg_cost", coalesce($"avg_cost", lit(0.0)))
+      .withColumn("part_qty", sum($"qty_dec").over(perPart).cast("double"))
+      .withColumn("part_cost", sum($"cost_dec").over(perPart).cast("double"))
+      .withColumn("avg_cost",
+        when($"part_qty" === 0.0, 0.0).otherwise($"part_cost" / $"part_qty"))
+      .withColumn("quantity_on_hand", $"qty_dec".cast("double"))
       .withColumn("stock_value", $"quantity_on_hand" * $"avg_cost")
       .select("part_id", "supplier_id", "quantity_on_hand", "avg_cost", "stock_value")
       .orderBy($"part_id", $"supplier_id")
@@ -213,10 +238,9 @@ object Financial {
     val daily = Tables(spark, dir, "lineitem")
       .groupBy(date_trunc("day", $"l_shipdate").as("ship_day"))
       .agg(Dx.decSum(expr(REV)).as("rev_dec"))
-    val w = Window.orderBy($"ship_day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily
-      .withColumn("cum_dec", sum($"rev_dec").over(w))
+    // Bucket count is calendar-bounded, but the distributed prefix sum is
+    // free to use and keeps every time-series cumsum on one code path.
+    Scale.prefixSum(daily, Seq($"ship_day".asc), $"rev_dec", "cum_dec", "__tot")
       .select(
         $"ship_day",
         $"rev_dec".cast("double").as("revenue"),

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-path building blocks: distributed replacements for plans that
+  * degenerate to a single task at large cardinalities.
+  */
+object Scale {
+
+  /** Distributed, exact running sum (and grand total) over a totally-ordered
+    * input — the scalable replacement for
+    * `sum(x).over(Window.orderBy(...))`, which Spark must execute as ONE
+    * task holding the whole input.
+    *
+    * Two-pass partition prefix sum (SURVEY.md §4 "the one place a custom
+    * physical approach may ever be warranted"):
+    *
+    *  1. range-partition by the sort key; each task computes its local
+    *     ordered cumsum — no task ever sees more than one range partition;
+    *  2. aggregate ONE row per partition (its sum), prefix-sum those few
+    *     rows (trivially small: one row per shuffle partition), and
+    *     broadcast-join each partition's exclusive offset back.
+    *
+    * `cum = local_cumsum + offset`; the grand total rides the same tiny
+    * broadcast. The input is persisted so pass 2 does not recompute the
+    * (possibly expensive) upstream plan; callers pass dimension-sized
+    * inputs (post-aggregation), so the cache is small even at 100 TB fact
+    * scale.
+    *
+    * `order` must be a TOTAL order (add a key tiebreaker): if equal keys
+    * straddle a partition boundary the local-cumsum+offset is still a valid
+    * prefix sum for *some* tie order, but not necessarily the oracle's.
+    * `value` should be an exact type (decimal/integral) — the rollup adds
+    * partition sums in a different order than a sequential scan would.
+    */
+  def prefixSum(
+      df: DataFrame,
+      order: Seq[Column],
+      value: Column,
+      cumName: String,
+      totName: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val ranged = df
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+
+    // One row per partition → exclusive prefix offsets + grand total, via a
+    // broadcast triangular cross-join over ≤ spark.sql.shuffle.partitions
+    // rows (bounded by config, not data — n² on the partition COUNT is
+    // trivial, and it avoids any unpartitioned window).
+    val psums = ranged.groupBy($"__pid").agg(sum(value).as("__psum"))
+    val offsets = psums
+      .crossJoin(broadcast(
+        psums.select($"__pid".as("__jpid"), $"__psum".as("__jpsum"))))
+      .groupBy($"__pid")
+      .agg(
+        sum(when($"__jpid" < $"__pid", $"__jpsum")).as("__excl"),
+        sum($"__jpsum").as("__tot"))
+      .select(
+        $"__pid",
+        coalesce($"__excl", lit(0)).as("__off"),
+        $"__tot")
+
+    val local = Window
+      .partitionBy($"__pid")
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(cumName, sum(value).over(local) + $"__off")
+      .withColumn(totName, $"__tot")
+      .drop("__pid", "__off", "__tot")
+  }
+}

@@ -1,0 +1,194 @@
+package graft.ops
+
+import graft.{Dx, Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inventory metrics — the reference's inventory_metrics module (its
+  * flagship output: `wsm/etl_pipeline/transform/inventory_metrics.py:24-74`,
+  * pinned by its own test `tests/test_transformations.py:43-64`).
+  *
+  * Operators covered (SURVEY.md §2): A1 last-movement per cell, J1 left
+  * outer join keeping never-moved stock, C3 datediff, C4 fillna-9999
+  * sentinel (never-moved ⇒ dead), F8 dead-stock predicate, A2–A4
+  * turnover / span / dead-count scalars with div-0 guards (C9), C12
+  * round-2, J4 dead-stock valuation join, A8 totals.
+  *
+  * Fixture mapping: a stock "cell" is (part, supplier); the snapshot is the
+  * ledger replay of all lineitem rows (A14 semantics). The movement LOG is
+  * the subset with l_returnflag IN ('A','R') — 'N' rows model unlogged
+  * initial stock — so ~1/3 of cells genuinely have no logged movement and
+  * exercise the left-join NULL → 9999-sentinel path. The reference computes
+  * days-since against now(); we pin AS_OF = 2002-01-01 (just past the data's
+  * max ship date) so the oracle is reproducible.
+  *
+  * 100 TB plan: one scan of lineitem computes the snapshot cells
+  * (partial+final hash agg on (part, supplier)); the last-movement agg is a
+  * second agg over the SAME shuffle key, so the join of the two aggregated
+  * sides is co-partitioned — no fact re-shuffle, no broadcast of
+  * fact-derived data. Scalars are 1-row aggs cross-joined (auto-broadcast).
+  */
+object Inventory {
+
+  /** Fixed "today" for days-since-last-movement (reproducible oracle). */
+  val AS_OF = "2002-01-01"
+
+  /** Threshold mirroring the reference config (config.yaml:18). */
+  val DEAD_STOCK_DAYS = 180
+
+  /** All stock cells flagged with is_dead_stock (the pre-filter table). */
+  def deadStockFlags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+    val cells = li
+      .groupBy($"l_partkey".as("part_id"), $"l_suppkey".as("supplier_id"))
+      .agg(Dx.dsum(expr("l_quantity")).as("quantity_on_hand"))
+    // A1: last logged movement per cell — same grouping key as the snapshot,
+    // so the J1 join below is co-partitioned (no extra fact shuffle).
+    val lastMove = li
+      .filter($"l_returnflag".isin("A", "R"))
+      .groupBy($"l_partkey".as("part_id"), $"l_suppkey".as("supplier_id"))
+      .agg(max($"l_shipdate").as("last_movement_date"))
+    cells
+      .join(lastMove, Seq("part_id", "supplier_id"), "left")
+      .withColumn("days_since_last_movement",
+        coalesce(
+          datediff(to_date(lit(AS_OF)), to_date($"last_movement_date")),
+          lit(9999)))
+      .withColumn("is_dead_stock",
+        $"days_since_last_movement" > DEAD_STOCK_DAYS &&
+          $"quantity_on_hand" > 0.0)
+  }
+
+  /** q09: the dead-stock report (only dead rows, like the reference's
+    * `data_frames['dead_stock_report']`). */
+  def deadStockReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    deadStockFlags(spark, dir)
+      .filter($"is_dead_stock")
+      .select($"part_id", $"supplier_id", $"quantity_on_hand",
+        $"last_movement_date", $"days_since_last_movement")
+      .orderBy($"part_id", $"supplier_id")
+  }
+
+  private val deadStockSql =
+    s"""WITH cells AS (
+       |  SELECT l_partkey AS part_id, l_suppkey AS supplier_id,
+       |         ${Dx.sqlDsum("l_quantity")} AS quantity_on_hand
+       |  FROM lineitem GROUP BY 1, 2
+       |), last_move AS (
+       |  SELECT l_partkey AS part_id, l_suppkey AS supplier_id,
+       |         MAX(l_shipdate) AS last_movement_date
+       |  FROM lineitem WHERE l_returnflag IN ('A','R') GROUP BY 1, 2
+       |), flagged AS (
+       |  SELECT cells.part_id, cells.supplier_id, cells.quantity_on_hand,
+       |         last_move.last_movement_date,
+       |         COALESCE(date_diff('day', CAST(last_move.last_movement_date AS DATE),
+       |                            DATE '$AS_OF'), 9999) AS days_since_last_movement
+       |  FROM cells LEFT JOIN last_move
+       |    ON cells.part_id = last_move.part_id
+       |   AND cells.supplier_id = last_move.supplier_id
+       |)
+       |SELECT part_id, supplier_id, quantity_on_hand, last_movement_date,
+       |       CAST(days_since_last_movement AS INT) AS days_since_last_movement
+       |FROM flagged
+       |WHERE days_since_last_movement > $DEAD_STOCK_DAYS AND quantity_on_hand > 0.0""".stripMargin
+
+  private val deadStockOracle =
+    s"SELECT * FROM ($deadStockSql\n) ORDER BY part_id, supplier_id"
+
+  /** q10: one-row inventory summary — dead-stock count + value (J4/A4/A8),
+    * stock turnover ratio (A2) and days-of-inventory-on-hand (A3), with the
+    * reference's div-0 guards and round-2 presentation
+    * (`inventory_metrics.py:48-74`). */
+  def inventorySummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+    val dead = deadStockFlags(spark, dir).filter($"is_dead_stock")
+
+    // J4: price the dead stock off the valuation table (inner join on the
+    // cell key — both sides already aggregated/co-keyed).
+    val deadAgg = dead
+      .join(Financial.stockValue(spark, dir), Seq("part_id", "supplier_id"))
+      .agg(
+        count(lit(1)).cast("long").as("total_dead_stock_items"),
+        coalesce(Dx.dsum2($"stock_value"), lit(0.0))
+          .as("total_dead_stock_value"))
+
+    // A2/A3 inputs: qty sold from the logged-movement subset; average
+    // inventory over the snapshot cells.
+    val sold = li.filter($"l_returnflag".isin("A", "R"))
+      .agg(
+        Dx.dsum(expr("l_quantity")).as("total_qty_sold"),
+        greatest(
+          datediff(to_date(max($"l_shipdate")), to_date(min($"l_shipdate"))),
+          lit(1)).as("span_days"))
+    val inv = li
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(Dx.decSum(expr("l_quantity")).as("qty_dec"))
+      .agg(
+        (sum($"qty_dec").cast("double") / count(lit(1)))
+          .as("avg_inventory_qty"))
+
+    deadAgg
+      .crossJoin(sold)
+      .crossJoin(inv)
+      .select(
+        $"total_dead_stock_items",
+        $"total_dead_stock_value",
+        Dx.round2(
+          when($"avg_inventory_qty" > 0.0,
+            $"total_qty_sold" / $"avg_inventory_qty").otherwise(0.0))
+          .as("stock_turnover_ratio"),
+        Dx.round2(
+          when($"total_qty_sold" > 0.0,
+            $"avg_inventory_qty" / $"total_qty_sold" * $"span_days")
+            .otherwise(0.0))
+          .as("days_of_inventory_on_hand"))
+  }
+
+  private val inventorySummaryOracle = {
+    val stockValueCells =
+      s"""SELECT l_partkey AS part_id, l_suppkey AS supplier_id,
+         |       ${Dx.sqlDsum("l_quantity")} AS qoh,
+         |       ${Dx.sqlDsum("l_extendedprice")} AS cost_sum,
+         |       ${Dx.sqlDsum("l_quantity")} AS qty_sum
+         |FROM lineitem GROUP BY 1, 2""".stripMargin
+    s"""WITH dead AS ($deadStockSql
+       |), sv0 AS ($stockValueCells
+       |), sv AS (
+       |  SELECT part_id, supplier_id,
+       |         qoh * (CASE WHEN CAST(SUM(CAST(qty_sum AS DECIMAL(30,6))) OVER (PARTITION BY part_id) AS DOUBLE) = 0.0
+       |                     THEN 0.0
+       |                     ELSE CAST(SUM(CAST(cost_sum AS DECIMAL(30,6))) OVER (PARTITION BY part_id) AS DOUBLE)
+       |                          / CAST(SUM(CAST(qty_sum AS DECIMAL(30,6))) OVER (PARTITION BY part_id) AS DOUBLE)
+       |                END) AS stock_value
+       |  FROM sv0
+       |), dead_agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS total_dead_stock_items,
+       |         COALESCE(${Dx.sqlDsum2("sv.stock_value")}, 0.0) AS total_dead_stock_value
+       |  FROM dead JOIN sv ON dead.part_id = sv.part_id AND dead.supplier_id = sv.supplier_id
+       |), sold AS (
+       |  SELECT ${Dx.sqlDsum("l_quantity")} AS total_qty_sold,
+       |         GREATEST(date_diff('day', CAST(MIN(l_shipdate) AS DATE),
+       |                            CAST(MAX(l_shipdate) AS DATE)), 1) AS span_days
+       |  FROM lineitem WHERE l_returnflag IN ('A','R')
+       |), inv AS (
+       |  SELECT CAST(SUM(qty_dec) AS DOUBLE) / COUNT(*) AS avg_inventory_qty
+       |  FROM (SELECT SUM(CAST(l_quantity AS DECIMAL(30,6))) AS qty_dec
+       |        FROM lineitem GROUP BY l_partkey, l_suppkey)
+       |)
+       |SELECT total_dead_stock_items, total_dead_stock_value,
+       |       ${Dx.sqlRound2("CASE WHEN avg_inventory_qty > 0.0 THEN total_qty_sold / avg_inventory_qty ELSE 0.0 END")} AS stock_turnover_ratio,
+       |       ${Dx.sqlRound2("CASE WHEN total_qty_sold > 0.0 THEN avg_inventory_qty / total_qty_sold * span_days ELSE 0.0 END")} AS days_of_inventory_on_hand
+       |FROM dead_agg, sold, inv""".stripMargin
+  }
+
+  val all: Seq[Query] = Seq(
+    Query("q09_dead_stock_report",
+      "cells with no logged movement in 180 days and positive stock (A1/J1/C3/C4/F8)",
+      deadStockReport, Some(deadStockOracle)),
+    Query("q10_inventory_summary",
+      "one-row dead-stock count+value, turnover ratio, days-of-inventory (A2-A4/J4/C9/C12)",
+      inventorySummary, Some(inventorySummaryOracle)))
+}

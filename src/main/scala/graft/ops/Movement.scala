@@ -1,0 +1,169 @@
+package graft.ops
+
+import graft.{Dx, Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Movement analytics — the reference's movement_analytics module
+  * (`wsm/etl_pipeline/transform/movement_analytics.py:15-36`): resample the
+  * OUT-movement stream into calendar Daily/Weekly/Monthly buckets, then rank
+  * day-of-week / month averages.
+  *
+  * Operators covered (SURVEY.md §2): F5 type filter, A11 calendar bucket
+  * counts **with gap-fill** (pandas `resample` emits empty bins; plain
+  * `groupBy` omits them — SURVEY §7.4.1 flags this as the one nontrivial
+  * semantic), A12/A13 peak day-of-week / month, C6/C7 day & month names,
+  * O2 sort, O6 first-row-of-sorted (the full sorted table is returned; the
+  * reference takes `iloc[0]`).
+  *
+  * Fixture mapping: "OUT movements" := high-value purchase events
+  * (`event_type = 'purchase' AND value >= 150`) — chosen so the subset is
+  * genuinely sparse at the correctness scale (empty days exist at sf0.01),
+  * exercising the gap-fill path for real. Weekly anchor: `date_trunc('week')`
+  * = ISO Monday start in BOTH Spark and DuckDB (pandas `'W'` is Sunday-end;
+  * we declare Monday-start and the oracle matches — SURVEY §7.4.1).
+  *
+  * Names are produced by a `when`-ladder over `dayofweek()`/`month()` rather
+  * than `date_format(..., "EEEE")` so results cannot depend on the JVM
+  * default locale — determinism across heterogeneous clusters.
+  *
+  * 100 TB plan: ONE scan of the fact feeds a partial+final hash agg keyed by
+  * the truncated bucket — bucket cardinality is calendar-bounded (≤ a few
+  * thousand rows for decades of data), so everything after the first
+  * aggregation is dimension-sized: the calendar spine (`sequence`+`explode`
+  * of a 1-row min/max agg) and the gap-fill left join are broadcast-sized,
+  * no second fact scan, no unpartitioned window.
+  */
+object Movement {
+
+  /** The "OUT movement" subset (F5): high-value purchases. */
+  private val HOT_TYPE = "purchase"
+  private val HOT_MIN_VALUE = 150.0
+
+  private def hot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .filter($"event_type" === HOT_TYPE && $"value" >= HOT_MIN_VALUE)
+  }
+
+  private val hotSql =
+    s"SELECT * FROM events WHERE event_type = '$HOT_TYPE' AND value >= $HOT_MIN_VALUE"
+
+  /** Calendar-bucketed counts with gap-fill (A11): truncate to `unit`,
+    * aggregate, then left-join onto the dense `sequence(min, max, step)`
+    * calendar spine so empty bins appear with zero counts. */
+  def trend(spark: SparkSession, dir: String, unit: String, step: String): DataFrame = {
+    import spark.implicits._
+    val h = hot(spark, dir)
+    val buckets = h
+      .groupBy(date_trunc(unit, $"ts").as("bucket"))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        Dx.dsum($"value").as("total_value"))
+    // 1-row bounds agg -> exploded calendar spine; broadcast-sized by
+    // construction (calendar-bounded), so the gap-fill join never shuffles
+    // the aggregated buckets.
+    val spine = h
+      .agg(
+        date_trunc(unit, min($"ts")).as("mn"),
+        date_trunc(unit, max($"ts")).as("mx"))
+      .select(explode(sequence($"mn", $"mx", expr(s"interval $step"))).as("bucket"))
+    spine
+      .join(buckets, Seq("bucket"), "left")
+      .select(
+        $"bucket",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"total_value", lit(0.0)).as("total_value"))
+      .orderBy($"bucket")
+  }
+
+  private def trendSql(unit: String, step: String): String =
+    s"""WITH hot AS ($hotSql
+       |), b AS (
+       |  SELECT date_trunc('$unit', ts) AS bucket,
+       |         CAST(COUNT(*) AS BIGINT) AS n_events,
+       |         ${Dx.sqlDsum("value")} AS total_value
+       |  FROM hot GROUP BY 1
+       |), cal AS (
+       |  SELECT unnest(generate_series(date_trunc('$unit', mn),
+       |                                date_trunc('$unit', mx),
+       |                                INTERVAL $step)) AS bucket
+       |  FROM (SELECT MIN(ts) AS mn, MAX(ts) AS mx FROM hot)
+       |)
+       |SELECT cal.bucket AS bucket,
+       |       COALESCE(b.n_events, 0) AS n_events,
+       |       COALESCE(b.total_value, 0.0) AS total_value
+       |FROM cal LEFT JOIN b ON cal.bucket = b.bucket
+       |ORDER BY bucket""".stripMargin
+
+  /** Locale-proof day-of-week name (C6): when-ladder over dayofweek()
+    * (Spark: 1=Sunday … 7=Saturday). */
+  private def dayName(c: Column): Column =
+    when(dayofweek(c) === 1, "Sunday")
+      .when(dayofweek(c) === 2, "Monday")
+      .when(dayofweek(c) === 3, "Tuesday")
+      .when(dayofweek(c) === 4, "Wednesday")
+      .when(dayofweek(c) === 5, "Thursday")
+      .when(dayofweek(c) === 6, "Friday")
+      .otherwise("Saturday")
+
+  /** Locale-proof month name (C7). */
+  private def monthName(c: Column): Column = {
+    val names = Seq("January", "February", "March", "April", "May", "June",
+      "July", "August", "September", "October", "November", "December")
+    names.zipWithIndex.tail.foldLeft(when(month(c) === 1, names.head)) {
+      case (acc, (n, i)) => acc.when(month(c) === (i + 1), n)
+    }
+  }
+
+  /** Peak day-of-week (A12): average daily event count per weekday over the
+    * gap-filled daily series (empty days pull the mean down, exactly like
+    * pandas `resample('D').count().groupby(day_name).mean()`). */
+  def peakDayOfWeek(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trend(spark, dir, "day", "1 day")
+      .groupBy(dayName($"bucket").as("day_name"))
+      .agg((sum($"n_events").cast("double") / count(lit(1))).as("avg_daily_events"))
+      .orderBy($"avg_daily_events".desc, $"day_name".asc)
+  }
+
+  private val peakDayOracle =
+    s"""WITH daily AS (${trendSql("day", "1 day").replace("ORDER BY bucket", "")})
+       |SELECT dayname(bucket) AS day_name,
+       |       CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_daily_events
+       |FROM daily GROUP BY 1
+       |ORDER BY avg_daily_events DESC, day_name""".stripMargin
+
+  /** Peak month (A13): average monthly event count per month name. */
+  def peakMonth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trend(spark, dir, "month", "1 month")
+      .groupBy(monthName($"bucket").as("month_name"))
+      .agg((sum($"n_events").cast("double") / count(lit(1))).as("avg_monthly_events"))
+      .orderBy($"avg_monthly_events".desc, $"month_name".asc)
+  }
+
+  private val peakMonthOracle =
+    s"""WITH monthly AS (${trendSql("month", "1 month").replace("ORDER BY bucket", "")})
+       |SELECT monthname(bucket) AS month_name,
+       |       CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_monthly_events
+       |FROM monthly GROUP BY 1
+       |ORDER BY avg_monthly_events DESC, month_name""".stripMargin
+
+  val all: Seq[Query] = Seq(
+    Query("q11_daily_trends",
+      "gap-filled daily counts+value of high-value purchases (A11/F5, empty bins emitted)",
+      (s, d) => trend(s, d, "day", "1 day"), Some(trendSql("day", "1 day"))),
+    Query("q12_weekly_trends",
+      "gap-filled ISO-Monday weekly buckets (A11, weekly anchor declared)",
+      (s, d) => trend(s, d, "week", "1 week"), Some(trendSql("week", "1 week"))),
+    Query("q13_monthly_trends",
+      "gap-filled calendar-month buckets (A11)",
+      (s, d) => trend(s, d, "month", "1 month"), Some(trendSql("month", "1 month"))),
+    Query("q14_peak_day_of_week",
+      "avg daily events per weekday over the gap-filled series, sorted desc (A12/C6/O2)",
+      peakDayOfWeek, Some(peakDayOracle)),
+    Query("q15_peak_month",
+      "avg monthly events per month name, sorted desc (A13/C7/O2)",
+      peakMonth, Some(peakMonthOracle)))
+}

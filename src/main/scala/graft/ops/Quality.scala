@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality module — the reference's `handle_data_quality_issues`
+  * (`wsm/etl_pipeline/extract/data_extractor.py:80-103`): tag every row with
+  * its first matching DQ rule, keep the valid stream, and report quarantine
+  * counts per rule (the reference logs 21,649 dropped rows per run).
+  *
+  * Operators covered (SURVEY.md §2): F1 invalid-reference rule, F2
+  * invalid-value rule with `isin` (C14), F3 future-date rule against a
+  * pinned as-of (C2 — pinned, not `current_timestamp()`, so the oracle is
+  * reproducible), F4 valid-rows filter, plus the quarantine side-output.
+  * Rule precedence is first-match, exactly like the reference's sequential
+  * `loc` assignments (later rules don't overwrite earlier tags).
+  *
+  * Fixture mapping over `events`: invalid_reference := the JSON props
+  * payload carries sentinel k=99 (C16-adjacent: JSON field extraction);
+  * invalid_value := purchase/signup with value < 1.0; future_date :=
+  * ts past AS_OF.
+  *
+  * 100 TB plan: the rule ladder is a single codegen'd projection — no
+  * shuffle at all for tagging; the valid filter pushes down to the scan
+  * where possible, and the quarantine summary is a partial+final hash agg
+  * on a 4-value key. Both outputs come from one shared scan (a real
+  * pipeline would write valid + quarantine via one pass with
+  * `foreachBatch`/DataSink fan-out; here they are two queries over the
+  * same tagged projection).
+  */
+object Quality {
+
+  /** Upper watermark for the future-date rule (reproducible oracle). */
+  val AS_OF = "2024-01-28 00:00:00"
+
+  /** First-match DQ rule ladder (F1→F2→F3, else valid). */
+  def dqIssue: Column =
+    when(get_json_object(col("props"), "$.k").cast("int") === 99,
+      "invalid_reference")
+      .when(col("event_type").isin("purchase", "signup") && col("value") < 1.0,
+        "invalid_value")
+      .when(col("ts") > to_timestamp(lit(AS_OF)), "future_date")
+      .otherwise("valid")
+
+  private val dqIssueSql =
+    s"""CASE WHEN CAST(json_extract_string(props, '$$.k') AS INT) = 99
+       |         THEN 'invalid_reference'
+       |     WHEN event_type IN ('purchase', 'signup') AND value < 1.0
+       |         THEN 'invalid_value'
+       |     WHEN ts > TIMESTAMP '$AS_OF' THEN 'future_date'
+       |     ELSE 'valid' END""".stripMargin
+
+  /** All events tagged with their DQ disposition. */
+  def tagged(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").withColumn("dq_issue", dqIssue)
+
+  /** q19: the valid stream (F4) — what downstream transforms consume. */
+  def validEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tagged(spark, dir)
+      .filter($"dq_issue" === "valid")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .orderBy($"event_id")
+  }
+
+  private val validOracle =
+    s"""SELECT event_id, ts, user_id, event_type, value, props
+       |FROM (SELECT *, $dqIssueSql AS dq_issue FROM events)
+       |WHERE dq_issue = 'valid' ORDER BY event_id""".stripMargin
+
+  /** q20: quarantine summary — row count per disposition (incl. valid). */
+  def quarantineSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tagged(spark, dir)
+      .groupBy($"dq_issue")
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+      .orderBy($"dq_issue")
+  }
+
+  private val quarantineOracle =
+    s"""SELECT $dqIssueSql AS dq_issue, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Seq[Query] = Seq(
+    Query("q19_dq_valid_events",
+      "events surviving the first-match DQ rule ladder (F1-F4/C14)",
+      validEvents, Some(validOracle)),
+    Query("q20_dq_quarantine_summary",
+      "row counts per DQ disposition including valid (quarantine side-output)",
+      quarantineSummary, Some(quarantineOracle)))
+}

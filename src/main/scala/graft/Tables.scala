@@ -60,10 +60,6 @@ object Dx {
     * exactly across frames). */
   def decSum(e: Column): Column = sum(e.cast(DecimalType(30, 6)))
 
-  /** Deterministic average: exact decimal sum / count, divided as doubles. */
-  def davg(e: Column): Column =
-    (sum(e.cast(DecimalType(30, 6))).cast("double") / count(e)).as("avg")
-
   /** Exact sum of a COMPUTED (noisy) double expression. Spark casts
     * double→decimal via the shortest string repr + HALF_UP while DuckDB
     * expands the full binary value, so they disagree on full-precision
@@ -83,7 +79,6 @@ object Dx {
   def sqlDsum2(e: String): String =
     s"CAST(SUM(CAST((floor(($e)*100.0 + 0.5)/100.0) AS DECIMAL(30,6))) AS DOUBLE)"
   def sqlRound2(e: String): String = s"(floor(($e)*100.0 + 0.5)/100.0)"
-  def sqlDavg(e: String): String = s"(${sqlDsum(e)} / COUNT($e))"
 
   /** DuckDB-side parse of the first `n` hex chars of expression `h` (a hex
     * string, e.g. md5 output) into a BIGINT — DuckDB has no conv(); Spark

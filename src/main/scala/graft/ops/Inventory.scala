@@ -22,11 +22,16 @@ import org.apache.spark.sql.functions._
   * days-since against now(); we pin AS_OF = 2002-01-01 (just past the data's
   * max ship date) so the oracle is reproducible.
   *
-  * 100 TB plan: one scan of lineitem computes the snapshot cells
-  * (partial+final hash agg on (part, supplier)); the last-movement agg is a
-  * second agg over the SAME shuffle key, so the join of the two aggregated
-  * sides is co-partitioned — no fact re-shuffle, no broadcast of
-  * fact-derived data. Scalars are 1-row aggs cross-joined (auto-broadcast).
+  * 100 TB plan: ONE scan of lineitem computes an enriched (part, supplier)
+  * cell aggregate ([[cellStats]]) carrying the snapshot quantity, the cost
+  * pool, AND the logged-movement stats as conditional aggregations — the
+  * reference's separate last-movement aggregate and J1 left join collapse
+  * into `max(when(logged, date))` over the same hash agg (null where no
+  * logged movement, exactly the left-join-miss semantics). Every consumer
+  * in this module (q09 and all four q10 inputs) derives from that one
+  * aggregate, and Spark's ReuseExchange collapses the shared subtree, so
+  * q10's physical plan reads the fact ONCE (was ~5 scans in round 2).
+  * Scalars are 1-row aggs cross-joined (auto-broadcast).
   */
 object Inventory {
 
@@ -36,21 +41,31 @@ object Inventory {
   /** Threshold mirroring the reference config (config.yaml:18). */
   val DEAD_STOCK_DAYS = 180
 
+  /** One-scan enriched cell aggregates: snapshot quantity + cost pool +
+    * logged-movement (l_returnflag IN ('A','R')) stats per (part, supplier).
+    * Single partial+final hash agg — the shared base of q09/q10. */
+  def cellStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val logged = $"l_returnflag".isin("A", "R")
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_partkey".as("part_id"), $"l_suppkey".as("supplier_id"))
+      .agg(
+        Dx.decSum(expr("l_quantity")).as("qty_dec"),
+        Dx.decSum(expr("l_extendedprice")).as("cost_dec"),
+        // A1 + J1: conditional max == left join to the logged-only aggregate
+        // (null where the cell has no logged movement).
+        max(when(logged, $"l_shipdate")).as("last_movement_date"),
+        // A2/A3 inputs, rolled up globally later (sum/max of per-cell
+        // partials == global aggregates over the logged subset).
+        Dx.decSum(when(logged, $"l_quantity")).as("sold_qty_dec"),
+        min(when(logged, $"l_shipdate")).as("first_logged_date"))
+  }
+
   /** All stock cells flagged with is_dead_stock (the pre-filter table). */
   def deadStockFlags(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables(spark, dir, "lineitem")
-    val cells = li
-      .groupBy($"l_partkey".as("part_id"), $"l_suppkey".as("supplier_id"))
-      .agg(Dx.dsum(expr("l_quantity")).as("quantity_on_hand"))
-    // A1: last logged movement per cell — same grouping key as the snapshot,
-    // so the J1 join below is co-partitioned (no extra fact shuffle).
-    val lastMove = li
-      .filter($"l_returnflag".isin("A", "R"))
-      .groupBy($"l_partkey".as("part_id"), $"l_suppkey".as("supplier_id"))
-      .agg(max($"l_shipdate").as("last_movement_date"))
-    cells
-      .join(lastMove, Seq("part_id", "supplier_id"), "left")
+    cellStats(spark, dir)
+      .withColumn("quantity_on_hand", $"qty_dec".cast("double"))
       .withColumn("days_since_last_movement",
         coalesce(
           datediff(to_date(lit(AS_OF)), to_date($"last_movement_date")),
@@ -103,36 +118,39 @@ object Inventory {
     * (`inventory_metrics.py:48-74`). */
   def inventorySummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables(spark, dir, "lineitem")
-    val dead = deadStockFlags(spark, dir).filter($"is_dead_stock")
-
-    // J4: price the dead stock off the valuation table (inner join on the
-    // cell key — both sides already aggregated/co-keyed).
-    val deadAgg = dead
-      .join(Financial.stockValue(spark, dir), Seq("part_id", "supplier_id"))
+    // J4: the reference prices dead stock by joining the valuation table on
+    // the cell key; here the valuation derives from the SAME cell aggregate,
+    // so the per-part window rollup prices each cell in place and the join
+    // is the identity — identical semantics/oracle, zero extra scans.
+    //
+    // The whole summary is then ONE linear plan: scan → cell hash agg →
+    // per-part window → single global conditional aggregate. Branching into
+    // separate scalar aggs (round 2) re-scanned the fact per branch because
+    // column pruning makes each branch's aggregate canonically different —
+    // conditional aggregation over one pass is the scale-correct shape.
+    val perPart = org.apache.spark.sql.expressions.Window.partitionBy($"part_id")
+    deadStockFlags(spark, dir)
+      .withColumn("part_qty", sum($"qty_dec").over(perPart).cast("double"))
+      .withColumn("part_cost", sum($"cost_dec").over(perPart).cast("double"))
+      .withColumn("stock_value",
+        $"quantity_on_hand" *
+          when($"part_qty" === 0.0, 0.0).otherwise($"part_cost" / $"part_qty"))
       .agg(
-        count(lit(1)).cast("long").as("total_dead_stock_items"),
-        coalesce(Dx.dsum2($"stock_value"), lit(0.0))
-          .as("total_dead_stock_value"))
-
-    // A2/A3 inputs: qty sold from the logged-movement subset; average
-    // inventory over the snapshot cells.
-    val sold = li.filter($"l_returnflag".isin("A", "R"))
-      .agg(
-        Dx.dsum(expr("l_quantity")).as("total_qty_sold"),
+        count(when($"is_dead_stock", lit(1))).cast("long")
+          .as("total_dead_stock_items"),
+        coalesce(
+          sum(when($"is_dead_stock",
+            Dx.round2($"stock_value").cast(org.apache.spark.sql.types.DecimalType(30, 6))))
+            .cast("double"),
+          lit(0.0)).as("total_dead_stock_value"),
+        sum($"sold_qty_dec").cast("double").as("total_qty_sold"),
         greatest(
-          datediff(to_date(max($"l_shipdate")), to_date(min($"l_shipdate"))),
-          lit(1)).as("span_days"))
-    val inv = li
-      .groupBy($"l_partkey", $"l_suppkey")
-      .agg(Dx.decSum(expr("l_quantity")).as("qty_dec"))
-      .agg(
+          datediff(
+            to_date(max($"last_movement_date")),
+            to_date(min($"first_logged_date"))),
+          lit(1)).as("span_days"),
         (sum($"qty_dec").cast("double") / count(lit(1)))
           .as("avg_inventory_qty"))
-
-    deadAgg
-      .crossJoin(sold)
-      .crossJoin(inv)
       .select(
         $"total_dead_stock_items",
         $"total_dead_stock_value",

@@ -55,18 +55,24 @@ object Movement {
   def trend(spark: SparkSession, dir: String, unit: String, step: String): DataFrame = {
     import spark.implicits._
     val h = hot(spark, dir)
+    // Persisted: the spine-bounds branch below would otherwise re-scan the
+    // fact (column pruning makes its copy of the aggregate canonically
+    // different, so exchange reuse can't collapse the two branches). The
+    // aggregate is calendar-bounded (≤ a few thousand rows for decades of
+    // data), so the cache is tiny at any fact scale; the harness mains
+    // release it per query (Scale.prefixSum caller contract).
     val buckets = h
       .groupBy(date_trunc(unit, $"ts").as("bucket"))
       .agg(
         count(lit(1)).cast("long").as("n_events"),
         Dx.dsum($"value").as("total_value"))
-    // 1-row bounds agg -> exploded calendar spine; broadcast-sized by
-    // construction (calendar-bounded), so the gap-fill join never shuffles
-    // the aggregated buckets.
-    val spine = h
-      .agg(
-        date_trunc(unit, min($"ts")).as("mn"),
-        date_trunc(unit, max($"ts")).as("mx"))
+      .persist()
+    // 1-row bounds agg over the AGGREGATED buckets (min/max bucket ==
+    // truncated min/max ts) -> exploded calendar spine; broadcast-sized by
+    // construction, so the gap-fill join never shuffles the buckets and
+    // never re-reads the fact.
+    val spine = buckets
+      .agg(min($"bucket").as("mn"), max($"bucket").as("mx"))
       .select(explode(sequence($"mn", $"mx", expr(s"interval $step"))).as("bucket"))
     spine
       .join(buckets, Seq("bucket"), "left")

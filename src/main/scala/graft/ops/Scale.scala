@@ -29,6 +29,13 @@ object Scale {
     * inputs (post-aggregation), so the cache is small even at 100 TB fact
     * scale.
     *
+    * CALLER CONTRACT (cache lifetime): the persisted block lives until the
+    * caller releases it — a long-lived session running many prefix-sum
+    * queries must call `spark.catalog.clearCache()` (or unpersist) once the
+    * result is materialized, or the cached inputs accumulate for the life
+    * of the session. The harness mains (graft.Bench, graft.Verify) clear
+    * the cache after every query for exactly this reason.
+    *
     * `order` must be a TOTAL order (add a key tiebreaker): if equal keys
     * straddle a partition boundary the local-cumsum+offset is still a valid
     * prefix sum for *some* tie order, but not necessarily the oracle's.

@@ -8,14 +8,13 @@ matching oracle SQL from oracle_sql.json in DuckDB against the raw testdata
 parquet tables, and compares: row count, column names, and exact values
 (columns sorted by name, rows sorted by all columns).
 """
+import glob
 import json
+import os
 import sys
 
 import duckdb
 import pandas as pd
-
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -29,9 +28,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # Derive the table list from the testdata dir (single source of truth —
+    # a second hardcoded list here would drift from graft.Tables.names).
+    for path in sorted(glob.glob(f"{sf_dir}/*.parquet")):
+        t = os.path.splitext(os.path.basename(path))[0]
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
     for name, sql in sorted(oracle.items()):

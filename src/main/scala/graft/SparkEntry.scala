@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered operator queries, in module order. */
   val registry: Seq[Query] =
     ops.Financial.all ++ ops.Inventory.all ++ ops.Movement.all ++
-      ops.Warehouse.all ++ ops.Quality.all
+      ops.Warehouse.all ++ ops.Quality.all ++ ops.TextPipeline.all ++
+      ops.Ann.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,186 @@
+package graft.ops
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id,
+  * embedding: array<float>, label) — approximate-nearest-neighbor
+  * operators for an LLM-data pipeline (near-dup by embedding cosine,
+  * retrieval joins).
+  *
+  * Two paths, per the brief:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    O(|Q|·N·d) but embarrassingly parallel: the query set broadcasts,
+  *    every partition scores its own slice, and the per-query top-k is a
+  *    partitionBy(query) window (no unpartitioned sort). The right tool
+  *    whenever |Q| is small (evaluation probes, dedup spot checks).
+  *  - [[lshTopK]]: the scale path — random-hyperplane (SRP) LSH buckets:
+  *    sign-pattern of d·hᵖ over NPLANES fixed hyperplanes → bucket id →
+  *    candidates share a bucket → exact rerank inside the bucket only.
+  *    Expected bucket size N/2ᵖˡᵃⁿᵉˢ; tune planes so buckets fit a task,
+  *    multi-probe (flip one bit) to recover recall at 100 TB.
+  *
+  * Determinism: every dot product / norm is summed as cents-style
+  * fixed-point decimals (floor(x·1e12 + 0.5)/1e12 per element product,
+  * exact decimal accumulation) so the result is order-independent and
+  * bit-equal between Spark and the DuckDB oracle — same argument as
+  * [[graft.Dx.dsum2]], with 1e12 scaling because unit-vector components
+  * are ~1e-1: the nearest-double of k/1e12 rounds back to k/1e12 at
+  * decimal scale 15 since the representation error (~1e-17) is far below
+  * the 0.5e-15 rounding boundary.
+  */
+object Ann {
+
+  /** Number of probe queries (vec_id < NQUERIES) and neighbors kept. */
+  val NQUERIES = 8
+  val TOPK = 10
+
+  /** Decimal-exact sum over zip_with'ed element products (see class doc). */
+  private def dotDec(a: String, b: String): Column = expr(
+    s"""aggregate(
+       |  zip_with($a, $b, (x, y) ->
+       |    CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12 + 0.5) / 1e12
+       |         AS DECIMAL(38,15))),
+       |  CAST(0 AS DECIMAL(38,15)),
+       |  (acc, z) -> CAST(acc + z AS DECIMAL(38,15)))""".stripMargin)
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+
+  /** Vectors with their precomputed squared-norm decimal (norms are
+    * computed ONCE per vector in the scan projection, not per pair). */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        dotDec("embedding", "embedding").as("nrm_dec"))
+
+  // ---------------------------------------------------------------- q29
+
+  /** Exact cosine top-k for each probe query (vec_id < 8): broadcast the
+    * tiny query set, score every vector against it, rank per query. */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = withNorm(spark, dir)
+    val queries = base.filter($"vec_id" < NQUERIES).select(
+      $"vec_id".as("query_id"),
+      $"embedding".as("q_emb"),
+      $"nrm_dec".as("q_nrm"))
+    val scored = base
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("cosine",
+        dotDec("q_emb", "embedding").cast("double") /
+          (sqrt($"q_nrm".cast("double")) * sqrt($"nrm_dec".cast("double"))))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= TOPK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cosine", $"rnk")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  private val prodDec =
+    "CAST(floor(CAST(%s AS DOUBLE) * CAST(%s AS DOUBLE) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,15))"
+
+  private val bruteForceOracle =
+    s"""WITH el AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         unnest(embedding) AS x
+       |  FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM el GROUP BY 1),
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         SUM(${prodDec.format("q.x", "e.x")}) AS dot
+       |  FROM el q JOIN el e ON q.i = e.i AND q.vec_id <> e.vec_id
+       |  WHERE q.vec_id < $NQUERIES
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(dot AS DOUBLE)
+       |           / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nn.nrm AS DOUBLE))) AS cosine
+       |  FROM dots JOIN norms nq ON nq.vec_id = query_id
+       |            JOIN norms nn ON nn.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM cos)
+       |WHERE rnk <= $TOPK ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+
+  /** Hyperplane count: expected bucket occupancy N/2^NPLANES — 6 planes
+    * ≈ 8 vectors/bucket at the 500-row correctness scale. At 100 TB,
+    * raise planes to keep buckets task-sized and add multi-probe. */
+  val NPLANES = 6
+
+  /** Deterministic Rademacher (±1) hyperplanes from a fixed LCG — no RNG
+    * state, same planes on every executor and every run. */
+  private def planeSigns(dim: Int): IndexedSeq[IndexedSeq[Int]] = {
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    IndexedSeq.fill(NPLANES, dim) { if ((next() >>> 40) % 2 == 0) 1 else -1 }
+  }
+
+  /** SRP-LSH bucket id for `embedding`: one bit per hyperplane (sign of
+    * the projection), computed with array lambdas in the scan projection —
+    * no explode, no shuffle for bucketing. */
+  private def bucketCol(dim: Int): Column = {
+    val planes = planeSigns(dim)
+    (0 until NPLANES).map { p =>
+      val signs = planes(p).mkString("array(", ", ", ")")
+      val proj = s"""aggregate(
+        zip_with(embedding, $signs, (x, s) -> CAST(x AS DOUBLE) * s),
+        CAST(0 AS DOUBLE), (acc, z) -> acc + z)"""
+      when(expr(proj) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k with single-bit multi-probe: each
+    * query probes its own bucket plus every 1-bit-flip neighbor bucket
+    * (NPLANES+1 probes — borderline projections land on either side of a
+    * hyperplane, and probing both sides recovers most of the recall that
+    * a single bucket loses). Every candidate lives in exactly one bucket,
+    * so probes never produce duplicate pairs. Exact cosine rerank inside
+    * the probed buckets only. Not ANSI-SQL expressible (bucketing uses
+    * engine hash planes) → rows-only check; the brute-force twin (q29) is
+    * the oracle-checked baseline and the unit test pins recall against it
+    * on the fixture. */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = embeddings(spark, dir).select(size($"embedding")).first().getInt(0)
+    val base = withNorm(spark, dir).withColumn("bucket", bucketCol(dim))
+    val probes = array(
+      col("bucket") +:
+        (0 until NPLANES).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val queries = base.filter($"vec_id" < NQUERIES).select(
+      $"vec_id".as("query_id"),
+      $"embedding".as("q_emb"),
+      $"nrm_dec".as("q_nrm"),
+      explode(probes).as("bucket"))
+    val scored = base
+      .join(broadcast(queries), Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cosine",
+        dotDec("q_emb", "embedding").cast("double") /
+          (sqrt($"q_nrm".cast("double")) * sqrt($"nrm_dec".cast("double"))))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= TOPK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cosine", $"rnk")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  // ----------------------------------------------------------------
+
+  val all: Seq[Query] = Seq(
+    Query("q29_ann_bruteforce",
+      "exact cosine top-10 per probe query, decimal-exact dot products",
+      bruteForceTopK, Some(bruteForceOracle), headline = false),
+    Query("q30_ann_lsh",
+      "SRP-LSH bucketed cosine top-10 (approximate; rows-only check)",
+      lshTopK, None, headline = false))
+}

@@ -1,0 +1,425 @@
+package graft.ops
+
+import graft.{Dx, Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text pipeline over the `documents` table — the
+  * operators a 100 TB corpus-curation run needs (dedup, fingerprinting,
+  * quality/language stats). These extend the reference's surface (the
+  * builder brief names them first-class); no reference module computes
+  * them, so each query documents its own semantics and carries a full
+  * DuckDB oracle unless stated otherwise.
+  *
+  * 100 TB design notes, per operator family:
+  *  - Exact dedup: shuffle keyed by a CONTENT HASH, never by the text —
+  *    the hash is computed in the scan's projection, so the exchange
+  *    carries 32 bytes + ids per row regardless of document size.
+  *  - Near-dup (shingles): candidate generation via an inverted index on
+  *    shingles (pairs sharing ≥1 shingle) — never all-pairs. Hot shingles
+  *    (stopword runs) are the skew risk at scale: prune by document
+  *    frequency before the self-join (boilerplate shingles shared by
+  *    millions of docs contribute candidates without discriminating).
+  *  - MinHash-LSH: the sub-quadratic scale path — fixed-width signatures
+  *    (64 hashes) per doc, banded into 16 keys; candidates only within
+  *    band buckets, then exact-Jaccard rerank of candidates.
+  *  - SimHash: per-doc 32-bit fingerprint via one hash agg (32 counter
+  *    columns, no cross join/explode-per-bit) — Hamming-adjacent buckets
+  *    give another near-dup route.
+  *  All aggregations are partial+final hash aggs over one scan of
+  *  documents; token/shingle explosion happens AFTER projection to
+  *  (doc_id, text), so shuffled bytes stay bounded by the token data.
+  */
+object TextPipeline {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  // ---------------------------------------------------------------- q21
+
+  /** Exact deduplication: content-hash (md5) groups, keep the lowest
+    * doc_id of each group (deterministic keep-first). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"content_hash").orderBy($"doc_id")
+    docs(spark, dir)
+      .withColumn("content_hash", md5($"text"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"content_hash", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  private val exactDedupOracle =
+    """SELECT doc_id, md5(text) AS content_hash, lang, source, n_chars
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+      |                                   ORDER BY doc_id) AS rn
+      |      FROM documents)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+
+  /** Corpus statistics per (lang, source): doc counts, char and
+    * whitespace-token totals/averages — the profiling pass before any
+    * curation decision. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+        sum($"n_tokens").cast("long").as("total_tokens"),
+        (sum($"n_tokens").cast("double") / count(lit(1))).as("avg_tokens"),
+        max($"n_tokens").as("max_tokens"))
+      .orderBy($"lang", $"source")
+  }
+
+  private val textStatsOracle =
+    """SELECT lang, source,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |       CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+
+  /** Top-5 tokens per language by frequency (explode → count → ranked
+    * window). Scale: the (lang, token) aggregate collapses the exploded
+    * stream before any ranking; the rank window partitions by lang, so no
+    * unpartitioned window exists. */
+  def tokenTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = docs(spark, dir)
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+      .groupBy($"lang", $"tok")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tok".asc)
+    counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 5)
+      .orderBy($"lang", $"rnk")
+  }
+
+  private val tokenTopKOracle =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), c AS (
+      |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM tok GROUP BY 1, 2
+      |)
+      |SELECT lang, tok, cnt, rnk FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |              ORDER BY cnt DESC, tok) AS BIGINT) AS rnk FROM c)
+      |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+
+  /** Stopword vocabularies for the n-gram/stopword language-ID heuristic.
+    * Real function-word lists; scored as |distinct(tokens) ∩ stopwords|. */
+  val STOPWORDS: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "del"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "den", "von"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "les"))
+
+  private val CJK = "[\\x{4e00}-\\x{9fff}]"
+
+  private def swScore(lang: String): Column = {
+    val list = STOPWORDS.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(array_distinct(split(text, ' ')), x -> x IN ($list)))")
+  }
+
+  /** Deterministic predicted language per document: CJK characters ⇒ zh,
+    * else argmax of stopword-intersection scores with a declared
+    * precedence (en > es > de > fr) on ties; no signal ⇒ unknown. */
+  def langPredict: Column = {
+    val Seq(en, es, de, fr) =
+      Seq("en", "es", "de", "fr").map(swScore)
+    when(col("text").rlike(CJK), "zh")
+      .when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+  }
+
+  /** Language-ID confusion counts: labeled lang × predicted lang. (The
+    * synthetic fixture's text is language-agnostic word salad, so the
+    * prediction clusters on the shared vocabulary — the oracle checks the
+    * heuristic's determinism; its linguistic behavior is pinned by the
+    * unit test on real sentences.) */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .withColumn("predicted", langPredict)
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  private val langIdOracle = {
+    def sqlScore(lang: String): String = {
+      val list = STOPWORDS.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(list_distinct(string_split(text, ' ')), x -> list_contains([$list], x)))"
+    }
+    val Seq(en, es, de, fr) = Seq("en", "es", "de", "fr").map(sqlScore)
+    s"""WITH p AS (
+       |  SELECT lang,
+       |         CASE WHEN regexp_matches(text, '$CJK') THEN 'zh'
+       |              WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
+       |              WHEN $es >= $de AND $es >= $fr AND $es > 0 THEN 'es'
+       |              WHEN $de >= $fr AND $de > 0 THEN 'de'
+       |              WHEN $fr > 0 THEN 'fr'
+       |              ELSE 'unknown' END AS predicted
+       |  FROM documents)
+       |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q25
+
+  /** Per-document quality scoring: token count, type-token ratio
+    * (vocabulary diversity), and a first-match quality class — the
+    * filter-stage signal of a curation pipeline. Pure projection (no
+    * shuffle at all; classification happens in the scan's codegen stage). */
+  def docQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("n_distinct_tokens",
+        size(array_distinct(split($"text", " "))).cast("long"))
+      .withColumn("ttr",
+        $"n_distinct_tokens".cast("double") / $"n_tokens".cast("double"))
+      .withColumn("quality_class",
+        when($"n_tokens" < 16, "too_short")
+          .when($"ttr" < 0.35, "low_diversity")
+          .otherwise("ok"))
+      .select($"doc_id", $"n_tokens", $"n_distinct_tokens", $"ttr",
+        $"quality_class")
+      .orderBy($"doc_id")
+  }
+
+  private val docQualityOracle =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |         / len(string_split(text, ' ')) AS ttr,
+      |       CASE WHEN len(string_split(text, ' ')) < 16 THEN 'too_short'
+      |            WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |                   / len(string_split(text, ' ')) < 0.35 THEN 'low_diversity'
+      |            ELSE 'ok' END AS quality_class
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+
+  /** 32-bit SimHash document fingerprint. Token hashes come from md5 (hex
+    * → integer via positional polynomial) so the DuckDB oracle reproduces
+    * them bit-exactly ([[Dx.sqlHex2Long]]). The per-bit vote runs as 32
+    * conditional-sum columns in ONE hash aggregate — no per-bit explode,
+    * no cross join; at 100 TB this is a single token-keyed partial+final
+    * agg whose output is one row per document. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = docs(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .withColumn("h", conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"))
+    val votes = (0 until 32).map { b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1))
+        .as(s"s$b")
+    }
+    val fp = (0 until 32)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy($"doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select($"doc_id", fp.cast("long").as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  private val simhashOracle = {
+    val poly = Dx.sqlHex2Long("md5(tok)", 8)
+    val bits = (0 until 32)
+      .map(b => s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n       ")
+    val fp = (0 until 32)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), h AS (
+       |  SELECT doc_id, $poly AS h FROM tok
+       |), s AS (
+       |  SELECT doc_id,
+       |       $bits
+       |  FROM h GROUP BY 1
+       |)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q27
+
+  /** Minimum tokens for a 3-shingle; shorter docs can't near-dup here. */
+  private val SHINGLE_K = 3
+  val NEARDUP_THRESHOLD = 0.8
+
+  /** Distinct (doc_id, 3-word-shingle) pairs — the shared base of the
+    * inverted-index near-dup and the MinHash rerank. */
+  def shingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= SHINGLE_K)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("sh"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs by exact 3-shingle Jaccard ≥ 0.8, candidates
+    * from an inverted index on shingles (pairs sharing ≥ 1 shingle) —
+    * NEVER all-pairs: the self-join is keyed by shingle, so only docs
+    * with overlapping content ever meet. Scale guards: a document-
+    * frequency cutoff on hot shingles bounds the join fan-out (not needed
+    * at this fixture's max df of 7), and [[minhashNearDup]] is the
+    * sub-quadratic path when even the inverted index is too dense. */
+  def shingleNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir)
+    val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select($"doc_id".as("doc_a"), $"sh")
+      .join(sh.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(n.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))
+      .join(n.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
+      .filter($"jaccard" >= NEARDUP_THRESHOLD)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def bruteForceNearDupSql(threshold: Double): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT DISTINCT doc_id, sh FROM (
+       |        SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+       |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+       |        FROM t WHERE len(ws) >= 3)),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared) AS jaccard
+       |FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       |WHERE CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+
+  /** MinHash signature width and banding: 64 hashes in 16 bands of 4.
+    * Candidate-recall for a pair with true Jaccard j is
+    * 1 − (1 − j⁴)¹⁶ — ≥ 0.9998 at j = 0.85 … 1 − 6e−18 at j = 0.98. */
+  private val MINHASH_K = 64
+  private val BANDS = 16
+  private val ROWS_PER_BAND = MINHASH_K / BANDS
+  private val MH_PRIME = 2147483647L // 2^31 − 1
+
+  val MINHASH_THRESHOLD = 0.85
+
+  /** Near-duplicates via MinHash-LSH: shingle → 64 min-hash signature →
+    * 16 band keys → candidate pairs within band buckets only → exact-
+    * Jaccard rerank OF CANDIDATES ONLY, keep ≥ 0.85. The sub-quadratic
+    * scale path: cost is O(docs × 64) signature work + band-bucket joins,
+    * independent of the corpus's pairwise overlap structure.
+    *
+    * The oracle is the brute-force Jaccard query: banding recall at the
+    * 0.85 cutoff makes a false negative vanishingly unlikely (≤ 2e−4 per
+    * borderline pair, ≤ 6e−18 for the fixture's ≈0.98 planted dups) —
+    * accepted and documented rather than downgrading to a rows-only
+    * check. */
+  def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir)
+    // Base 31-bit shingle hash; k affine permutations modulo 2^31−1.
+    // Coefficients are fixed arithmetic (no RNG): aᵢ odd, bᵢ spread.
+    val withX = sh.withColumn("x", pmod(xxhash64($"sh"), lit(MH_PRIME)))
+    val sigCols = (0 until MINHASH_K).map { i =>
+      val a = (2L * i + 1) % MH_PRIME
+      val b = (i * 2654435761L + 7919L) % MH_PRIME
+      min(pmod($"x" * a + b, lit(MH_PRIME))).as(s"m$i")
+    }
+    val sigs = withX.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // One row per (doc, band): band key hashes that band's 4 signature
+    // slots (band id folded into the hash AND the join key).
+    val bandStructs = (0 until BANDS).map { j =>
+      val slots = (0 until ROWS_PER_BAND).map(r => col(s"m${j * ROWS_PER_BAND + r}"))
+      struct(lit(j).as("band"), xxhash64(lit(j) +: slots: _*).as("bh"))
+    }
+    val bands = sigs
+      .select($"doc_id", explode(array(bandStructs: _*)).as("b"))
+      .select($"doc_id", $"b.band".as("band"), $"b.bh".as("bh"))
+    val cand = bands.select($"doc_id".as("doc_a"), $"band", $"bh")
+      .join(bands.select($"doc_id".as("doc_b"), $"band", $"bh"),
+        Seq("band", "bh"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+      .distinct()
+    // Exact rerank restricted to candidates: join each side's shingle set
+    // through the candidate pair, count shared shingles.
+    val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = cand
+      .join(sh.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(n.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))
+      .join(n.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
+      .filter($"jaccard" >= MINHASH_THRESHOLD)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // ----------------------------------------------------------------
+
+  val all: Seq[Query] = Seq(
+    Query("q21_exact_dedup",
+      "content-hash exact dedup, keep lowest doc_id per md5 group",
+      exactDedup, Some(exactDedupOracle), headline = false),
+    Query("q22_text_stats",
+      "corpus char/token statistics per (lang, source)",
+      textStats, Some(textStatsOracle), headline = false),
+    Query("q23_token_topk",
+      "top-5 tokens per language (explode → count → ranked window)",
+      tokenTopK, Some(tokenTopKOracle), headline = false),
+    Query("q24_lang_id",
+      "stopword-heuristic language ID, confusion counts vs label",
+      langIdConfusion, Some(langIdOracle), headline = false),
+    Query("q25_doc_quality",
+      "per-doc token/type-token-ratio quality classes (pure projection)",
+      docQuality, Some(docQualityOracle), headline = false),
+    Query("q26_simhash",
+      "32-bit SimHash fingerprints via md5 token hashes (one hash agg)",
+      simhash, Some(simhashOracle), headline = false),
+    Query("q27_neardup_shingle",
+      "3-shingle Jaccard ≥ 0.8 near-dup pairs via inverted-index join",
+      shingleNearDup, Some(bruteForceNearDupSql(NEARDUP_THRESHOLD)),
+      headline = false),
+    Query("q28_neardup_minhash",
+      "MinHash-LSH banded near-dup candidates + exact rerank ≥ 0.85",
+      minhashNearDup, Some(bruteForceNearDupSql(MINHASH_THRESHOLD)),
+      headline = false))
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.Ann
+
+/** Planted-cluster fixture for similarity search: queries (vec_id < 8)
+  * each have two near-identical companions (cosine ≈ 1) among the
+  * non-query vectors; brute force must rank a companion first, and the
+  * LSH path must recover companions through bucket + multi-probe (near-
+  * identical vectors agree on every hyperplane sign, so they share a
+  * bucket by construction). */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val DIM = 8
+
+  /** Query q's base direction: axis q (mod DIM) + small fixed tilt. */
+  private def base(q: Int): Array[Float] = {
+    val v = Array.fill(DIM)(0.05f)
+    v(q % DIM) = 1.0f
+    v
+  }
+
+  private def jitter(v: Array[Float], eps: Float): Seq[Float] =
+    v.zipWithIndex.map { case (x, i) => x + eps * (i % 3 - 1) }.toSeq
+
+  private lazy val dir = fixtureDir(
+    "embeddings" -> (
+      // queries 0..7
+      (0 until 8).map(q => Emb(q, base(q).toSeq, q)) ++
+        // companions 100+2q, 101+2q ≈ query q
+        (0 until 8).flatMap(q => Seq(
+          Emb(100 + 2 * q, jitter(base(q), 0.01f), q),
+          Emb(101 + 2 * q, jitter(base(q), 0.02f), q)))
+      ).toDF())
+
+  test("brute-force top-k ranks the planted companions first") {
+    val top = Ann.bruteForceTopK(spark, dir)
+      .filter($"rnk" <= 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    (0 until 8).foreach { q =>
+      assert(top(q.toLong) == Set(100L + 2 * q, 101L + 2 * q),
+        s"query $q top-2 = ${top(q.toLong)}")
+    }
+  }
+
+  test("cosines are in [-1, 1] and companions score ≈ 1") {
+    val rows = Ann.bruteForceTopK(spark, dir).collect()
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    val top1 = rows.filter(_.getLong(3) == 1L)
+    assert(top1.forall(_.getDouble(2) > 0.99))
+  }
+
+  test("LSH buckets recover the planted companions (recall on clusters)") {
+    val lsh = Ann.lshTopK(spark, dir)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    (0 until 8).foreach { q =>
+      val companions = Set(100L + 2 * q, 101L + 2 * q)
+      assert((companions -- lsh.getOrElse(q.toLong, Set.empty)).isEmpty,
+        s"query $q lost companions: ${lsh.getOrElse(q.toLong, Set.empty)}")
+    }
+  }
+
+  test("LSH result is a subset of legal pairs with exact cosine values") {
+    val bf = Ann.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Ann.lshTopK(spark, dir).collect()
+    // every LSH (query, neighbor) cosine matches the brute-force cosine
+    // when brute force kept that pair (identical arithmetic path).
+    lsh.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(c == r.getDouble(2))
+      }
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.Inventory
+
+/** Ports the reference's dead-stock unit test
+  * (`wsm/etl_pipeline/tests/test_transformations.py:43-64`): only the
+  * 200-days-stale cell with positive stock is dead; fresh movement and
+  * zero-quantity cells are excluded; plus our never-moved → 9999-sentinel
+  * path (`inventory_metrics.py:34`). AS_OF is pinned to 2002-01-01
+  * (Inventory.AS_OF), so "200 days ago" = 2001-06-15, "10 days ago" =
+  * 2001-12-22. */
+class InventorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = fixtureDir(
+    "lineitem" -> Seq(
+      // cell (1,1): qty 10, moved 10 days before AS_OF → NOT dead.
+      Li(part = 1, supp = 1, qty = 10, price = 100.0, flag = "A", ts("2001-12-22 00:00:00")),
+      // cell (2,1): qty 5, moved 200 days before AS_OF → DEAD.
+      Li(part = 2, supp = 1, qty = 5, price = 100.0, flag = "A", ts("2001-06-15 00:00:00")),
+      // cell (3,1): stale movement but net quantity 0 → excluded.
+      Li(part = 3, supp = 1, qty = 5, price = 100.0, flag = "A", ts("2001-06-15 00:00:00")),
+      Li(part = 3, supp = 1, qty = -5, price = 100.0, flag = "A", ts("2001-06-15 00:00:00")),
+      // cell (4,1): positive stock, NO logged movement ('N' rows are
+      // unlogged initial stock) → null last move → 9999 sentinel → DEAD.
+      Li(part = 4, supp = 1, qty = 3, price = 100.0, flag = "N", ts("2001-12-22 00:00:00"))
+    ).toDF())
+
+  test("dead stock: stale+positive only; qty-0 and fresh cells excluded") {
+    val report = Inventory.deadStockReport(spark, dir)
+      .select("part_id", "days_since_last_movement").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(report.keySet == Set(2L, 4L))
+    assert(report(2L) == 200)
+    assert(report(4L) == 9999) // never-moved sentinel counts as dead
+  }
+
+  test("dead-stock flags keep every cell; only flags differ") {
+    val flags = Inventory.deadStockFlags(spark, dir)
+      .select("part_id", "is_dead_stock").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
+
+  test("inventory summary prices dead stock and guards ratios") {
+    val row = Inventory.inventorySummary(spark, dir).collect().head
+    assert(row.getAs[Long]("total_dead_stock_items") == 2L)
+    // dead value = qty × per-part avg cost: part 2 → 5 × (100/5) = 100;
+    // part 4 → 3 × (100/3); cents-rounded then summed.
+    val expected = 100.0 + math.floor(3.0 * (100.0 / 3.0) * 100 + 0.5) / 100
+    assert(row.getAs[Double]("total_dead_stock_value") == expected)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.Quality
+
+/** Pins the DQ rule ladder's FIRST-MATCH precedence (the reference's
+  * sequential `loc` assignments never overwrite an earlier tag —
+  * `wsm/etl_pipeline/extract/data_extractor.py:80-103`) and that the
+  * valid filter is idempotent. */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // Quality.AS_OF = 2024-01-28; "future" rows are after it.
+  private lazy val dir = fixtureDir(
+    "events" -> Seq(
+      // matches ALL THREE rules → first match (invalid_reference) wins.
+      Ev(1, ts("2024-06-01 00:00:00"), 10, "purchase", 0.5, """{"k": 99}"""),
+      // matches invalid_value AND future_date → invalid_value wins.
+      Ev(2, ts("2024-06-01 00:00:00"), 11, "signup", 0.2, """{"k": 1}"""),
+      // future only.
+      Ev(3, ts("2024-06-01 00:00:00"), 12, "view", 50.0, """{"k": 2}"""),
+      // value < 1 but event_type not in (purchase, signup) → valid.
+      Ev(4, ts("2024-01-01 00:00:00"), 13, "click", 0.1, """{"k": 3}"""),
+      // clean.
+      Ev(5, ts("2024-01-01 00:00:00"), 14, "purchase", 9.9, """{"k": 4}""")
+    ).toDF())
+
+  test("rule ladder is first-match: earlier rules mask later ones") {
+    val tags = Quality.tagged(spark, dir)
+      .select("event_id", "dq_issue").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tags == Map(
+      1L -> "invalid_reference",
+      2L -> "invalid_value",
+      3L -> "future_date",
+      4L -> "valid",
+      5L -> "valid"))
+  }
+
+  test("valid stream + quarantine partition the input; filter is idempotent") {
+    val valid = Quality.validEvents(spark, dir)
+    assert(valid.select("event_id").collect().map(_.getLong(0)).toSet == Set(4L, 5L))
+    // Idempotent: re-tagging the valid stream never quarantines a row.
+    val retagged = valid.withColumn("dq_issue", Quality.dqIssue)
+    assert(retagged.filter($"dq_issue" =!= "valid").count() == 0)
+    val counts = Quality.quarantineSummary(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map(
+      "invalid_reference" -> 1L, "invalid_value" -> 1L,
+      "future_date" -> 1L, "valid" -> 2L))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.TextPipeline
+
+/** Fixture tests for the LLM-data text pipeline: exact-dup keep-first,
+  * shingle-Jaccard arithmetic, MinHash-LSH finding the same pairs as the
+  * exact inverted index, SimHash determinism, and the language-ID
+  * heuristic on REAL sentences (the synthetic corpus is word salad, so
+  * linguistic behavior is pinned here, not by the oracle). */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t20 = (1 to 20).map(i => s"t$i")
+
+  private lazy val dir = fixtureDir(
+    "documents" -> Seq(
+      Doc(1, "alpha beta gamma delta"),
+      Doc(2, "alpha beta gamma delta"), // exact dup of 1
+      Doc(3, "epsilon zeta eta theta"),
+      // 4 and 5: 20 tokens, last token differs → 18 shingles each,
+      // 17 shared → Jaccard 17/19 ≈ 0.8947 ≥ 0.8.
+      Doc(4, t20.mkString(" ")),
+      Doc(5, (t20.init :+ "OTHER").mkString(" "))
+    ).toDF())
+
+  test("exact dedup keeps the lowest doc_id per content group") {
+    val kept = TextPipeline.exactDedup(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("shingle near-dup finds exactly the planted pairs with exact Jaccard") {
+    val pairs = TextPipeline.shingleNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the exact-dup pair scores 1.0; the 20-token pair shares 17 of 19
+    // distinct shingles.
+    assert(pairs.keySet == Set((1L, 2L), (4L, 5L)))
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((4L, 5L)) == 17.0 / 19.0)
+  }
+
+  test("MinHash-LSH reranked pairs equal the exact inverted-index pairs") {
+    val exact = TextPipeline.shingleNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = TextPipeline.minhashNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // thresholds differ (0.8 vs 0.85); the planted pair clears both.
+    assert(lsh == exact)
+  }
+
+  test("SimHash is deterministic and equal for identical texts") {
+    val fp = TextPipeline.simhash(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L)) // identical content → identical fingerprint
+    assert(fp(1L) != fp(3L)) // disjoint content → different fingerprint
+    val fp2 = TextPipeline.simhash(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp == fp2) // rerun-stable
+  }
+
+  test("language-ID heuristic on real sentences") {
+    val df = Seq(
+      ("en", "the cat sat on the mat and it was happy"),
+      ("es", "el perro corre en la casa y es muy feliz"),
+      ("de", "der hund ist ein tier und das haus ist gross"),
+      ("fr", "le chien est dans la maison et il est pour toi"),
+      ("zh", "这是一个测试文档"),
+      ("unknown", "zzz qqq xxx")
+    ).toDF("expected", "text")
+    val got = df.withColumn("predicted", TextPipeline.langPredict)
+      .select("expected", "predicted").collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"text for ${r.getString(0)} predicted ${r.getString(1)}"))
+  }
+}

@@ -153,8 +153,8 @@ object Financial {
     * per-part weighted cost (C8; the reference joins a cost table, J3 —
     * here both sides derive from the same fact, so a SINGLE scan computes
     * cell sums and a per-part window rolls them up; the genuine left-join +
-    * coalesce-0 J3 shape lives in Udtf.stockValuationAvg where the cost pool
-    * is a different table).
+    * coalesce-0 J3 shape lives in [[Udtf.calculateStockValue]], where the
+    * cost pool comes from a different table).
     *
     * 100 TB plan: one scan of lineitem → partial+final hash agg keyed
     * (part, supplier) → window partitionBy(part) over the already-aggregated

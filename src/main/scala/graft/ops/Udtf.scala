@@ -1,0 +1,182 @@
+package graft.ops
+
+import graft.{Dx, Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Parameterized table functions — the reference's PL/pgSQL UDTFs
+  * re-expressed as DataFrame-returning Scala functions (SURVEY §2.10: "no
+  * Catalyst Generator needed"; a function returning a DataFrame IS the
+  * Spark-native set-returning function).
+  *
+  *  - [[checkReorderPoints]] ⇔ `check_reorder_points(p_warehouse_id)`
+  *    (`wsm/database_function/functions.sql:143-176`): snapshot cells
+  *    below their reorder point, enriched via the 3-way dimension join
+  *    J5 (part ⋈ supplier), deficit subtraction C10, predicate F9 with
+  *    the optional-warehouse parameter, positive-stock filter F10.
+  *  - [[calculateStockValue]] ⇔ `calculate_stock_value(p_method)`
+  *    (`functions.sql:184-240`): AVG implemented — cost pool from a
+  *    DIFFERENT table (lineitem ⋈ completed orders — the genuine J3/J6
+  *    left-join + coalesce-0 shape), per-part stock totals A15, decimal
+  *    precision casts C17; FIFO/LIFO raise, mirroring the reference's
+  *    `RAISE EXCEPTION` (`functions.sql:233-238`).
+  *
+  * Fixture mapping: snapshot cell := (part, supplier) replay of lineitem
+  * (A14); `part`/`supplier` play products/warehouses; reorder_point :=
+  * p_size × 4 (testdata has no reorder column; any deterministic
+  * dimension attribute works — the operator under test is the join +
+  * predicate, not the constant); "COMPLETED" := o_orderstatus = 'F'.
+  *
+  * 100 TB plan: the fact is scanned once per function and immediately
+  * collapsed by a (part[, supplier]) hash agg; both dimensions broadcast
+  * (parts/suppliers are dimension-sized by definition — this is J5's
+  * bread-and-butter BroadcastHashJoin, no fact-derived broadcast). The
+  * valuation's lineitem ⋈ orders cost-pool join shuffles both facts on
+  * orderkey — the natural co-partitioned key.
+  */
+object Udtf {
+
+  /** reorder_point := p_size × this factor (see class doc). */
+  val REORDER_FACTOR = 4
+
+  /** P3: cells at/below reorder point, optionally for one warehouse. */
+  def checkReorderPoints(
+      spark: SparkSession, dir: String,
+      warehouseId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val cells = Tables(spark, dir, "lineitem")
+      .groupBy($"l_partkey".as("part_id"), $"l_suppkey".as("supplier_id"))
+      .agg(Dx.dsum(expr("l_quantity")).as("quantity_on_hand"))
+    val parts = Tables(spark, dir, "part").select(
+      $"p_partkey".as("part_id"),
+      $"p_brand".as("sku"),
+      $"p_name".as("part_name"),
+      ($"p_size" * REORDER_FACTOR).cast("long").as("reorder_point"))
+    val suppliers = Tables(spark, dir, "supplier").select(
+      $"s_suppkey".as("supplier_id"),
+      $"s_name".as("warehouse_name"))
+    cells
+      .join(broadcast(parts), Seq("part_id"))
+      .join(broadcast(suppliers), Seq("supplier_id"))
+      .filter(
+        $"quantity_on_hand" <= $"reorder_point" &&
+          $"quantity_on_hand" > 0.0 &&
+          warehouseId.map($"supplier_id" === _).getOrElse(lit(true)))
+      .select(
+        $"part_id", $"sku", $"part_name",
+        $"supplier_id", $"warehouse_name",
+        $"quantity_on_hand", $"reorder_point",
+        ($"reorder_point" - $"quantity_on_hand").as("deficit"))
+      .orderBy($"part_id", $"supplier_id")
+  }
+
+  private def reorderOracle(warehouse: Option[Long]): String = {
+    val whFilter = warehouse.map(w => s"AND s.supplier_id = $w").getOrElse("")
+    s"""WITH s AS (
+       |  SELECT l_partkey AS part_id, l_suppkey AS supplier_id,
+       |         ${Dx.sqlDsum("l_quantity")} AS quantity_on_hand
+       |  FROM lineitem GROUP BY 1, 2
+       |)
+       |SELECT s.part_id AS part_id, p.p_brand AS sku, p.p_name AS part_name,
+       |       s.supplier_id AS supplier_id, w.s_name AS warehouse_name,
+       |       s.quantity_on_hand AS quantity_on_hand,
+       |       CAST(p.p_size * $REORDER_FACTOR AS BIGINT) AS reorder_point,
+       |       (p.p_size * $REORDER_FACTOR) - s.quantity_on_hand AS deficit
+       |FROM s
+       |JOIN part p ON s.part_id = p.p_partkey
+       |JOIN supplier w ON s.supplier_id = w.s_suppkey
+       |WHERE s.quantity_on_hand <= p.p_size * $REORDER_FACTOR
+       |  AND s.quantity_on_hand > 0.0 $whFilter
+       |ORDER BY part_id, supplier_id""".stripMargin
+  }
+
+  /** P4: stock valuation by method; only AVG is implemented — FIFO/LIFO
+    * throw, mirroring the reference's RAISE EXCEPTION contract. */
+  def calculateStockValue(
+      spark: SparkSession, dir: String, method: String): DataFrame = {
+    if (method != "AVG")
+      throw new IllegalArgumentException(
+        s"Valuation method '$method' not implemented. Use 'AVG'. " +
+          "(FIFO/LIFO mirror wsm/database_function/functions.sql:233-238.)")
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+    // Cost pool: rows of COMPLETED orders only — a different table than
+    // the snapshot, so the left join + coalesce(cost, 0) below is the
+    // genuine J3/J6 shape (parts sold only in open orders have no cost).
+    val completed = Tables(spark, dir, "orders")
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey")
+    val avgCost = li
+      .join(completed, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_partkey".as("part_id"))
+      .agg(
+        Dx.dsum(expr("l_extendedprice")).as("cost_sum"),
+        Dx.dsum(expr("l_quantity")).as("qty_sum"))
+      .select(
+        $"part_id",
+        when($"qty_sum" === 0.0, 0.0)
+          .otherwise($"cost_sum" / $"qty_sum").as("avg_cost"))
+    val totals = li
+      .groupBy($"l_partkey".as("part_id"))
+      .agg(Dx.dsum(expr("l_quantity")).as("total_quantity"))
+    val parts = Tables(spark, dir, "part")
+      .select($"p_partkey".as("part_id"), $"p_name".as("part_name"))
+    totals
+      .join(avgCost, Seq("part_id"), "left")
+      .join(broadcast(parts), Seq("part_id"))
+      .filter($"total_quantity" > 0.0)
+      .select(
+        $"part_id", $"part_name", $"total_quantity",
+        // C17 decimal precision casts as in the reference, surfaced as
+        // doubles so the compare is dtype-stable (Dx.round2 makes the
+        // double→decimal cast unambiguous in both engines).
+        Dx.round2(coalesce($"avg_cost", lit(0.0)))
+          .cast(DecimalType(12, 2)).cast("double").as("weighted_avg_cost"),
+        Dx.round2($"total_quantity" * coalesce($"avg_cost", lit(0.0)))
+          .cast(DecimalType(16, 2)).cast("double").as("total_value"))
+      .orderBy($"part_id")
+  }
+
+  private val valuationOracle =
+    s"""WITH cost AS (
+       |  SELECT l_partkey AS part_id,
+       |         CASE WHEN ${Dx.sqlDsum("l_quantity")} = 0.0 THEN 0.0
+       |              ELSE ${Dx.sqlDsum("l_extendedprice")} / ${Dx.sqlDsum("l_quantity")}
+       |         END AS avg_cost
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderstatus = 'F'
+       |  GROUP BY 1
+       |), totals AS (
+       |  SELECT l_partkey AS part_id,
+       |         ${Dx.sqlDsum("l_quantity")} AS total_quantity
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT t.part_id AS part_id, p.p_name AS part_name,
+       |       t.total_quantity AS total_quantity,
+       |       CAST(CAST(${Dx.sqlRound2("COALESCE(c.avg_cost, 0.0)")} AS DECIMAL(12,2)) AS DOUBLE) AS weighted_avg_cost,
+       |       CAST(CAST(${Dx.sqlRound2("t.total_quantity * COALESCE(c.avg_cost, 0.0)")} AS DECIMAL(16,2)) AS DOUBLE) AS total_value
+       |FROM totals t
+       |LEFT JOIN cost c ON t.part_id = c.part_id
+       |JOIN part p ON t.part_id = p.p_partkey
+       |WHERE t.total_quantity > 0.0
+       |ORDER BY part_id""".stripMargin
+
+  /** Example warehouse parameter for the filtered variant (any valid
+    * supplier id; 42 exists at every scale factor). */
+  val EXAMPLE_WAREHOUSE = 42L
+
+  val all: Seq[Query] = Seq(
+    Query("q31_reorder_alerts",
+      "cells at/below reorder point, all warehouses (P3: J5 dim joins, C10 deficit, F9/F10)",
+      (s, d) => checkReorderPoints(s, d, None),
+      Some(reorderOracle(None)), headline = false),
+    Query("q32_reorder_alerts_wh",
+      "reorder alerts for one warehouse (P3 parameterized variant)",
+      (s, d) => checkReorderPoints(s, d, Some(EXAMPLE_WAREHOUSE)),
+      Some(reorderOracle(Some(EXAMPLE_WAREHOUSE))), headline = false),
+    Query("q33_stock_valuation_avg",
+      "AVG-method valuation: completed-order cost pool, left join + coalesce 0, dim join (P4/J3/J6/C17/F10)",
+      (s, d) => calculateStockValue(s, d, "AVG"),
+      Some(valuationOracle), headline = false))
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.ops.{Incremental, Ingest, Udtf}
+import org.apache.spark.sql.functions._
+
+/** Pins the ingest/UDTF contracts the reference encodes procedurally:
+  * the FIFO/LIFO RAISE EXCEPTION, transfer-leg conservation (legs sum to
+  * zero per reference — so replay preserves per-part totals), validation
+  * rule precedence, and the T1 empty-batch short-circuit. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = fixtureDir(
+    "lineitem" -> Seq(
+      // Commands derive from 'R' rows with quantity = l_quantity − 20.
+      // (1,1): command qty 50−20=30, cell stock 25+50=75 → success
+      // (to = (1*7+1)%97+1 = 9 ≠ 1).
+      Li(part = 1, supp = 1, qty = 25, price = 100.0, flag = "N", ts("2001-01-01 00:00:00")),
+      Li(part = 1, supp = 1, qty = 50, price = 100.0, flag = "R", ts("2001-02-01 00:00:00")),
+      // (2,3): command qty 10−20 = −10 → error_quantity.
+      Li(part = 2, supp = 3, qty = 10, price = 50.0, flag = "R", ts("2001-03-01 00:00:00")),
+      // (4,2): command qty 45−20=25 but cell stock 45−44=1 → insufficient.
+      Li(part = 4, supp = 2, qty = 45, price = 70.0, flag = "R", ts("2001-04-01 00:00:00")),
+      Li(part = 4, supp = 2, qty = -44, price = 70.0, flag = "N", ts("2001-04-02 00:00:00"))
+    ).toDF(),
+    // valuation needs the orders cost pool (no 'F' rows → coalesce-0
+    // path) and the part dimension for names.
+    "orders" -> Seq((1L, 1L, "O", 10.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+    "part" -> Seq((1L, "part one"), (2L, "part two"), (4L, "part four"))
+      .toDF("p_partkey", "p_name"))
+
+  test("FIFO/LIFO valuation methods raise, AVG works") {
+    val e = intercept[IllegalArgumentException] {
+      Udtf.calculateStockValue(spark, dir, "FIFO")
+    }
+    assert(e.getMessage.contains("not implemented"))
+    intercept[IllegalArgumentException] {
+      Udtf.calculateStockValue(spark, dir, "LIFO")
+    }
+    // AVG with no completed orders: cost pool empty → coalesce(0) path.
+    val rows = Udtf.calculateStockValue(spark, dir, "AVG").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("weighted_avg_cost") == 0.0))
+  }
+
+  test("validation rules fire in first-match order") {
+    val d = Ingest.validated(spark, dir)
+      .select($"part_id", $"from_warehouse_id", $"disposition")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(d((1L, 1L)) == "success")            // qty 30 ≤ stock 30
+    assert(d((2L, 3L)) == "error_quantity")     // qty −10
+    assert(d((4L, 2L)) == "error_insufficient") // qty 25 > stock 1
+  }
+
+  test("transfer legs sum to zero per reference (conservation law)") {
+    val sums = Ingest.transferLegs(spark, dir)
+      .groupBy($"reference_id")
+      .agg(sum($"quantity").as("s"))
+      .collect()
+    assert(sums.nonEmpty)
+    assert(sums.forall(_.getAs[Double]("s") == 0.0))
+  }
+
+  test("replay preserves per-part totals (transfers move, never create)") {
+    val before = Tables(spark, dir, "lineitem")
+      .groupBy($"l_partkey".as("part_id"))
+      .agg(sum($"l_quantity").as("total")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val after = Ingest.replaySnapshot(spark, dir)
+      .groupBy($"part_id")
+      .agg(sum($"quantity_on_hand").as("total")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == before)
+  }
+
+  test("incremental load short-circuits on an empty batch") {
+    val evDir = fixtureDir(
+      "events" -> Seq(
+        Ev(1, ts("2024-01-10 00:00:00"), 1, "view", 1.0, "{}"),
+        Ev(2, ts("2024-01-20 00:00:00"), 2, "view", 1.0, "{}")
+      ).toDF())
+    assert(Incremental.hasNewData(spark, evDir, "2024-01-15 00:00:00"))
+    assert(!Incremental.hasNewData(spark, evDir, "2030-01-01 00:00:00"))
+    val rows = Incremental.incrementalEvents(spark, evDir, "2024-01-15 00:00:00")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("audit diff classifies INSERT/UPDATE/DELETE with null-safe equality") {
+    // old cutoff 1995-06-30, new 1997-12-31 (Incremental constants).
+    val aDir = fixtureDir(
+      "lineitem" -> Seq(
+        // cell (1,1): 10 before, +5 after → UPDATE 10 → 15.
+        Li(part = 1, supp = 1, qty = 10, price = 1.0, flag = "N", ts("1995-01-01 00:00:00")),
+        Li(part = 1, supp = 1, qty = 5, price = 1.0, flag = "N", ts("1996-01-01 00:00:00")),
+        // cell (2,1): only after → INSERT.
+        Li(part = 2, supp = 1, qty = 7, price = 1.0, flag = "N", ts("1996-01-01 00:00:00")),
+        // cell (3,1): 4 before, returned ('R' negates) to 0 after → DELETE.
+        Li(part = 3, supp = 1, qty = 4, price = 1.0, flag = "N", ts("1995-01-01 00:00:00")),
+        Li(part = 3, supp = 1, qty = 4, price = 1.0, flag = "R", ts("1996-01-01 00:00:00")),
+        // cell (4,1): unchanged → dropped from the diff.
+        Li(part = 4, supp = 1, qty = 9, price = 1.0, flag = "N", ts("1995-01-01 00:00:00"))
+      ).toDF())
+    val ops = Incremental.auditDiff(spark, aDir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ops == Map(1L -> "UPDATE", 2L -> "INSERT", 3L -> "DELETE"))
+    val fresh = Incremental.newCells(spark, aDir).collect().map(_.getLong(0))
+    assert(fresh.toSeq == Seq(2L))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Output surface — the reference's load stage re-expressed as Spark
+  * writers (`wsm/etl_pipeline/load/data_loader.py:33-94` and the
+  * generator's chunked bulk export `generate_data.py:407-441`):
+  *
+  *  - S3 parquet / S4 CSV report sinks (format switch
+  *    `config/config.yaml:30`);
+  *  - S6 append sink: the one-row run summary appended per pipeline run
+  *    (`analytics_daily_summary`; parquet append here, `.jdbc` at
+  *    deploy — same writer contract);
+  *  - S7 dict→one-row-table lift (`data_loader.py:44-46`);
+  *  - S8 chunked export: the reference chunks INSERTs 5 000 rows at a
+  *    time; the Spark-native equivalent caps rows per output file with
+  *    `maxRecordsPerFile` — NO driver-side count, no repartition pass,
+  *    chunking happens inside each writer task.
+  *
+  * All writers take the DataFrame as-is: partitioning/ordering decisions
+  * belong to the query, not the sink.
+  */
+object Sinks {
+
+  /** S3: one parquet report per path. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S4: CSV with header — the reference's alternate report format. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S6: append-only run-summary sink (parquet append; swap `.parquet`
+    * for `.jdbc` against a warehouse — the writer contract is the same). */
+  def appendSummary(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** S8: bulk export capped at `rowsPerFile` rows per output file —
+    * the reference's 5 000-row INSERT chunks, executed writer-side. */
+  def chunkedExport(df: DataFrame, path: String, rowsPerFile: Long = 5000): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(path)
+
+  /** S7: summary dict → one-row DataFrame (`data_loader.py:44-46`), with
+    * the schema derived from the value types. Supported value types:
+    * Long/Int, Double, String, Boolean, java.sql.Timestamp. */
+  def liftSummary(spark: SparkSession, values: Seq[(String, Any)]): DataFrame = {
+    val fields = values.map { case (name, v) =>
+      val dt = v match {
+        case _: Long | _: Int => LongType
+        case _: Double => DoubleType
+        case _: String => StringType
+        case _: Boolean => BooleanType
+        case _: java.sql.Timestamp => TimestampType
+        case other => throw new IllegalArgumentException(
+          s"Unsupported summary value type for '$name': ${other.getClass}")
+      }
+      StructField(name, dt, nullable = false)
+    }
+    val row = Row.fromSeq(values.map {
+      case (_, i: Int) => i.toLong
+      case (_, v) => v
+    })
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), StructType(fields))
+  }
+}

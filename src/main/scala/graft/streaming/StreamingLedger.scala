@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One ledger movement (the stream element of T3). */
+final case class Movement(
+    part_id: Long,
+    warehouse_id: Long,
+    quantity: Double,
+    ts: java.sql.Timestamp)
+
+/** One snapshot-cell update emitted per micro-batch per touched cell. */
+final case class CellUpdate(
+    part_id: Long,
+    warehouse_id: Long,
+    quantity_on_hand: Double,
+    n_movements: Long)
+
+/** Structured-Streaming ledger→snapshot maintenance (T3) — the streaming
+  * twin of the reference's per-movement UPSERT
+  * (`wsm/database_function/functions.sql:35-41`): every incoming movement
+  * adjusts its (product, warehouse) cell's running quantity; the emitted
+  * stream of [[CellUpdate]]s IS the continuously-maintained `stock` table
+  * (SURVEY §2.9 T3: "stateful streaming: groupByKey((product,warehouse))
+  * keeping running sum").
+  *
+  * Correctness contract: for any prefix of the input stream, the latest
+  * update per cell equals the batch ledger replay (A14) of that prefix —
+  * pinned by the MemoryStream unit test.
+  *
+  * 100 TB design: state is one (Double, Long) pair per live cell, keyed
+  * by the same (part, warehouse) pair every batch shuffles on —
+  * reference scale is 50 k cells, 20 M parts × warehouses at 100 TB still
+  * fits executor state stores (RocksDB state store for large key spaces;
+  * idle-cell eviction via `GroupStateTimeout.ProcessingTimeTimeout` if
+  * the key space churns). The watermark path ([[withValidWindow]]) is the
+  * T2 policy: future-dated events are rejected up front, late events
+  * older than the grace period are dropped by the engine, not by state
+  * growth.
+  */
+object StreamingLedger {
+
+  /** Running snapshot over a (possibly unbounded) movement stream. */
+  def runningSnapshot(movements: Dataset[Movement]): Dataset[CellUpdate] = {
+    import movements.sparkSession.implicits._
+    movements
+      .groupByKey(m => (m.part_id, m.warehouse_id))
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: (Long, Long), rows: Iterator[Movement],
+         state: GroupState[(Double, Long)]) => {
+          val (q0, n0) = state.getOption.getOrElse((0.0, 0L))
+          var q = q0
+          var n = n0
+          rows.foreach { m => q += m.quantity; n += 1 }
+          state.update((q, n))
+          Iterator(CellUpdate(key._1, key._2, q, n))
+        })
+  }
+
+  /** T2 watermark policy on an event-time stream: reject future-dated
+    * rows up front (the DQ rule F3) and declare a 1-day lateness grace —
+    * the engine then bounds state for any windowed aggregate downstream. */
+  def withValidWindow(movements: DataFrame, asOf: String): DataFrame =
+    movements
+      .filter(col("ts") <= to_timestamp(lit(asOf)))
+      .withWatermark("ts", "1 day")
+
+  /** Batch replay twin (A14) used by the equivalence test. */
+  def batchReplay(movements: Dataset[Movement]): DataFrame = {
+    import movements.sparkSession.implicits._
+    movements.toDF()
+      .groupBy($"part_id", $"warehouse_id")
+      .agg(
+        sum($"quantity").as("quantity_on_hand"),
+        count(lit(1)).as("n_movements"))
+  }
+}

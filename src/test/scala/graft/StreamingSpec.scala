@@ -1,0 +1,63 @@
+package graft
+
+import graft.streaming.{CellUpdate, Movement, StreamingLedger}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The T3 correctness contract: after any sequence of micro-batches, the
+  * latest streamed update per cell equals the batch ledger replay of
+  * everything ingested so far — the streaming UPSERT and the batch
+  * recompute are the same function. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful running snapshot ≡ batch replay across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Movement]
+    val query = StreamingLedger.runningSnapshot(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("snapshot_updates")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      val batch1 = Seq(
+        Movement(1, 1, 10.0, ts("2024-01-01 00:00:00")),
+        Movement(1, 1, 5.0, ts("2024-01-01 01:00:00")),
+        Movement(2, 1, 7.0, ts("2024-01-01 02:00:00")))
+      val batch2 = Seq(
+        Movement(1, 1, -3.0, ts("2024-01-02 00:00:00")), // drawdown
+        Movement(2, 2, 4.0, ts("2024-01-02 01:00:00"))) // new cell
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+
+      // Latest update per cell from the update-mode stream.
+      val streamed = spark.table("snapshot_updates").as[CellUpdate]
+        .collect()
+        .groupBy(u => (u.part_id, u.warehouse_id))
+        .map { case (k, us) => k -> us.maxBy(_.n_movements).quantity_on_hand }
+
+      val replayed = StreamingLedger
+        .batchReplay((batch1 ++ batch2).toDS())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+
+      assert(streamed == replayed)
+      assert(streamed((1L, 1L)) == 12.0)
+      assert(streamed((2L, 2L)) == 4.0)
+    } finally query.stop()
+  }
+
+  test("watermark policy rejects future rows before state is touched") {
+    val df = Seq(
+      Movement(1, 1, 5.0, ts("2024-01-10 00:00:00")),
+      Movement(1, 1, 9.0, ts("2031-01-01 00:00:00")) // future-dated
+    ).toDF()
+    val valid = StreamingLedger.withValidWindow(df, "2024-06-01 00:00:00")
+    assert(valid.count() == 1)
+    assert(valid.select("quantity").head().getDouble(0) == 5.0)
+  }
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata for an opaque media payload. */
+final case class MediaMeta(
+    format: String, width: Int, height: Int, n_frames: Int)
+
+/** One multimodal asset: opaque bytes + typed metadata — the brief's
+  * "image/audio/video as opaque binary columns with typed metadata". */
+final case class MediaAsset(
+    asset_id: Long, media: Array[Byte], meta: MediaMeta)
+
+/** Decoded per-asset features. */
+final case class MediaFeatures(
+    asset_id: Long, n_bytes: Long, mean_byte: Double, features: Array[Float])
+
+/** Pluggable decoder: the ONLY part of the pipeline that needs codec
+  * libraries. Implementations must be deterministic for a given payload. */
+trait MediaDecoder extends Serializable {
+  /** Per-partition init hook (codec contexts are expensive — open once
+    * per task, not per row). */
+  def open(): Unit = ()
+  def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float]
+}
+
+/** STUB decoder — this container ships no image/audio codecs (brief:
+  * "STUB the decode step behind a deterministic fake, and make the
+  * Spark-side plumbing real"). Emits `meta.n_frames` frame-averaged byte
+  * values: deterministic, cheap, and shaped exactly like a real
+  * frame-sampling decoder's output, so swapping in a JNI/FFmpeg decoder
+  * changes ONE class and nothing in the plan. */
+object StubDecoder extends MediaDecoder {
+  def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {
+    val frames = math.max(1, meta.n_frames)
+    val size = math.max(1, bytes.length / frames)
+    (0 until frames).map { f =>
+      val from = f * size
+      val until = math.min(bytes.length, from + size)
+      if (until <= from) 0f
+      else {
+        var s = 0L
+        var i = from
+        while (i < until) { s += bytes(i) & 0xff; i += 1 }
+        (s.toDouble / (until - from)).toFloat
+      }
+    }.toArray
+  }
+}
+
+/** Multimodal column handling: schema, partition-amortized batch decode,
+  * and frame sampling — the Spark-side plumbing of an image/audio/video
+  * pipeline at 100 TB.
+  *
+  * Design notes:
+  *  - The payload stays an opaque `binary` column end to end; metadata
+  *    travels in a typed struct beside it. Nothing downstream ever
+  *    parses bytes inside an expression — Catalyst prunes/filters on the
+  *    metadata struct and the bytes move only when a decode stage needs
+  *    them.
+  *  - [[extractFeatures]] is `mapPartitions` over a typed Dataset —
+  *    deliberately: opaque-codec decode is the documented last-resort
+  *    case for imperative per-partition logic (the Python twin is a
+  *    pandas UDF over `mapInPandas`, same batch shape). The decoder's
+  *    `open()` runs once per partition, so codec contexts amortize over
+  *    the whole batch.
+  *  - Partitioning: assets are independent rows — size partitions by
+  *    BYTES not row count at scale (`spark.sql.files.maxPartitionBytes`
+  *    governs the scan; repartition by a size-bucketed key before decode
+  *    if payload sizes are heavily skewed, so one task doesn't serialize
+  *    all the 4K videos).
+  *
+  * Fixture mapping: UTF-8 text bytes from `documents` stand in for media
+  * payloads (deterministic, available at every scale factor); metadata
+  * derives from the payload (4 "frames" per asset).
+  */
+object Multimodal {
+
+  val FRAMES = 4
+
+  /** Documents lifted to media assets: bytes + typed metadata struct. */
+  def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(
+        $"doc_id".as("asset_id"),
+        encode($"text", "UTF-8").as("media"),
+        struct(
+          lit("text/plain").as("format"),
+          length($"text").cast("int").as("width"),
+          lit(1).as("height"),
+          lit(FRAMES).as("n_frames")).as("meta"))
+      .as[MediaAsset]
+  }
+
+  /** Batch feature extraction with a pluggable decoder (see class doc). */
+  def extractFeatures(
+      ds: Dataset[MediaAsset],
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { assets =>
+      decoder.open() // once per partition — codec contexts amortize
+      assets.map { a =>
+        val fs = decoder.decode(a.media, a.meta)
+        val mean =
+          if (a.media.isEmpty) 0.0
+          else a.media.map(_ & 0xff).map(_.toLong).sum.toDouble / a.media.length
+        MediaFeatures(a.asset_id, a.media.length.toLong, mean, fs)
+      }
+    }
+  }
+
+  /** Frame sampling: keep every `step`-th feature frame — the cheap
+    * pre-filter before an expensive model stage. Pure column ops (no
+    * decode): slice the already-extracted feature array. */
+  def sampleFrames(features: DataFrame, step: Int): DataFrame =
+    features.withColumn("sampled_frames",
+      expr(s"filter(features, (x, i) -> i % $step = 0)"))
+
+  /** q41: the decode pipeline end-to-end (rows-only check: the stub
+    * decoder's byte arithmetic is engine-side, not ANSI SQL). */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(extractFeatures(assets(spark, dir)).toDF(), 2)
+      .select($"asset_id", $"n_bytes", $"mean_byte", $"features",
+        $"sampled_frames")
+      .orderBy($"asset_id")
+  }
+
+  val all: Seq[Query] = Seq(
+    Query("q41_media_features",
+      "binary media column → partition-amortized stub decode → frame features (rows-only)",
+      mediaFeatures, None, headline = false))
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.{MediaAsset, MediaMeta, Multimodal, StubDecoder}
+
+/** Pins the multimodal plumbing: schema round-trip, deterministic stub
+  * decode, frame shapes, and frame sampling. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = fixtureDir(
+    "documents" -> Seq(
+      Doc(1, "abcdefgh"), // bytes 97..104
+      Doc(2, "zz"),
+      Doc(3, "abcdefgh") // same payload as 1
+    ).toDF())
+
+  test("assets carry opaque bytes + typed metadata") {
+    val a = Multimodal.assets(spark, dir).collect().sortBy(_.asset_id)
+    assert(a.map(_.asset_id).toSeq == Seq(1L, 2L, 3L))
+    assert(a.head.media.sameElements("abcdefgh".getBytes("UTF-8")))
+    assert(a.head.meta == MediaMeta("text/plain", 8, 1, Multimodal.FRAMES))
+  }
+
+  test("stub decoder is deterministic and frame-shaped") {
+    val bytes = "abcdefgh".getBytes("UTF-8")
+    val meta = MediaMeta("text/plain", 8, 1, 4)
+    val f1 = StubDecoder.decode(bytes, meta)
+    assert(f1.length == 4)
+    // frames of 2 bytes: means of (97,98),(99,100),(101,102),(103,104)
+    assert(f1.toSeq == Seq(97.5f, 99.5f, 101.5f, 103.5f))
+    assert(f1.toSeq == StubDecoder.decode(bytes, meta).toSeq)
+  }
+
+  test("feature extraction runs distributed and matches local decode") {
+    val rows = Multimodal.extractFeatures(Multimodal.assets(spark, dir))
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(rows(1L).features.toSeq == Seq(97.5f, 99.5f, 101.5f, 103.5f))
+    assert(rows(1L).features.toSeq == rows(3L).features.toSeq) // same bytes
+    assert(rows(1L).n_bytes == 8L)
+    assert(rows(1L).mean_byte == (97 to 104).sum / 8.0)
+    // short payload: frames shorter than n_frames still well-defined
+    assert(rows(2L).features.length == Multimodal.FRAMES)
+  }
+
+  test("frame sampling keeps every k-th frame") {
+    val df = Multimodal.mediaFeatures(spark, dir)
+    val r = df.filter($"asset_id" === 1).head()
+    val full = r.getAs[scala.collection.Seq[Float]]("features").toSeq
+    val sampled = r.getAs[scala.collection.Seq[Float]]("sampled_frames").toSeq
+    assert(sampled == full.zipWithIndex.filter(_._2 % 2 == 0).map(_._1))
+  }
+}

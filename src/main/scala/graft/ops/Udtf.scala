@@ -162,6 +162,50 @@ object Udtf {
        |WHERE t.total_quantity > 0.0
        |ORDER BY part_id""".stripMargin
 
+  /** J7 cross-join densification — the reference generator's snapshot
+    * completion (`wsm/data_generator/generate_data.py:389-398`): every
+    * (product × warehouse) combination exists in the dense snapshot,
+    * cells with no movements null-filled with the defaults (C5:
+    * quantity 0, reorder_point 10, safety_stock 5).
+    *
+    * Scale shape: the cross join multiplies two DIMENSIONS (parts ×
+    * warehouses — the only cross join in the system; never a fact). The
+    * left join back to the fact-derived cells shuffles on the same
+    * (part, supplier) key as the cell aggregate. At 20M parts × 1000
+    * warehouses the dense frame is 20G rows — emit it partitioned, or
+    * keep the sparse snapshot and densify per-query; both ends are
+    * expressible from this one function. */
+  def densifiedSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables(spark, dir, "lineitem")
+      .groupBy($"l_partkey".as("part_id"), $"l_suppkey".as("supplier_id"))
+      .agg(Dx.dsum(expr("l_quantity")).as("quantity_on_hand"))
+    val spine = Tables(spark, dir, "part").select($"p_partkey".as("part_id"))
+      .crossJoin(
+        Tables(spark, dir, "supplier").select($"s_suppkey".as("supplier_id")))
+    spine
+      .join(cells, Seq("part_id", "supplier_id"), "left")
+      .na.fill(Map("quantity_on_hand" -> 0.0))
+      .withColumn("reorder_point", lit(10L))
+      .withColumn("safety_stock", lit(5L))
+      .orderBy($"part_id", $"supplier_id")
+  }
+
+  private val densifiedOracle =
+    s"""WITH cells AS (
+       |  SELECT l_partkey AS part_id, l_suppkey AS supplier_id,
+       |         ${Dx.sqlDsum("l_quantity")} AS quantity_on_hand
+       |  FROM lineitem GROUP BY 1, 2
+       |)
+       |SELECT p.p_partkey AS part_id, s.s_suppkey AS supplier_id,
+       |       COALESCE(c.quantity_on_hand, 0.0) AS quantity_on_hand,
+       |       CAST(10 AS BIGINT) AS reorder_point,
+       |       CAST(5 AS BIGINT) AS safety_stock
+       |FROM part p CROSS JOIN supplier s
+       |LEFT JOIN cells c
+       |  ON p.p_partkey = c.part_id AND s.s_suppkey = c.supplier_id
+       |ORDER BY part_id, supplier_id""".stripMargin
+
   /** Example warehouse parameter for the filtered variant (any valid
     * supplier id; 42 exists at every scale factor). */
   val EXAMPLE_WAREHOUSE = 42L
@@ -178,5 +222,8 @@ object Udtf {
     Query("q33_stock_valuation_avg",
       "AVG-method valuation: completed-order cost pool, left join + coalesce 0, dim join (P4/J3/J6/C17/F10)",
       (s, d) => calculateStockValue(s, d, "AVG"),
-      Some(valuationOracle), headline = false))
+      Some(valuationOracle), headline = false),
+    Query("q42_densified_snapshot",
+      "dense part×warehouse snapshot: dim cross join ⟕ cells, default fill (J7/C5)",
+      densifiedSnapshot, Some(densifiedOracle), headline = false))
 }

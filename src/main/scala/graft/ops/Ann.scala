@@ -125,16 +125,15 @@ object Ann {
   }
 
   /** SRP-LSH bucket id for `embedding`: one bit per hyperplane (sign of
-    * the projection), computed with array lambdas in the scan projection —
-    * no explode, no shuffle for bucketing. */
+    * the projection), each projection a codegen'd
+    * [[graft.functions.DotProduct]] against a literal ±1 plane — no
+    * explode, no shuffle, no per-element lambda for bucketing. */
   private def bucketCol(dim: Int): Column = {
     val planes = planeSigns(dim)
     (0 until NPLANES).map { p =>
-      val signs = planes(p).mkString("array(", ", ", ")")
-      val proj = s"""aggregate(
-        zip_with(embedding, $signs, (x, s) -> CAST(x AS DOUBLE) * s),
-        CAST(0 AS DOUBLE), (acc, z) -> acc + z)"""
-      when(expr(proj) > 0, lit(1L << p)).otherwise(lit(0L))
+      val signs = array(planes(p).map(s => lit(s.toFloat)): _*)
+      val proj = graft.functions.DotProduct(col("embedding"), signs)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -150,22 +149,30 @@ object Ann {
     * on the fixture. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import graft.functions.DotProduct
     val dim = embeddings(spark, dir).select(size($"embedding")).first().getInt(0)
-    val base = withNorm(spark, dir).withColumn("bucket", bucketCol(dim))
+    // The approximate path scores with the codegen'd DotProduct
+    // expression (one primitive loop per pair) — the decimal-exact
+    // formulation stays on the oracle-checked brute-force twin, where
+    // bit-for-bit engine parity is the requirement instead of speed.
+    val base = embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        DotProduct($"embedding", $"embedding").as("nrm"))
+      .withColumn("bucket", bucketCol(dim))
     val probes = array(
       col("bucket") +:
         (0 until NPLANES).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val queries = base.filter($"vec_id" < NQUERIES).select(
       $"vec_id".as("query_id"),
       $"embedding".as("q_emb"),
-      $"nrm_dec".as("q_nrm"),
+      $"nrm".as("q_nrm"),
       explode(probes).as("bucket"))
     val scored = base
       .join(broadcast(queries), Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("cosine",
-        dotDec("q_emb", "embedding").cast("double") /
-          (sqrt($"q_nrm".cast("double")) * sqrt($"nrm_dec".cast("double"))))
+        DotProduct($"q_emb", $"embedding") /
+          (sqrt($"q_nrm") * sqrt($"nrm")))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))

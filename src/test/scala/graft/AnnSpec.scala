@@ -64,15 +64,16 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("LSH result is a subset of legal pairs with exact cosine values") {
+  test("LSH cosines agree with the brute-force path on shared pairs") {
     val bf = Ann.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val lsh = Ann.lshTopK(spark, dir).collect()
-    // every LSH (query, neighbor) cosine matches the brute-force cosine
-    // when brute force kept that pair (identical arithmetic path).
+    // the LSH path scores with the codegen'd DotProduct expression; the
+    // brute-force path uses the decimal-exact formulation — they agree
+    // to the 1e-12 fixed-point rounding the exact path applies.
     lsh.foreach { r =>
       bf.get((r.getLong(0), r.getLong(1))).foreach { c =>
-        assert(c == r.getDouble(2))
+        assert(math.abs(c - r.getDouble(2)) < 1e-9)
       }
     }
   }

@@ -23,8 +23,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap is CAPPED at 16g even when SPARK_DRIVER_MEM asks for more: the
+// round-3 bench ran with a ~89 GiB heap (70% of machine RAM) and G1's huge
+// young generation produced a single wandering 10-15 s evacuation stall per
+// run, landing on whichever query was live when eden finally filled (the
+// BENCH_r03 q10-15.9s / re-run q07-10.3s "migrating spike"). The sf0.1
+// workload peaks under 2 GiB; with -Xmx8g the same bench measures 33 s total
+// with max GC pause 48 ms (gc log, round 4). A small heap with frequent
+// sub-50ms collections beats a giant one with multi-second ones.
+val requestedMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+val cappedMem = {
+  val g = "([0-9]+)[gG]".r
+  requestedMem match {
+    case g(n) if n.toLong > 16 => "16g"
+    case other => other
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$cappedMem",
 )

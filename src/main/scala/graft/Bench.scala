@@ -8,16 +8,30 @@ import org.apache.spark.sql.SparkSession
   * are reported per-query as -1 and make the process exit nonzero: a broken
   * query must never read as a fast one.
   *
-  * One untimed warm-up run precedes the loop (JVM/codegen/parquet-footer
-  * warm-up would otherwise land entirely on whichever query happens to run
-  * first — ~6 s of noise in round 2), and the cache is cleared between
-  * queries (Scale.prefixSum's caller contract) so no query benefits from a
-  * predecessor's persisted intermediates.
+  * Measurement protocol (round-4 verdict item 1):
+  *  - one untimed warm-up run precedes the loop (JVM/codegen/parquet-footer
+  *    warm-up would otherwise land on whichever query runs first);
+  *  - every query runs SPARK_GRAFT_BENCH_RUNS times (default 3); the
+  *    headline "queries"/"value" numbers are the per-query MIN (the plan's
+  *    cost, free of one-off JIT/IO/GC noise) and "queries_max" keeps the
+  *    worst run visible so a real instability can't hide behind the min;
+  *  - the cache is cleared between runs (Scale.prefixSum's caller
+  *    contract) so no run benefits from a predecessor's persisted blocks;
+  *  - the LLM-pipeline operators (dedup/fingerprint/ANN — not part of the
+  *    reference-report baseline) are timed the same way and reported under
+  *    "aux_queries", OUTSIDE the gate total.
   */
 object Bench {
+
+  /** Non-headline operators benchmarked outside the baseline gate. */
+  private val AUX = Set(
+    "q21_exact_dedup", "q26_simhash", "q28_neardup_minhash",
+    "q29_ann_bruteforce", "q30_ann_lsh")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,33 +39,53 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    System.err.println(
+      s"[bench] heap=${Runtime.getRuntime.maxMemory() / (1 << 20)}MiB " +
+        s"cpus=$cpus runs=$runs")
+
     val headline = SparkEntry.registry.filter(_.headline)
+    val aux = SparkEntry.registry.filter(q => AUX(q.name))
+
     // Untimed warm-up: the first headline query end-to-end.
     try {
       headline.headOption.foreach(
         _.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
+
     var failed = List.empty[String]
-    val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      try {
-        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        q.name -> dt
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} FAILED: $e")
-          failed ::= q.name
+    /** (min, max) seconds over `runs` materializations; -1 on failure. */
+    def time(q: Query): (Double, Double) = {
+      val ts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
-          q.name -> -1.0
+          dt
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} FAILED: $e")
+            failed ::= q.name
+            spark.catalog.clearCache()
+            -1.0
+        }
       }
+      if (ts.exists(_ < 0)) (-1.0, -1.0) else (ts.min, ts.max)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = headline.map(q => q.name -> time(q))
+    val auxResults = aux.map(q => q.name -> time(q))
+
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
+    val qs = jmap(results.map { case (k, (mn, _)) => k -> mn })
+    val qsMax = jmap(results.map { case (k, (_, mx)) => k -> mx })
+    val auxQs = jmap(auxResults.map { case (k, (mn, _)) => k -> mn })
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_max":$qsMax,"aux_queries":$auxQs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -116,8 +116,15 @@ object Ann {
     * raise planes to keep buckets task-sized and add multi-probe. */
   val NPLANES = 6
 
+  /** Embedding dimensionality of the testdata tables (64 at every scale
+    * factor). A parameter of [[lshTopK]] — callers with a different layout
+    * pass their own; nothing probes the data from the driver (the round-3
+    * `.first()` dim probe was the only driver-side action in a query path). */
+  val EMBED_DIM = 64
+
   /** Deterministic Rademacher (±1) hyperplanes from a fixed LCG — no RNG
-    * state, same planes on every executor and every run. */
+    * state, same planes on every executor and every run (and literal
+    * constants in the DuckDB oracle, which replays the bucketing exactly). */
   private def planeSigns(dim: Int): IndexedSeq[IndexedSeq[Int]] = {
     var s = 0x9e3779b97f4a7c15L
     def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
@@ -143,21 +150,22 @@ object Ann {
     * hyperplane, and probing both sides recovers most of the recall that
     * a single bucket loses). Every candidate lives in exactly one bucket,
     * so probes never produce duplicate pairs. Exact cosine rerank inside
-    * the probed buckets only. Not ANSI-SQL expressible (bucketing uses
-    * engine hash planes) → rows-only check; the brute-force twin (q29) is
-    * the oracle-checked baseline and the unit test pins recall against it
-    * on the fixture. */
-  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    * the probed buckets only.
+    *
+    * Oracle-checkable END TO END (round-4): the hyperplanes are literal
+    * ±1 constants, and both engines evaluate each projection as an
+    * index-ordered double accumulation over float elements — bit-equal
+    * sums (verified against DuckDB's `list_sum(list_transform(...))` on
+    * the fixture), hence identical buckets; multi-probe is plain XOR and
+    * the rerank cosine uses the same fixed-point decimal formulation as
+    * the brute-force twin. The codegen'd [[graft.functions.DotProduct]]
+    * carries the bucketing projections — the per-row hot path at scale;
+    * the decimal rerank runs only on bucket-bounded candidates. */
+  def lshTopK(spark: SparkSession, dir: String, dim: Int = EMBED_DIM): DataFrame = {
     import spark.implicits._
-    import graft.functions.DotProduct
-    val dim = embeddings(spark, dir).select(size($"embedding")).first().getInt(0)
-    // The approximate path scores with the codegen'd DotProduct
-    // expression (one primitive loop per pair) — the decimal-exact
-    // formulation stays on the oracle-checked brute-force twin, where
-    // bit-for-bit engine parity is the requirement instead of speed.
     val base = embeddings(spark, dir)
       .select($"vec_id", $"embedding",
-        DotProduct($"embedding", $"embedding").as("nrm"))
+        dotDec("embedding", "embedding").as("nrm_dec"))
       .withColumn("bucket", bucketCol(dim))
     val probes = array(
       col("bucket") +:
@@ -165,20 +173,74 @@ object Ann {
     val queries = base.filter($"vec_id" < NQUERIES).select(
       $"vec_id".as("query_id"),
       $"embedding".as("q_emb"),
-      $"nrm".as("q_nrm"),
+      $"nrm_dec".as("q_nrm"),
       explode(probes).as("bucket"))
     val scored = base
       .join(broadcast(queries), Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("cosine",
-        DotProduct($"q_emb", $"embedding") /
-          (sqrt($"q_nrm") * sqrt($"nrm")))
+        dotDec("q_emb", "embedding").cast("double") /
+          (sqrt($"q_nrm".cast("double")) * sqrt($"nrm_dec".cast("double"))))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= TOPK)
       .select($"query_id", $"vec_id".as("neighbor_id"), $"cosine", $"rnk")
       .orderBy($"query_id", $"rnk")
+  }
+
+  /** DuckDB replay of the full LSH pipeline (see [[lshTopK]] doc): the
+    * plane signs are inlined as literals; projections accumulate in index
+    * order as doubles (bit-equal to the codegen'd DotProduct loop);
+    * buckets, XOR probes, candidate join and decimal rerank mirror the
+    * Spark plan 1:1. */
+  private def lshOracle(dim: Int): String = {
+    val planes = planeSigns(dim)
+    def projSql(p: Int): String = {
+      val lits = planes(p).map(s => s"$s.0").mkString(", ")
+      s"list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * ([$lits])[i]))"
+    }
+    val bucketExpr = (0 until NPLANES)
+      .map(p => s"(CASE WHEN ${projSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    val probeList =
+      ("bucket" +: (0 until NPLANES).map(p => s"xor(bucket, ${1L << p})"))
+        .mkString("[", ", ", "]")
+    s"""WITH el AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         unnest(embedding) AS x
+       |  FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM el GROUP BY 1),
+       |b AS (
+       |  SELECT vec_id, $bucketExpr AS bucket FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS query_id, unnest($probeList) AS bucket
+       |  FROM b WHERE vec_id < $NQUERIES),
+       |cand AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id
+       |  FROM probes p JOIN b e USING (bucket)
+       |  WHERE e.vec_id <> p.query_id),
+       |dots AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         SUM(${prodDec.format("q.x", "e.x")}) AS dot
+       |  FROM cand c
+       |  JOIN el q ON q.vec_id = c.query_id
+       |  JOIN el e ON e.vec_id = c.neighbor_id AND e.i = q.i
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(dot AS DOUBLE)
+       |           / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nn.nrm AS DOUBLE))) AS cosine
+       |  FROM dots JOIN norms nq ON nq.vec_id = query_id
+       |            JOIN norms nn ON nn.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM cos)
+       |WHERE rnk <= $TOPK ORDER BY query_id, rnk""".stripMargin
   }
 
   // ----------------------------------------------------------------
@@ -188,6 +250,6 @@ object Ann {
       "exact cosine top-10 per probe query, decimal-exact dot products",
       bruteForceTopK, Some(bruteForceOracle), headline = false),
     Query("q30_ann_lsh",
-      "SRP-LSH bucketed cosine top-10 (approximate; rows-only check)",
-      lshTopK, None, headline = false))
+      "SRP-LSH bucketed cosine top-10 with 1-bit multi-probe (full oracle replay)",
+      (s, d) => lshTopK(s, d), Some(lshOracle(EMBED_DIM)), headline = false))
 }

@@ -110,7 +110,12 @@ object Ingest {
             to_json(struct(
               lit("error").as("status"),
               lit("insufficient stock at source warehouse").as("message"),
-              coalesce($"current_stock", lit(0.0)).cast("long").as("current_stock"))))
+              // explicit floor() before the long cast: Spark's cast
+              // truncates toward zero, DuckDB's CAST rounds half-to-even —
+              // one shared rounding rule keeps the engines identical even
+              // for fractional stock (round-3 ADVICE).
+              floor(coalesce($"current_stock", lit(0.0))).cast("long")
+                .as("current_stock"))))
           .otherwise(
             to_json(struct(
               lit("success").as("status"),
@@ -146,7 +151,7 @@ object Ingest {
        |         WHEN 'error_insufficient' THEN CAST(json_object(
        |           'status', 'error',
        |           'message', 'insufficient stock at source warehouse',
-       |           'current_stock', CAST(COALESCE(current_stock, 0.0) AS BIGINT)) AS VARCHAR)
+       |           'current_stock', CAST(floor(COALESCE(current_stock, 0.0)) AS BIGINT)) AS VARCHAR)
        |         ELSE CAST(json_object('status', 'success',
        |                               'reference_id', reference_id) AS VARCHAR)
        |       END AS result

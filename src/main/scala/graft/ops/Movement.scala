@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Dx, Query, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Movement analytics — the reference's movement_analytics module
@@ -50,36 +51,34 @@ object Movement {
     s"SELECT * FROM events WHERE event_type = '$HOT_TYPE' AND value >= $HOT_MIN_VALUE"
 
   /** Calendar-bucketed counts with gap-fill (A11): truncate to `unit`,
-    * aggregate, then left-join onto the dense `sequence(min, max, step)`
-    * calendar spine so empty bins appear with zero counts. */
+    * aggregate, then densify — each bucket learns its successor via a
+    * `lead` window and emits itself plus a zero row for every missing
+    * calendar step up to (not including) the successor. ONE pass over the
+    * aggregate: no persist, no spine self-join, no cache-lifetime caller
+    * contract (the round-3 ADVICE leak). The `lead` window is
+    * unpartitioned but runs over the AGGREGATED buckets, whose cardinality
+    * is calendar-bounded (≤ a few thousand rows for decades of data at any
+    * fact scale). */
   def trend(spark: SparkSession, dir: String, unit: String, step: String): DataFrame = {
     import spark.implicits._
-    val h = hot(spark, dir)
-    // Persisted: the spine-bounds branch below would otherwise re-scan the
-    // fact (column pruning makes its copy of the aggregate canonically
-    // different, so exchange reuse can't collapse the two branches). The
-    // aggregate is calendar-bounded (≤ a few thousand rows for decades of
-    // data), so the cache is tiny at any fact scale; the harness mains
-    // release it per query (Scale.prefixSum caller contract).
-    val buckets = h
-      .groupBy(date_trunc(unit, $"ts").as("bucket"))
+    val stepI = expr(s"interval $step")
+    val buckets = hot(spark, dir)
+      .groupBy(date_trunc(unit, $"ts").as("b"))
       .agg(
         count(lit(1)).cast("long").as("n_events"),
         Dx.dsum($"value").as("total_value"))
-      .persist()
-    // 1-row bounds agg over the AGGREGATED buckets (min/max bucket ==
-    // truncated min/max ts) -> exploded calendar spine; broadcast-sized by
-    // construction, so the gap-fill join never shuffles the buckets and
-    // never re-reads the fact.
-    val spine = buckets
-      .agg(min($"bucket").as("mn"), max($"bucket").as("mx"))
-      .select(explode(sequence($"mn", $"mx", expr(s"interval $step"))).as("bucket"))
-    spine
-      .join(buckets, Seq("bucket"), "left")
+    buckets
+      .withColumn("next_b", lead($"b", 1).over(Window.orderBy($"b")))
+      .select(
+        $"b", $"n_events", $"total_value",
+        // [b, next_b) stepped by the calendar unit; the final bucket
+        // (next_b null) emits only itself.
+        explode(sequence($"b", coalesce($"next_b" - stepI, $"b"), stepI))
+          .as("bucket"))
       .select(
         $"bucket",
-        coalesce($"n_events", lit(0L)).as("n_events"),
-        coalesce($"total_value", lit(0.0)).as("total_value"))
+        when($"bucket" === $"b", $"n_events").otherwise(0L).as("n_events"),
+        when($"bucket" === $"b", $"total_value").otherwise(0.0).as("total_value"))
       .orderBy($"bucket")
   }
 
@@ -156,6 +155,15 @@ object Movement {
        |FROM monthly GROUP BY 1
        |ORDER BY avg_monthly_events DESC, month_name""".stripMargin
 
+  /** O6: the busiest weekday — FIRST row of the sorted peak table, the
+    * reference's `iloc[0]` (`movement_analytics.py:36`). `limit(1)` over
+    * the sorted aggregate plans TakeOrderedAndProject: per-partition
+    * heaps, no global sort even when the aggregate is large. */
+  def peakDayTop(spark: SparkSession, dir: String): DataFrame =
+    peakDayOfWeek(spark, dir).limit(1)
+
+  private val peakDayTopOracle = s"$peakDayOracle LIMIT 1"
+
   val all: Seq[Query] = Seq(
     Query("q11_daily_trends",
       "gap-filled daily counts+value of high-value purchases (A11/F5, empty bins emitted)",
@@ -171,5 +179,8 @@ object Movement {
       peakDayOfWeek, Some(peakDayOracle)),
     Query("q15_peak_month",
       "avg monthly events per month name, sorted desc (A13/C7/O2)",
-      peakMonth, Some(peakMonthOracle)))
+      peakMonth, Some(peakMonthOracle)),
+    Query("q43_peak_day_top",
+      "first row of the sorted peak-day table — the reference's iloc[0] (O6)",
+      peakDayTop, Some(peakDayTopOracle), headline = false))
 }

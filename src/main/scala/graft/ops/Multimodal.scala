@@ -119,13 +119,32 @@ object Multimodal {
     features.withColumn("sampled_frames",
       expr(s"filter(features, (x, i) -> i % $step = 0)"))
 
-  /** q41: the decode pipeline end-to-end (rows-only check: the stub
-    * decoder's byte arithmetic is engine-side, not ANSI SQL). */
-  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+  /** The full-fidelity decode pipeline — the Dataset API consumers use:
+    * raw feature frames + sampled frames per asset. */
+  def mediaFeaturesFull(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     sampleFrames(extractFeatures(assets(spark, dir)).toDF(), 2)
       .select($"asset_id", $"n_bytes", $"mean_byte", $"features",
         $"sampled_frames")
+  }
+
+  /** q41: the decode pipeline end-to-end (rows-only check: the stub
+    * decoder's byte arithmetic is engine-side, not ANSI SQL).
+    *
+    * The REGISTERED entry projects the array columns to scalar digests
+    * (count + xxhash64 signature): the harness's rows-only compare sorts
+    * and hashes rows, which raw array columns crash (CORRECTNESS_r03 q41
+    * `TypeError: unhashable numpy.ndarray`). API consumers take the arrays
+    * from [[mediaFeaturesFull]]; the digests pin the same bytes. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFeaturesFull(spark, dir)
+      .select(
+        $"asset_id", $"n_bytes", $"mean_byte",
+        size($"features").cast("long").as("n_frames"),
+        xxhash64($"features").as("features_sig"),
+        size($"sampled_frames").cast("long").as("n_sampled_frames"),
+        xxhash64($"sampled_frames").as("sampled_sig"))
       .orderBy($"asset_id")
   }
 

@@ -42,6 +42,14 @@ object Scale {
     * `value` should be an exact type (decimal/integral) — the rollup adds
     * partition sums in a different order than a sequential scan would.
     */
+  /** Below this input size the two-pass machinery costs more than it
+    * saves: a single-task window over ≤4M already-aggregated rows beats
+    * the extra exchanges/jobs of the distributed path (measured at sf0.1,
+    * round-4: the q02 prefix sum spent most of its wall-clock on fixed
+    * overhead). Both paths use identical decimal arithmetic, so the
+    * result is bit-equal — only the physical plan differs. */
+  val SMALL_INPUT_ROWS: Long = 4L << 20
+
   def prefixSum(
       df: DataFrame,
       order: Seq[Column],
@@ -51,10 +59,26 @@ object Scale {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val ranged = df
+    // Persist the INPUT (not the ranged shuffle): the row count below, the
+    // range-partitioner's sampling pass and the shuffle map stage all read
+    // the cache instead of re-executing the (possibly expensive) upstream
+    // plan. Callers pass dimension-sized inputs, so the block is small.
+    val in = df.persist()
+    val n = in.count()
+
+    if (n <= SMALL_INPUT_ROWS) {
+      val cum = Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      return in
+        .withColumn(cumName, sum(value).over(cum))
+        .withColumn(totName, sum(value).over(all))
+    }
+
+    val ranged = in
       .repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist()
 
     // One row per partition → exclusive prefix offsets + grand total, via a
     // broadcast triangular cross-join over ≤ spark.sql.shuffle.partitions

@@ -283,30 +283,61 @@ object TextPipeline {
       .distinct()
   }
 
-  /** Near-duplicate pairs by exact 3-shingle Jaccard ≥ 0.8, candidates
-    * from an inverted index on shingles (pairs sharing ≥ 1 shingle) —
-    * NEVER all-pairs: the self-join is keyed by shingle, so only docs
-    * with overlapping content ever meet. Scale guards: a document-
-    * frequency cutoff on hot shingles bounds the join fan-out (not needed
-    * at this fixture's max df of 7), and [[minhashNearDup]] is the
-    * sub-quadratic path when even the inverted index is too dense. */
-  def shingleNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sh = shingles(spark, dir)
-    val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.select($"doc_id".as("doc_a"), $"sh")
-      .join(sh.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
+  /** Shingles with document frequency above this bound are excluded from
+    * CANDIDATE GENERATION (never from the Jaccard rerank): a boilerplate
+    * shingle shared by d documents contributes O(d²) candidate pairs while
+    * discriminating nothing — the one skew that kills the inverted index
+    * at 100 TB. A true near-dup pair (Jaccard ≥ 0.8) shares most of its
+    * shingles, so losing its hot ones still leaves rare ones to meet on;
+    * the fixture's max df is 7, far under the bound, so the cutoff is
+    * behavior-neutral on the oracle and exercised by the planted-
+    * boilerplate unit test instead. */
+  val MAX_SHINGLE_DF = 64
+
+  /** Candidate near-dup pairs from the df-bounded inverted index: pairs
+    * sharing ≥ 1 shingle with df ≤ `maxDf`. */
+  def shingleCandidates(sh: DataFrame, maxDf: Int = MAX_SHINGLE_DF): DataFrame = {
+    import sh.sparkSession.implicits._
+    val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDf)
+      .select($"sh")
+    val idx = sh.join(rare, Seq("sh"))
+    idx.select($"doc_id".as("doc_a"), $"sh")
+      .join(idx.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
       .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+      .distinct()
+  }
+
+  /** Exact-Jaccard rerank of candidate pairs over the FULL shingle sets
+    * (hot shingles still count toward Jaccard — the df cutoff only bounds
+    * who ever meets). Shared with the MinHash path's rerank shape. */
+  private def jaccardRerank(
+      cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    import sh.sparkSession.implicits._
+    val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    cand
+      .join(sh.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("shared"))
-    inter
       .join(n.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))
       .join(n.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
         $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
-      .filter($"jaccard" >= NEARDUP_THRESHOLD)
+      .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Near-duplicate pairs by exact 3-shingle Jaccard ≥ 0.8, candidates
+    * from the df-bounded inverted index ([[shingleCandidates]]) — NEVER
+    * all-pairs: the self-join is keyed by shingle, so only docs with
+    * overlapping RARE content ever meet; [[minhashNearDup]] is the
+    * sub-quadratic path when even the inverted index is too dense. */
+  def shingleNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    jaccardRerank(shingleCandidates(sh), sh, NEARDUP_THRESHOLD)
   }
 
   private def bruteForceNearDupSql(threshold: Double): String =
@@ -375,22 +406,9 @@ object TextPipeline {
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b")
       .distinct()
-    // Exact rerank restricted to candidates: join each side's shingle set
-    // through the candidate pair, count shared shingles.
-    val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val shared = cand
-      .join(sh.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
-      .join(sh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(n.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))
-      .join(n.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), Seq("doc_b"))
-      .withColumn("jaccard",
-        $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
-      .filter($"jaccard" >= MINHASH_THRESHOLD)
-      .select($"doc_a", $"doc_b", $"jaccard")
-      .orderBy($"doc_a", $"doc_b")
+    // Exact rerank restricted to candidates (same shape as the inverted-
+    // index path's rerank).
+    jaccardRerank(cand, sh, MINHASH_THRESHOLD)
   }
 
   // ----------------------------------------------------------------

@@ -58,11 +58,21 @@ object Warehouse {
         $"l_quantity".as("qty_in"))
   }
 
-  /** J2: one row per paired transfer (OUT ⋈ IN on (reference, part)). */
+  /** J2: one row per paired transfer (OUT ⋈ IN on (reference, part)).
+    *
+    * The join carries a `merge` hint: both sides are fact-derived, so the
+    * scale-correct plan is the co-partitioned sort-merge join (class doc).
+    * Without the hint the planner broadcasts the filtered IN side at small
+    * scale, and the presentation sort's range-partitioner then SAMPLES its
+    * un-materialized child — re-executing the streamed side's parquet scan
+    * (round-3 verdict: one scan node read 2× the table). With SMJ both
+    * scans land in materialized shuffle map stages that run exactly once;
+    * the sort's sampling pass re-reads shuffle blocks, not the fact. */
   def transferPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     transfersOut(spark, dir)
-      .join(transfersIn(spark, dir), Seq("reference_id", "part_id"))
+      .join(transfersIn(spark, dir).hint("merge"),
+        Seq("reference_id", "part_id"))
       .select($"reference_id", $"part_id", $"from_warehouse_id",
         $"to_warehouse_id", $"qty_out", $"qty_in")
       .orderBy($"reference_id", $"part_id", $"from_warehouse_id",

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.current_timestamp
 import org.apache.spark.sql.types._
 
 /** Output surface — the reference's load stage re-expressed as Spark
@@ -42,6 +43,21 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", rowsPerFile)
       .parquet(path)
+
+  /** P5 trigger analog (`wsm/database_function/triggers.sql:72-78`,
+    * `trigger_set_updated_at`): stamp `updated_at = now()` on the write
+    * path. In the reference a BEFORE UPDATE trigger touches the column on
+    * every row change; in batch dataflow the write IS the change, so the
+    * sink stamps the whole batch. `current_timestamp()` is fixed per
+    * query in Spark — every row of one write carries the same stamp,
+    * matching the reference's per-transaction `now()`. */
+  def withUpdatedAt(df: DataFrame): DataFrame =
+    df.withColumn("updated_at", current_timestamp())
+
+  /** Snapshot writer: parquet sink with the P5 `updated_at` stamp — the
+    * path mutated tables (stock snapshots) go through. */
+  def writeSnapshot(df: DataFrame, path: String): Unit =
+    writeParquet(withUpdatedAt(df), path)
 
   /** S7: summary dict → one-row DataFrame (`data_loader.py:44-46`), with
     * the schema derived from the value types. Supported value types:

@@ -53,7 +53,7 @@ class AnnSpec extends SparkSpec {
   }
 
   test("LSH buckets recover the planted companions (recall on clusters)") {
-    val lsh = Ann.lshTopK(spark, dir)
+    val lsh = Ann.lshTopK(spark, dir, DIM)
       .collect()
       .groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
@@ -67,7 +67,7 @@ class AnnSpec extends SparkSpec {
   test("LSH cosines agree with the brute-force path on shared pairs") {
     val bf = Ann.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val lsh = Ann.lshTopK(spark, dir).collect()
+    val lsh = Ann.lshTopK(spark, dir, DIM).collect()
     // the LSH path scores with the codegen'd DotProduct expression; the
     // brute-force path uses the decimal-exact formulation — they agree
     // to the 1e-12 fixed-point rounding the exact path applies.

@@ -33,6 +33,15 @@ class FunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("DotProduct rejects non-float arrays at analysis time") {
+    val doubles = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val err = intercept[Exception] {
+      doubles.select(DotProduct($"a", $"b")).head()
+    }
+    assert(err.getMessage.toLowerCase.contains("array<float>"),
+      s"unexpected error: ${err.getMessage}")
+  }
+
   test("WeightedAvg Aggregator equals the builtin ratio and guards zero weight") {
     val lines = Seq(
       (1L, 100.0, 4.0), (1L, 200.0, 6.0), // part 1: (400+1200)/10 = 160

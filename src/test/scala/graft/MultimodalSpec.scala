@@ -43,10 +43,26 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("frame sampling keeps every k-th frame") {
-    val df = Multimodal.mediaFeatures(spark, dir)
+    val df = Multimodal.mediaFeaturesFull(spark, dir)
     val r = df.filter($"asset_id" === 1).head()
     val full = r.getAs[scala.collection.Seq[Float]]("features").toSeq
     val sampled = r.getAs[scala.collection.Seq[Float]]("sampled_frames").toSeq
     assert(sampled == full.zipWithIndex.filter(_._2 % 2 == 0).map(_._1))
+  }
+
+  test("registered q41 emits only scalar columns with faithful digests") {
+    // raw array columns crash the harness's sort-and-hash compare
+    // (CORRECTNESS_r03 q41) — the registered entry must stay scalar.
+    val df = Multimodal.mediaFeatures(spark, dir)
+    assert(df.schema.fields.forall(f =>
+      !f.dataType.typeName.startsWith("array")), df.schema.simpleString)
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows(1L)._1 == Multimodal.FRAMES.toLong) // n_frames
+    assert(rows(1L)._3 == 2L) // 4 frames sampled at step 2
+    // identical payloads → identical digests; digest pins the bytes
+    val sig = df.collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(sig(1L) == sig(3L))
+    assert(sig(1L) != sig(2L))
   }
 }

@@ -35,6 +35,20 @@ class SinksSpec extends SparkSpec {
     assert(all.select("run").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("snapshot writer stamps updated_at on every row (P5 analog)") {
+    val before = System.currentTimeMillis() - 1000
+    val p = tmp() + "/snapshot"
+    Sinks.writeSnapshot(Seq((1L, 10L), (2L, 20L)).toDF("id", "qoh"), p)
+    val back = spark.read.parquet(p)
+    assert(back.columns.contains("updated_at"))
+    val stamps = back.select("updated_at").collect()
+      .map(_.getTimestamp(0).getTime)
+    assert(stamps.length == 2)
+    // one batch → one stamp (current_timestamp is per-query constant)
+    assert(stamps.distinct.length == 1)
+    assert(stamps.forall(t => t >= before && t <= System.currentTimeMillis()))
+  }
+
   test("dict lift produces a typed one-row table") {
     val df = Sinks.liftSummary(spark, Seq(
       "total_value" -> 123.75,

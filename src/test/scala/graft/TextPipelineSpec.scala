@@ -58,6 +58,30 @@ class TextPipelineSpec extends SparkSpec {
     assert(fp == fp2) // rerun-stable
   }
 
+  test("hot-shingle df cutoff: planted boilerplate generates no candidates") {
+    // 10 docs that share ONLY one boilerplate shingle ("copyright acme corp"
+    // prefix) and are otherwise pairwise disjoint. With the df cutoff at 5
+    // the boilerplate shingles (df = 10 > 5) leave the inverted index and
+    // no pair ever meets; without a cutoff every one of the 45 pairs would
+    // become a candidate.
+    val boiler = fixtureDir(
+      "documents" -> (1 to 10).map(i =>
+        Doc(i, s"copyright acme corp u$i v$i w$i x$i")).toDF())
+    val sh = TextPipeline.shingles(spark, boiler)
+    assert(TextPipeline.shingleCandidates(sh, maxDf = 5).count() == 0)
+    // sanity: with the cutoff above the planted df the pairs DO meet (and
+    // are then correctly rejected by the Jaccard rerank, not the index).
+    assert(TextPipeline.shingleCandidates(sh, maxDf = 64).count() == 45)
+  }
+
+  test("df cutoff never drops a pair the rerank would keep (fixture)") {
+    // On the main fixture (max df 7 < 64) the cutoff is behavior-neutral.
+    val sh = TextPipeline.shingles(spark, dir)
+    val withCut = TextPipeline.shingleNearDup(spark, dir).collect().toSet
+    assert(withCut.map(r => (r.getLong(0), r.getLong(1))) ==
+      Set((1L, 2L), (4L, 5L)))
+  }
+
   test("language-ID heuristic on real sentences") {
     val df = Seq(
       ("en", "the cat sat on the mat and it was happy"),

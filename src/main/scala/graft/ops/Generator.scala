@@ -65,6 +65,220 @@ object Generator {
               |     ELSE $x % 100000 END""".stripMargin).as("reference_id"))
   }
 
+  // ------------------------------------------------------- master data
+  // The reference generates 4 master tables + 2 order families + the
+  // movements fact (`generate_data.py:54-364`). Masters are pure
+  // projections over `range(n)`; the same Lehmer mixes drive every
+  // attribute so any scale factor reproduces bit-identically.
+
+  val DEFAULT_PRODUCTS = 5000L
+  val DEFAULT_WAREHOUSES = 10L
+  val DEFAULT_ORDERS = 2000L
+  val DEFAULT_TRANSFERS = 1000L
+
+  /** Products master (`generate_data.py:84-109`): SKU, category (50),
+    * supplier (200), 2-dp unit cost. */
+  def products(spark: SparkSession, n: Long = DEFAULT_PRODUCTS): DataFrame = {
+    val x = Mix.x("id"); val y = Mix.y("id"); val z = Mix.z("id")
+    spark.range(n).select(
+      col("id").as("product_id"),
+      expr(s"concat('SKU-', lpad(CAST(id AS STRING), 8, '0'))").as("sku"),
+      expr(s"$x % 50").as("category_id"),
+      expr(s"$y % 200").as("supplier_id"),
+      // 2-dp price in [1.00, 500.99] — decimal-safe for Dx sums.
+      expr(s"CAST(($z % 50000) + 100 AS DOUBLE) / 100.0").as("unit_cost"))
+  }
+
+  /** Warehouses master (`generate_data.py:111-125`). */
+  def warehouses(spark: SparkSession, n: Long = DEFAULT_WAREHOUSES): DataFrame = {
+    val x = Mix.x("id")
+    spark.range(n).select(
+      col("id").as("warehouse_id"),
+      expr(s"concat('WH-', CAST(id AS STRING))").as("name"),
+      expr(s"concat('LOC-', lpad(CAST($x % 100 AS STRING), 2, '0'))")
+        .as("location_code"))
+  }
+
+  // ----------------------------------------------------- orders + details
+
+  /** Discretized Poisson(3) detail count clipped to [1, 8] — the
+    * reference draws `np.random.poisson(3)` details per order
+    * (`generate_data.py:154,192`); here the CDF is a when-ladder over a
+    * uniform Lehmer draw (thresholds = cumulative pmf ×1000), identical
+    * in both engines. */
+  private def poissonLadder(u: String): String =
+    s"""CASE WHEN $u < 199 THEN 1
+       |     WHEN $u < 423 THEN 2
+       |     WHEN $u < 647 THEN 3
+       |     WHEN $u < 815 THEN 4
+       |     WHEN $u < 916 THEN 5
+       |     WHEN $u < 966 THEN 6
+       |     WHEN $u < 988 THEN 7
+       |     ELSE 8 END""".stripMargin
+
+  /** Order headers (`generate_data.py:127-160`): supplier, warehouse,
+    * seasonal order date, weighted status, Poisson-analog detail count. */
+  def orders(spark: SparkSession, n: Long = DEFAULT_ORDERS): DataFrame = {
+    val x = Mix.x("id"); val y = Mix.y("id"); val z = Mix.z("id")
+    spark.range(n).select(
+      col("id").as("po_id"),
+      expr(s"$x % 200").as("supplier_id"),
+      expr(s"$z % 10").as("warehouse_id"),
+      expr(s"DATE '2022-01-01' + CAST((($x % 365) + ($z % 366)) AS INT)")
+        .as("order_date"),
+      // status weights mirror the reference enum distribution
+      // (PENDING/PROCESSING/SHIPPED/COMPLETED/CANCELLED).
+      expr(s"""CASE WHEN $y % 100 < 15 THEN 'PENDING'
+              |     WHEN $y % 100 < 30 THEN 'PROCESSING'
+              |     WHEN $y % 100 < 55 THEN 'SHIPPED'
+              |     WHEN $y % 100 < 90 THEN 'COMPLETED'
+              |     ELSE 'CANCELLED' END""".stripMargin).as("status"),
+      expr(poissonLadder(s"($y % 1000)")).as("n_details"))
+  }
+
+  /** Detail lines: each order explodes into `n_details` rows; per-line
+    * attributes mix (po_id, line_no) so lines are independent draws. The
+    * UNIQUE(po_id, product_id) reference constraint maps to distinct
+    * product offsets per line. Quantity > 0 (the order-details CHECK). */
+  def orderDetails(spark: SparkSession, n: Long = DEFAULT_ORDERS): DataFrame = {
+    val d = orders(spark, n)
+      .select(col("po_id"), col("warehouse_id"),
+        explode(expr("sequence(1, n_details)")).as("line_no"))
+    val k = s"(po_id * 8 + line_no)"
+    val lx = Mix.x(k); val ly = Mix.y(k)
+    d.select(
+      col("po_id"), col("line_no"), col("warehouse_id"),
+      // line_no offset keeps (po_id, product_id) unique within an order
+      expr(s"($lx % 625) * 8 + line_no - 1").as("product_id"),
+      expr(s"($ly % 50) + 1").as("quantity"),
+      expr(s"CAST(($lx % 50000) + 100 AS DOUBLE) / 100.0").as("unit_price"))
+  }
+
+  // -------------------------------------------------------- transfers
+
+  /** Paired TRANSFER legs (`generate_data.py:279-313`): each transfer id
+    * explodes into exactly two ledger rows — OUT (−q at the source) and
+    * IN (+q at the destination, destination ≠ source by construction) —
+    * so legs sum to ZERO per reference id (the P2 invariant the
+    * reference's own tests eyeball and IngestSpec pins). */
+  def transfers(spark: SparkSession, n: Long = DEFAULT_TRANSFERS): DataFrame = {
+    val x = Mix.x("id"); val y = Mix.y("id"); val z = Mix.z("id")
+    spark.range(n)
+      .select(
+        col("id").as("reference_id"),
+        expr(s"$y % 5000").as("product_id"),
+        expr(s"$z % 10").as("from_warehouse_id"),
+        // destination = source + 1..9 (mod 10): never equal to source
+        expr(s"($z % 10 + ($x % 9) + 1) % 10").as("to_warehouse_id"),
+        expr(s"($x % 50) + 1").as("quantity"),
+        expr(s"DATE '2022-01-01' + CAST((($x % 365) + ($z % 366)) AS INT)")
+          .as("movement_date"))
+      .select(
+        col("reference_id"), col("product_id"), col("movement_date"),
+        explode(array(
+          struct(col("from_warehouse_id").as("warehouse_id"),
+            (-col("quantity")).as("quantity"),
+            lit("OUT").as("leg")),
+          struct(col("to_warehouse_id").as("warehouse_id"),
+            col("quantity").as("quantity"),
+            lit("IN").as("leg")))).as("l"))
+      .select(
+        col("reference_id"), col("product_id"),
+        col("l.warehouse_id").as("warehouse_id"),
+        lit("TRANSFER").as("movement_type"),
+        col("l.quantity").as("quantity"),
+        col("l.leg").as("leg"),
+        col("movement_date"))
+  }
+
+  /** q44: order-family generator check — per-status counts, detail-line
+    * totals and exact decimal order value (proves headers, the Poisson
+    * ladder, the detail explosion and per-line draws all reproduce). */
+  def orderSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hdr = orders(spark)
+    orderDetails(spark)
+      .join(hdr.select($"po_id", $"status"), Seq("po_id"))
+      .groupBy($"status")
+      .agg(
+        countDistinct($"po_id").as("n_orders"),
+        count(lit(1)).cast("long").as("n_lines"),
+        (count(lit(1)).cast("double") / countDistinct($"po_id"))
+          .as("avg_lines_per_order"),
+        sum($"quantity").cast("long").as("total_quantity"),
+        Dx.dsum2($"quantity" * $"unit_price").as("total_value"))
+      .orderBy($"status")
+  }
+
+  private val orderSummaryOracle = {
+    val x = Mix.x("i"); val y = Mix.y("i"); val z = Mix.z("i")
+    val k = "(po_id * 8 + line_no)"
+    val lx = Mix.x(k); val ly = Mix.y(k)
+    s"""WITH hdr AS (
+       |  SELECT i AS po_id,
+       |         CASE WHEN $y % 100 < 15 THEN 'PENDING'
+       |              WHEN $y % 100 < 30 THEN 'PROCESSING'
+       |              WHEN $y % 100 < 55 THEN 'SHIPPED'
+       |              WHEN $y % 100 < 90 THEN 'COMPLETED'
+       |              ELSE 'CANCELLED' END AS status,
+       |         ${poissonLadder(s"($y % 1000)")} AS n_details
+       |  FROM range($DEFAULT_ORDERS) r(i)
+       |), det AS (
+       |  SELECT po_id, status, unnest(range(1, n_details + 1)) AS line_no
+       |  FROM hdr
+       |), lines AS (
+       |  SELECT po_id, status,
+       |         ($ly % 50) + 1 AS quantity,
+       |         CAST(($lx % 50000) + 100 AS DOUBLE) / 100.0 AS unit_price
+       |  FROM det
+       |)
+       |SELECT status,
+       |       CAST(COUNT(DISTINCT po_id) AS BIGINT) AS n_orders,
+       |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |       CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT po_id) AS avg_lines_per_order,
+       |       CAST(SUM(quantity) AS BIGINT) AS total_quantity,
+       |       ${Dx.sqlDsum2("quantity * unit_price")} AS total_value
+       |FROM lines GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q45: transfer-leg generator check — per-warehouse leg flows plus the
+    * zero-sum invariant surfaced as data: net quantity per reference id
+    * aggregates to exactly zero, OUT and IN leg counts match. */
+  def transferSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    transfers(spark)
+      .groupBy($"warehouse_id")
+      .agg(
+        count(when($"leg" === "OUT", lit(1))).cast("long").as("n_out_legs"),
+        count(when($"leg" === "IN", lit(1))).cast("long").as("n_in_legs"),
+        sum($"quantity").cast("long").as("net_quantity"),
+        countDistinct($"reference_id").as("n_transfers"))
+      .orderBy($"warehouse_id")
+  }
+
+  private val transferSummaryOracle = {
+    val x = Mix.x("i"); val y = Mix.y("i"); val z = Mix.z("i")
+    s"""WITH t AS (
+       |  SELECT i AS reference_id,
+       |         $y % 5000 AS product_id,
+       |         $z % 10 AS from_warehouse_id,
+       |         ($z % 10 + ($x % 9) + 1) % 10 AS to_warehouse_id,
+       |         ($x % 50) + 1 AS quantity
+       |  FROM range($DEFAULT_TRANSFERS) r(i)
+       |), legs AS (
+       |  SELECT reference_id, from_warehouse_id AS warehouse_id,
+       |         -quantity AS quantity, 'OUT' AS leg FROM t
+       |  UNION ALL
+       |  SELECT reference_id, to_warehouse_id, quantity, 'IN' FROM t
+       |)
+       |SELECT warehouse_id,
+       |       CAST(COUNT(CASE WHEN leg = 'OUT' THEN 1 END) AS BIGINT) AS n_out_legs,
+       |       CAST(COUNT(CASE WHEN leg = 'IN' THEN 1 END) AS BIGINT) AS n_in_legs,
+       |       CAST(SUM(quantity) AS BIGINT) AS net_quantity,
+       |       CAST(COUNT(DISTINCT reference_id) AS BIGINT) AS n_transfers
+       |FROM legs GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q40: end-to-end generator check — distribution summary by movement
     * type (counts, net quantity, date bounds, DQ-noise rows). */
   def summary(spark: SparkSession, dir: String): DataFrame = {
@@ -112,5 +326,11 @@ object Generator {
   val all: Seq[Query] = Seq(
     Query("q40_generator_summary",
       "deterministic arithmetic data generator, distribution summary (P9)",
-      (s, _) => summary(s, ""), Some(summaryOracle), headline = false))
+      (s, _) => summary(s, ""), Some(summaryOracle), headline = false),
+    Query("q44_generator_orders",
+      "order headers + Poisson-ladder detail explosion, per-status value summary (P9)",
+      orderSummary, Some(orderSummaryOracle), headline = false),
+    Query("q45_generator_transfers",
+      "paired TRANSFER legs, per-warehouse flows + zero-sum invariant (P9/P2)",
+      transferSummary, Some(transferSummaryOracle), headline = false))
 }

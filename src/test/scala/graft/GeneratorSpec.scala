@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Generator
+import org.apache.spark.sql.functions._
+
+/** Pins the full warehouse-schema generator (P9): determinism, the
+  * reference's structural constraints (paired transfer legs summing to
+  * zero, order-detail uniqueness, positive detail quantities), and the
+  * Poisson-ladder shape — scale-parameterized fixtures, so any test can
+  * ask for any volume (the reference's generator validation at
+  * `generate_data.py:507-526` checks the same properties by printout). */
+class GeneratorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("generator is deterministic across invocations") {
+    val a = Generator.movements(spark, 2000).collect().toSeq
+    val b = Generator.movements(spark, 2000).collect().toSeq
+    assert(a == b)
+    val p = Generator.products(spark, 500).collect().toSeq
+    assert(p == Generator.products(spark, 500).collect().toSeq)
+  }
+
+  test("transfer legs pair exactly and sum to zero per reference (P2 invariant)") {
+    val t = Generator.transfers(spark, 5000)
+    val perRef = t.groupBy($"reference_id")
+      .agg(sum($"quantity").as("net"), count(lit(1)).as("n"),
+        countDistinct($"warehouse_id").as("n_wh"))
+      .collect()
+    assert(perRef.length == 5000)
+    assert(perRef.forall(_.getAs[Long]("net") == 0L), "legs must sum to 0")
+    assert(perRef.forall(_.getAs[Long]("n") == 2L), "exactly two legs")
+    assert(perRef.forall(_.getAs[Long]("n_wh") == 2L), "source != destination")
+  }
+
+  test("order details: positive quantities, unique (po_id, product_id), Poisson shape") {
+    val d = Generator.orderDetails(spark, 1000)
+    assert(d.filter($"quantity" <= 0).count() == 0) // schema.sql:144 CHECK
+    val dup = d.groupBy($"po_id", $"product_id").count().filter($"count" > 1)
+    assert(dup.count() == 0) // UNIQUE(po_id, product_id), schema.sql:146
+    val lines = d.groupBy($"po_id").count()
+    val counts = lines.select($"count").collect().map(_.getLong(0))
+    assert(counts.forall(c => c >= 1 && c <= 8)) // clipped ladder range
+    val mean = counts.sum.toDouble / counts.length
+    // Poisson(3) clipped to [1,8] has mean ≈ 3.2; the uniform mix draw
+    // should land close.
+    assert(mean > 2.7 && mean < 3.7, s"mean lines/order = $mean")
+  }
+
+  test("generated ledger replays to a consistent snapshot at any scale (A14)") {
+    // the scale-parameterized fixture path: generated transfer legs feed
+    // the SAME replay aggregation the ingest API uses, and conservation
+    // makes every per-product total zero.
+    val perProduct = Generator.transfers(spark, 3000)
+      .groupBy($"product_id")
+      .agg(sum($"quantity").as("net"))
+      .collect()
+    assert(perProduct.forall(_.getAs[Long]("net") == 0L))
+  }
+
+  test("movement distribution matches the declared weights") {
+    val n = 20000L
+    val byType = Generator.movements(spark, n)
+      .groupBy($"movement_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def share(t: String): Double = byType(t).toDouble / n
+    assert(math.abs(share("IN") - 0.45) < 0.02)
+    assert(math.abs(share("OUT") - 0.35) < 0.02)
+    assert(math.abs(share("TRANSFER") - 0.10) < 0.02)
+  }
+}

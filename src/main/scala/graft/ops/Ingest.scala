@@ -77,11 +77,16 @@ object Ingest {
 
   /** Commands + first-match validation disposition. The stock lookup is
     * a join against the batch-start snapshot on the SOURCE cell — both
-    * sides shuffle on (part, warehouse), co-partitioned at any scale. */
+    * sides shuffle on (part, warehouse), co-partitioned at any scale.
+    * The `merge` hint makes that literal: both sides are fact-derived, and
+    * materialized shuffle stages also stop the downstream presentation
+    * sort's range sampling from re-executing the streamed scan (the q16
+    * fix; without it q34-q36 read the commands scan 2×). */
   def validated(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     commands(spark, dir)
-      .join(snapshot(spark, dir), Seq("part_id", "from_warehouse_id"), "left")
+      .join(snapshot(spark, dir).hint("merge"),
+        Seq("part_id", "from_warehouse_id"), "left")
       .withColumn("disposition",
         when($"quantity" <= 0.0, "error_quantity")
           .when($"from_warehouse_id" === $"to_warehouse_id", "error_same_warehouse")
@@ -157,28 +162,38 @@ object Ingest {
        |       END AS result
        |FROM v ORDER BY reference_id, part_id, from_warehouse_id""".stripMargin
 
-  /** The exploded ledger: two movement rows per VALID command — U1 union
-    * of the OUT (negated, C11) and IN legs with the reference's
-    * concatenated notes (C15: `'Transfer OUT ke ' || to || '. ' ||
-    * COALESCE(notes, '')`). */
+  /** The exploded ledger: two movement rows per VALID command — the OUT
+    * leg (negated, C11) and the IN leg with the reference's concatenated
+    * notes (C15: `'Transfer OUT ke ' || to || '. ' || COALESCE(notes,
+    * '')`). Generated by ONE `explode(array(outLeg, inLeg))` over the
+    * validated batch (SURVEY §2.10 P2's mapping), not a two-branch union:
+    * a union re-executes the whole validated subtree once per leg (the
+    * round-4 scan audit measured the commands scan 2-4× across q35/q36),
+    * while the explode is a single pass — U1's row-union semantics with a
+    * generator's plan shape. */
   def transferLegs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ok = validated(spark, dir).filter($"disposition" === "success")
-    val out = ok.select(
-      $"reference_id", $"part_id",
-      $"from_warehouse_id".as("warehouse_id"),
-      lit("TRANSFER").as("movement_type"),
-      (-$"quantity").as("quantity"),
-      concat(lit("Transfer OUT ke "), $"to_warehouse_id", lit(". "),
-        coalesce($"notes", lit(""))).as("notes"))
-    val in = ok.select(
-      $"reference_id", $"part_id",
-      $"to_warehouse_id".as("warehouse_id"),
-      lit("TRANSFER").as("movement_type"),
-      $"quantity",
-      concat(lit("Transfer IN dari "), $"from_warehouse_id", lit(". "),
-        coalesce($"notes", lit(""))).as("notes"))
-    out.unionByName(in)
+    validated(spark, dir)
+      .filter($"disposition" === "success")
+      .select(
+        $"reference_id", $"part_id",
+        explode(array(
+          struct(
+            $"from_warehouse_id".as("warehouse_id"),
+            (-$"quantity").as("quantity"),
+            concat(lit("Transfer OUT ke "), $"to_warehouse_id", lit(". "),
+              coalesce($"notes", lit(""))).as("notes")),
+          struct(
+            $"to_warehouse_id".as("warehouse_id"),
+            $"quantity".as("quantity"),
+            concat(lit("Transfer IN dari "), $"from_warehouse_id", lit(". "),
+              coalesce($"notes", lit(""))).as("notes")))).as("leg"))
+      .select(
+        $"reference_id", $"part_id",
+        $"leg.warehouse_id".as("warehouse_id"),
+        lit("TRANSFER").as("movement_type"),
+        $"leg.quantity".as("quantity"),
+        $"leg.notes".as("notes"))
       .orderBy($"reference_id", $"part_id", $"quantity")
   }
 

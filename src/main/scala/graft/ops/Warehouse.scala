@@ -120,6 +120,15 @@ object Warehouse {
        |FROM pairs GROUP BY 1, 2
        |ORDER BY total_transfers DESC, from_warehouse_id, to_warehouse_id""".stripMargin
 
+  /** O4/O5: the report's top-10 routes — `head(10)` of the sorted pattern
+    * table (`report_generator.py:174`) / `ORDER BY ... LIMIT 10`
+    * (`test_cases.sql:91-93`). Spark plans TakeOrderedAndProject over the
+    * aggregate: per-partition heaps, no global sort. */
+  def transferPatternsTop10(spark: SparkSession, dir: String): DataFrame =
+    transferPatterns(spark, dir).limit(10)
+
+  private val patternsTop10Oracle = s"$patternsOracle LIMIT 10"
+
   /** The five fixed pivot values (A10 — fixed so absent types still emit
     * zero-filled columns AND Spark skips the pivot-value discovery scan). */
   val EVENT_TYPES: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
@@ -153,5 +162,8 @@ object Warehouse {
       transferPatterns, Some(patternsOracle)),
     Query("q18_warehouse_io_pivot",
       "per-user event counts pivoted over the five fixed event types (A10)",
-      ioPivot, Some(ioPivotOracle)))
+      ioPivot, Some(ioPivotOracle)),
+    Query("q46_transfer_patterns_top10",
+      "top-10 routes: limit-10 of the sorted pattern table (O4/O5)",
+      transferPatternsTop10, Some(patternsTop10Oracle), headline = false))
 }

@@ -243,6 +243,205 @@ object Ann {
        |WHERE rnk <= $TOPK ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q47
+
+  /** Production near-dup cosine threshold; the registered query passes
+    * [[FIXTURE_NEARDUP_COS]] because the synthetic embeddings are
+    * near-random (max pairwise cosine ≈ 0.51 at sf0.01) — a 0.95 cut
+    * would return zero rows and prove nothing. The AnnSpec planted-
+    * companion fixture exercises the 0.95 default. */
+  val NEARDUP_COS = 0.95
+  val FIXTURE_NEARDUP_COS = 0.35
+
+  /** Embedding-cosine near-duplicate pairs — the dedup-by-embedding mode
+    * of the brief: pairs whose SRP-LSH buckets differ by ≤ 1 bit (own
+    * bucket + single-bit probes, same planes as [[lshTopK]]) reranked with
+    * the decimal-exact cosine, kept at ≥ `threshold`.
+    *
+    * Plan shape: only the LEFT side explodes its probe list; the probe
+    * values of one vector are distinct, so each qualifying (a < b) pair
+    * joins exactly once — no distinct over array columns, no dedupe
+    * shuffle. At 100 TB the bucket join bounds the fan-out exactly like
+    * the top-k path; raising NPLANES keeps buckets task-sized. */
+  def embeddingNearDup(
+      spark: SparkSession, dir: String,
+      threshold: Double = NEARDUP_COS, dim: Int = EMBED_DIM): DataFrame = {
+    import spark.implicits._
+    val base = withNorm(spark, dir).withColumn("bucket", bucketCol(dim))
+    val probes = array(
+      col("bucket") +:
+        (0 until NPLANES).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val a = base.select(
+      $"vec_id".as("vec_a"), $"embedding".as("emb_a"),
+      $"nrm_dec".as("nrm_a"), explode(probes).as("bucket"))
+    val b = base.select(
+      $"vec_id".as("vec_b"), $"embedding".as("emb_b"),
+      $"nrm_dec".as("nrm_b"), $"bucket")
+    a.join(b, Seq("bucket"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cosine",
+        dotDec("emb_a", "emb_b").cast("double") /
+          (sqrt($"nrm_a".cast("double")) * sqrt($"nrm_b".cast("double"))))
+      .filter($"cosine" >= threshold)
+      .select($"vec_a", $"vec_b", $"cosine")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** DuckDB replay of [[embeddingNearDup]] (same literal planes / XOR
+    * probe / decimal-cosine machinery as [[lshOracle]]). */
+  private def nearDupOracle(threshold: Double, dim: Int): String = {
+    val planes = planeSigns(dim)
+    def projSql(p: Int): String = {
+      val lits = planes(p).map(s => s"$s.0").mkString(", ")
+      s"list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * ([$lits])[i]))"
+    }
+    val bucketExpr = (0 until NPLANES)
+      .map(p => s"(CASE WHEN ${projSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    val probeList =
+      ("bucket" +: (0 until NPLANES).map(p => s"xor(bucket, ${1L << p})"))
+        .mkString("[", ", ", "]")
+    s"""WITH el AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         unnest(embedding) AS x
+       |  FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM el GROUP BY 1),
+       |b AS (
+       |  SELECT vec_id, $bucketExpr AS bucket FROM embeddings),
+       |pr AS (
+       |  SELECT vec_id, unnest($probeList) AS bucket FROM b),
+       |pairs AS (
+       |  SELECT pr.vec_id AS vec_a, e.vec_id AS vec_b
+       |  FROM pr JOIN b e USING (bucket)
+       |  WHERE pr.vec_id < e.vec_id),
+       |dots AS (
+       |  SELECT p.vec_a, p.vec_b, SUM(${prodDec.format("a.x", "e.x")}) AS dot
+       |  FROM pairs p
+       |  JOIN el a ON a.vec_id = p.vec_a
+       |  JOIN el e ON e.vec_id = p.vec_b AND e.i = a.i
+       |  GROUP BY 1, 2)
+       |SELECT vec_a, vec_b,
+       |       CAST(dot AS DOUBLE)
+       |         / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+       |FROM dots JOIN norms na ON na.vec_id = vec_a
+       |          JOIN norms nb ON nb.vec_id = vec_b
+       |WHERE CAST(dot AS DOUBLE)
+       |        / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q48
+
+  /** IVF coarse quantizer: a fixed, deterministic centroid set (the 16
+    * vectors right after the query ids) and how many centroid cells a
+    * query probes. Real deployments train centroids (k-means) and store
+    * the assignment as a partition key; the RETRIEVAL plan — broadcast
+    * centroids, argmax assignment, nprobe cells, candidate-only rerank —
+    * is exactly this one. */
+  val IVF_NCENTROIDS = 16
+  val IVF_NPROBE = 4
+
+  /** IVF-style ANN: assign every vector to its max-affinity centroid
+    * (affinity = double dot / centroid norm — the per-vector norm is a
+    * constant factor and cannot change the argmax), probe the query's
+    * top-`IVF_NPROBE` cells, decimal-rerank candidates only.
+    *
+    * Complements [[lshTopK]]: IVF partitions by DATA geometry (cells
+    * follow density), LSH by random planes; both bound rerank cost by
+    * bucket size, and at 100 TB the assignment doubles as the physical
+    * partition key so a probe touches `nprobe` partitions, not N. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.DotProduct
+    val base = withNorm(spark, dir)
+    val cents = base
+      .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + IVF_NCENTROIDS)
+      .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"),
+        $"nrm_dec".as("c_nrm"))
+    val aff = base.join(broadcast(cents))
+      .withColumn("aff",
+        DotProduct($"embedding", $"c_emb") / sqrt($"c_nrm".cast("double")))
+    val byAff = Window.partitionBy($"vec_id").orderBy($"aff".desc, $"cent_id".asc)
+    val ranked = aff.withColumn("arn", row_number().over(byAff))
+    val assigned = ranked.filter($"arn" === 1)
+      .select($"vec_id", $"embedding", $"nrm_dec", $"cent_id")
+    val queryProbes = ranked
+      .filter($"vec_id" < NQUERIES && $"arn" <= IVF_NPROBE)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"nrm_dec".as("q_nrm"), $"cent_id")
+    assigned
+      .join(broadcast(queryProbes), Seq("cent_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cosine",
+        dotDec("q_emb", "embedding").cast("double") /
+          (sqrt($"q_nrm".cast("double")) * sqrt($"nrm_dec".cast("double"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc))
+        .cast("long"))
+      .filter($"rnk" <= TOPK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cosine", $"rnk")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** DuckDB replay of [[ivfTopK]]: pairwise index-ordered double dots for
+    * the affinity argmax (bit-equal to the DotProduct loop), decimal
+    * rerank identical to the brute-force oracle. */
+  private def ivfOracle(dim: Int): String =
+    s"""WITH el AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         unnest(embedding) AS x
+       |  FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM el GROUP BY 1),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb
+       |  FROM embeddings
+       |  WHERE vec_id >= $NQUERIES AND vec_id < ${NQUERIES + IVF_NCENTROIDS}),
+       |aff AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         list_sum(list_transform(range(1, ${dim + 1}),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
+       |           / sqrt(CAST(nc.nrm AS DOUBLE)) AS aff
+       |  FROM embeddings e
+       |  CROSS JOIN cents c
+       |  JOIN norms nc ON nc.vec_id = c.cent_id),
+       |ranked AS (
+       |  SELECT vec_id, cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |           ORDER BY aff DESC, cent_id) AS arn
+       |  FROM aff),
+       |assigned AS (
+       |  SELECT vec_id, cent_id FROM ranked WHERE arn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id FROM ranked
+       |  WHERE vec_id < $NQUERIES AND arn <= $IVF_NPROBE),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned a USING (cent_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |dots AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         SUM(${prodDec.format("q.x", "e.x")}) AS dot
+       |  FROM cand c
+       |  JOIN el q ON q.vec_id = c.query_id
+       |  JOIN el e ON e.vec_id = c.neighbor_id AND e.i = q.i
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(dot AS DOUBLE)
+       |           / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nn.nrm AS DOUBLE))) AS cosine
+       |  FROM dots JOIN norms nq ON nq.vec_id = query_id
+       |            JOIN norms nn ON nn.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM cos)
+       |WHERE rnk <= $TOPK ORDER BY query_id, rnk""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Seq[Query] = Seq(
@@ -251,5 +450,12 @@ object Ann {
       bruteForceTopK, Some(bruteForceOracle), headline = false),
     Query("q30_ann_lsh",
       "SRP-LSH bucketed cosine top-10 with 1-bit multi-probe (full oracle replay)",
-      (s, d) => lshTopK(s, d), Some(lshOracle(EMBED_DIM)), headline = false))
+      (s, d) => lshTopK(s, d), Some(lshOracle(EMBED_DIM)), headline = false),
+    Query("q47_embedding_neardup",
+      "embedding-cosine near-dup pairs via LSH buckets + decimal rerank",
+      (s, d) => embeddingNearDup(s, d, FIXTURE_NEARDUP_COS),
+      Some(nearDupOracle(FIXTURE_NEARDUP_COS, EMBED_DIM)), headline = false),
+    Query("q48_ann_ivf",
+      "IVF-style ANN: centroid argmax assignment, nprobe cells, candidate rerank",
+      ivfTopK, Some(ivfOracle(EMBED_DIM)), headline = false))
 }

@@ -218,6 +218,82 @@ object TextPipeline {
       |            ELSE 'ok' END AS quality_class
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
+    * non-alphanumeric marks — the GPT-2-style split shape restricted to
+    * ASCII classes, which Java regex and RE2 (DuckDB) evaluate
+    * identically (the alternatives match disjoint character sets, so
+    * alternation-order semantics can't diverge). */
+  val BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Token counting both ways — whitespace tokens (what `split` gives)
+    * and BPE-ish pre-tokens (what an LLM tokenizer's input segmentation
+    * gives): the budget signal of a training-data pipeline. Pure
+    * projection, no shuffle. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_ws_tokens"),
+        size(expr(s"regexp_extract_all(text, '$BPE_PATTERN', 0)"))
+          .cast("long").as("n_bpe_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)"))
+          .cast("long").as("n_alpha_runs"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)"))
+          .cast("long").as("n_digit_runs"))
+      .orderBy($"doc_id")
+  }
+
+  private val tokenCountsOracle =
+    s"""SELECT doc_id,
+       |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |       CAST(len(regexp_extract_all(text, '$BPE_PATTERN')) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_runs,
+       |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+
+  /** Quality ratio scoring — the brief's "length/punct/stopword ratios":
+    * punctuation share of characters, English-stopword share of tokens,
+    * mean token length. Pure projection; ratios are exact rational
+    * arithmetic on counts, so both engines agree bit-for-bit. */
+  def qualityRatios(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val enList = STOPWORDS.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    docs(spark, dir)
+      .select(
+        $"doc_id", $"n_chars",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)"))
+          .cast("long").as("n_punct"),
+        size(expr(s"filter(split(text, ' '), x -> x IN ($enList))"))
+          .cast("long").as("n_stopwords"))
+      .select(
+        $"doc_id", $"n_tokens",
+        ($"n_punct".cast("double") / $"n_chars").as("punct_ratio"),
+        ($"n_stopwords".cast("double") / $"n_tokens").as("stopword_ratio"),
+        (($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
+          .as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  private val qualityRatiosOracle = {
+    val enList = STOPWORDS.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+       |         / n_chars AS punct_ratio,
+       |       CAST(len(list_filter(string_split(text, ' '),
+       |                x -> list_contains([$enList], x))) AS DOUBLE)
+       |         / len(string_split(text, ' ')) AS stopword_ratio,
+       |       CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |         / len(string_split(text, ' ')) AS avg_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q26
 
   /** 32-bit SimHash document fingerprint. Token hashes come from md5 (hex
@@ -439,5 +515,11 @@ object TextPipeline {
     Query("q28_neardup_minhash",
       "MinHash-LSH banded near-dup candidates + exact rerank ≥ 0.85",
       minhashNearDup, Some(bruteForceNearDupSql(MINHASH_THRESHOLD)),
-      headline = false))
+      headline = false),
+    Query("q49_token_counts",
+      "whitespace + BPE-ish regex token counting per document",
+      tokenCounts, Some(tokenCountsOracle), headline = false),
+    Query("q50_quality_ratios",
+      "punctuation/stopword/token-length quality ratios per document",
+      qualityRatios, Some(qualityRatiosOracle), headline = false))
 }

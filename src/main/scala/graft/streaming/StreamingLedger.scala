@@ -68,6 +68,32 @@ object StreamingLedger {
       .filter(col("ts") <= to_timestamp(lit(asOf)))
       .withWatermark("ts", "1 day")
 
+  /** A11's streaming twin: tumbling event-time daily windows over the
+    * watermarked movement stream — the trend report maintained
+    * incrementally instead of recomputed per run. The 1-day watermark is
+    * the T2 late-data policy made executable: an event arriving after the
+    * watermark passed its window is DROPPED by the engine (state for
+    * closed windows is reclaimed — bounded state at any stream length),
+    * which the unit test pins by replaying a too-late straggler. */
+  def dailyTrend(movements: DataFrame): DataFrame =
+    movements
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("quantity")).as("total_quantity"))
+      .select(
+        col("window.start").as("bucket"),
+        col("n_events"), col("total_quantity"))
+
+  /** Batch twin of [[dailyTrend]] (A11) for the equivalence test. */
+  def batchDailyTrend(movements: DataFrame): DataFrame =
+    movements
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("quantity")).as("total_quantity"))
+
   /** Batch replay twin (A14) used by the equivalence test. */
   def batchReplay(movements: Dataset[Movement]): DataFrame = {
     import movements.sparkSession.implicits._

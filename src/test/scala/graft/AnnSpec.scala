@@ -27,6 +27,11 @@ class AnnSpec extends SparkSpec {
     "embeddings" -> (
       // queries 0..7
       (0 until 8).map(q => Emb(q, base(q).toSeq, q)) ++
+        // ids 8..23: coarse fillers, two per axis (eps 0.3 keeps them well
+        // under the 0.95 near-dup cut vs queries/companions) — they double
+        // as the IVF centroid set (vec_id in [8, 24)); 8..15 and 16..23
+        // repeat the same directions, so (j, j+8) are exact duplicates.
+        (8 until 24).map(j => Emb(j, jitter(base(j % 8), 0.3f), j % 8)) ++
         // companions 100+2q, 101+2q ≈ query q
         (0 until 8).flatMap(q => Seq(
           Emb(100 + 2 * q, jitter(base(q), 0.01f), q),
@@ -61,6 +66,32 @@ class AnnSpec extends SparkSpec {
       val companions = Set(100L + 2 * q, 101L + 2 * q)
       assert((companions -- lsh.getOrElse(q.toLong, Set.empty)).isEmpty,
         s"query $q lost companions: ${lsh.getOrElse(q.toLong, Set.empty)}")
+    }
+  }
+
+  test("embedding near-dup at 0.95 finds exactly the planted duplicates") {
+    val pairs = Ann.embeddingNearDup(spark, dir, threshold = 0.95, dim = DIM)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected =
+      // each cluster: query↔both companions + companion↔companion
+      (0 until 8).flatMap { q =>
+        Seq((q.toLong, 100L + 2 * q), (q.toLong, 101L + 2 * q),
+          (100L + 2 * q, 101L + 2 * q))
+      }.toSet ++
+        // the identical filler twins
+        (8 until 16).map(j => (j.toLong, j + 8L)).toSet
+    assert(pairs == expected, s"got ${pairs.size} pairs")
+  }
+
+  test("IVF probes recover the planted companions and rank them first") {
+    val top = Ann.ivfTopK(spark, dir)
+      .filter($"rnk" <= 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    (0 until 8).foreach { q =>
+      assert(top(q.toLong) == Set(100L + 2 * q, 101L + 2 * q),
+        s"query $q IVF top-2 = ${top.getOrElse(q.toLong, Set.empty)}")
     }
   }
 

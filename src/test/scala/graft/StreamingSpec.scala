@@ -51,6 +51,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming daily windows ≡ batch buckets; too-late stragglers dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Movement]
+    val query = StreamingLedger.dailyTrend(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("daily_trend")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      val onTime = Seq(
+        Movement(1, 1, 10.0, ts("2024-01-01 08:00:00")),
+        Movement(1, 1, 2.0, ts("2024-01-01 16:00:00")),
+        Movement(2, 1, 7.0, ts("2024-01-02 10:00:00")),
+        Movement(2, 2, 1.0, ts("2024-01-04 10:00:00"))) // advances watermark to 01-03
+      input.addData(onTime: _*)
+      query.processAllAvailable()
+      // straggler for Jan 1: watermark (2024-01-03 10:00) already passed
+      // that window's end + grace → the engine must drop it.
+      input.addData(Movement(9, 9, 100.0, ts("2024-01-01 01:00:00")))
+      query.processAllAvailable()
+
+      val streamed = spark.table("daily_trend")
+        .collect()
+        .groupBy(_.getTimestamp(0))
+        .map { case (b, rows) => b -> rows.map(_.getLong(1)).max }
+      val batch = StreamingLedger.batchDailyTrend(onTime.toDF())
+        .collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1))
+        .toMap
+      assert(streamed == batch) // straggler invisible, windows agree
+      assert(streamed(ts("2024-01-01 00:00:00")) == 2L)
+    } finally query.stop()
+  }
+
   test("watermark policy rejects future rows before state is touched") {
     val df = Seq(
       Movement(1, 1, 5.0, ts("2024-01-10 00:00:00")),

@@ -277,7 +277,10 @@ object Ann {
     val b = base.select(
       $"vec_id".as("vec_b"), $"embedding".as("emb_b"),
       $"nrm_dec".as("nrm_b"), $"bucket")
-    a.join(b, Seq("bucket"))
+    // merge hint: both sides are the full vector table (fact-sized) — the
+    // bucket join must co-partition, never broadcast; materialized shuffle
+    // stages also keep the final sort's range sampling off the scan.
+    a.join(b.hint("merge"), Seq("bucket"))
       .filter($"vec_a" < $"vec_b")
       .withColumn("cosine",
         dotDec("emb_a", "emb_b").cast("double") /

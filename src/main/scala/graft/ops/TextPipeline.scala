@@ -188,7 +188,15 @@ object TextPipeline {
   /** Per-document quality scoring: token count, type-token ratio
     * (vocabulary diversity), and a first-match quality class — the
     * filter-stage signal of a curation pipeline. Pure projection (no
-    * shuffle at all; classification happens in the scan's codegen stage). */
+    * shuffle at all; classification happens in the scan's codegen stage).
+    *
+    * Known cost of the presentation sort here and in q49/q50: a global
+    * sort directly over a scan samples range bounds by executing the scan
+    * once more (canonical Spark `ORDER BY`-over-scan behavior; ~2×
+    * columnar read). The alternative — an extra hash exchange to
+    * materialize before sorting — shuffles the full row payload twice and
+    * is no cheaper; a pipeline consumer should simply not sort per-doc
+    * projections. */
   def docQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir)

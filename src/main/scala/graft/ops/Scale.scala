@@ -50,12 +50,15 @@ object Scale {
     * result is bit-equal — only the physical plan differs. */
   val SMALL_INPUT_ROWS: Long = 4L << 20
 
+  /** `smallInputRows` overrides the fast-path threshold — tests force the
+    * distributed path with 0; production callers use the default. */
   def prefixSum(
       df: DataFrame,
       order: Seq[Column],
       value: Column,
       cumName: String,
-      totName: String): DataFrame = {
+      totName: String,
+      smallInputRows: Long = SMALL_INPUT_ROWS): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -66,7 +69,7 @@ object Scale {
     val in = df.persist()
     val n = in.count()
 
-    if (n <= SMALL_INPUT_ROWS) {
+    if (n <= smallInputRows) {
       val cum = Window.orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val all = Window.orderBy(order: _*)

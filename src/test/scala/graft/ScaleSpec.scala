@@ -23,17 +23,23 @@ class ScaleSpec extends SparkSpec {
         .map { case (v, i) => (i.toLong, BigDecimal(v)) }
         .toDF("k", "v")
         .repartition(parts)
-      val out = Scale.prefixSum(df, Seq($"k".asc), $"v", "cum", "tot")
-        .orderBy($"k")
-        .select($"k", $"cum", $"tot")
-        .collect()
-      spark.catalog.clearCache() // prefixSum caller contract
+      // exercise BOTH physical paths: threshold 0 forces the distributed
+      // two-pass plan, the default takes the single-partition fast path —
+      // the contract is that they are bit-identical.
       val expectCum = vs.map(BigDecimal(_)).scanLeft(BigDecimal(0))(_ + _).tail
       val total = vs.map(BigDecimal(_)).sum
-      val cumOk = out.map(r => BigDecimal(r.getDecimal(1)))
-        .zip(expectCum).forall { case (a, b) => a.compare(b) == 0 }
-      val totOk = out.forall(r => BigDecimal(r.getDecimal(2)).compare(total) == 0)
-      cumOk && totOk && out.length == vs.length
+      val ok = Seq(0L, Scale.SMALL_INPUT_ROWS).forall { thr =>
+        val out = Scale.prefixSum(df, Seq($"k".asc), $"v", "cum", "tot", thr)
+          .orderBy($"k")
+          .select($"k", $"cum", $"tot")
+          .collect()
+        spark.catalog.clearCache() // prefixSum caller contract
+        val cumOk = out.map(r => BigDecimal(r.getDecimal(1)))
+          .zip(expectCum).forall { case (a, b) => a.compare(b) == 0 }
+        val totOk = out.forall(r => BigDecimal(r.getDecimal(2)).compare(total) == 0)
+        cumOk && totOk && out.length == vs.length
+      }
+      ok
     }
     val result = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
@@ -43,7 +49,8 @@ class ScaleSpec extends SparkSpec {
   test("prefixSum respects a descending order with tiebreaker") {
     val df = Seq((1L, BigDecimal(10)), (2L, BigDecimal(10)), (3L, BigDecimal(5)))
       .toDF("k", "v")
-    val out = Scale.prefixSum(df, Seq($"v".desc, $"k".asc), $"v", "cum", "tot")
+    // threshold 0: the distributed path must honor the total order too
+    val out = Scale.prefixSum(df, Seq($"v".desc, $"k".asc), $"v", "cum", "tot", 0L)
       .orderBy($"v".desc, $"k".asc)
       .collect()
     spark.catalog.clearCache()

@@ -290,6 +290,26 @@ object Financial {
        |       CAST(COUNT(*) AS BIGINT) AS count_order
        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q51: revenue per part computed through the SALTED two-stage
+    * aggregation ([[Scale.saltedSum]], spread by order key) — the skew
+    * treatment for a hot key at 100 TB. The oracle is the plain direct
+    * aggregation: decimal sums make the salted merge order irrelevant, so
+    * salted ≡ direct exactly, which is precisely the property that makes
+    * salting safe to deploy. */
+  def saltedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_partkey".as("part_id"), $"l_orderkey",
+        expr(REV).cast(DecimalType(30, 6)).as("rev_dec"))
+    Scale.saltedSum(li, Seq("part_id"), $"rev_dec", $"l_orderkey", "rev_sum")
+      .select($"part_id", $"rev_sum".cast("double").as("revenue"))
+      .orderBy($"part_id")
+  }
+
+  private val saltedRevenueOracle =
+    s"""SELECT l_partkey AS part_id, ${Dx.sqlDsum(REV)} AS revenue
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q01_pricing_summary",
       "TPC-H-Q1-style scan→hash-agg pricing summary over lineitem",
@@ -314,5 +334,8 @@ object Financial {
       financialSummary, Some(financialSummaryOracle)),
     Query("q08_running_revenue",
       "daily revenue with exact running total (window cumsum)",
-      runningRevenue, Some(runningRevenueOracle)))
+      runningRevenue, Some(runningRevenueOracle)),
+    Query("q51_salted_revenue",
+      "revenue per part via two-stage salted aggregation ≡ direct agg (skew tool)",
+      saltedRevenue, Some(saltedRevenueOracle), headline = false))
 }

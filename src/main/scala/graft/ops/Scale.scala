@@ -42,6 +42,36 @@ object Scale {
     * `value` should be an exact type (decimal/integral) — the rollup adds
     * partition sums in a different order than a sequential scan would.
     */
+  /** Two-stage SALTED aggregation — the skew treatment for a hash agg
+    * whose key distribution is pathological (one hot key receiving a
+    * large share of a 100 TB fact: its single reduce task dominates the
+    * stage). Stage 1 aggregates (keys, salt) where the salt spreads one
+    * key's rows over `nSalts` reducers — deterministic, derived by
+    * hashing a caller-chosen high-cardinality column, NOT a random
+    * number, so retries and re-runs see identical salts; stage 2
+    * re-aggregates the `nSalts` partials per key. Correct for any
+    * commutative+associative aggregate; pass exact types (decimal /
+    * integral) if the final merge order must not matter — the q51 driver
+    * entry proves salted ≡ direct against the DuckDB oracle.
+    *
+    * Spark's own partial aggregation already map-side-combines, which
+    * handles MODERATE skew; salting is for the case where even combined
+    * partials of the hot key overwhelm one reducer. AQE's skew handling
+    * covers joins, not aggregations — this is the aggregation-side tool. */
+  def saltedSum(
+      df: DataFrame,
+      keys: Seq[String],
+      value: Column,
+      spread: Column,
+      outName: String,
+      nSalts: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    df.groupBy(keyCols :+ pmod(hash(spread), lit(nSalts)).as("__salt"): _*)
+      .agg(sum(value).as("__partial"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__partial")).as(outName))
+  }
+
   /** Below this input size the two-pass machinery costs more than it
     * saves: a single-task window over ≤4M already-aggregated rows beats
     * the extra exchanges/jobs of the distributed path (measured at sf0.1,

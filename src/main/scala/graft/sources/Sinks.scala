@@ -44,6 +44,22 @@ object Sinks {
       .option("maxRecordsPerFile", rowsPerFile)
       .parquet(path)
 
+  /** Bucketed co-located write — the storage-layout half of the 100 TB
+    * join strategy: both sides of a recurring equi-join written with the
+    * SAME bucket spec (count + keys) read back co-partitioned, so the
+    * join plans with NO shuffle exchange at any data size (SinksSpec
+    * asserts zero ShuffleExchange nodes on the executed plan). `sortBy`
+    * persists per-bucket order, letting the sort-merge join skip its
+    * sorts as well. This is what replaces the reference's B-tree FK
+    * indexes at scale (SURVEY §4): the data IS the index. */
+  def writeBucketed(
+      df: DataFrame, table: String,
+      bucketKeys: Seq[String], nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .saveAsTable(table)
+
   /** P5 trigger analog (`wsm/database_function/triggers.sql:72-78`,
     * `trigger_set_updated_at`): stamp `updated_at = now()` on the write
     * path. In the reference a BEFORE UPDATE trigger touches the column on

@@ -49,6 +49,35 @@ class SinksSpec extends SparkSpec {
     assert(stamps.forall(t => t >= before && t <= System.currentTimeMillis()))
   }
 
+  test("bucketed tables join with zero shuffle exchanges (co-located join)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val a = (1 to 200).map(i => (i.toLong % 40, i.toDouble)).toDF("k", "va")
+    val b = (1 to 100).map(i => (i.toLong % 40, i * 2.0)).toDF("k", "vb")
+    Sinks.writeBucketed(a, "bkt_a", Seq("k"), 4)
+    Sinks.writeBucketed(b, "bkt_b", Seq("k"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val rows = joined.collect()
+      assert(rows.length == 200 * 100 / 40) // 5 x_a * ~2.5 x_b per key... sanity below
+      def shuffles(p: SparkPlan): Int = p match {
+        case adaptive: AdaptiveSparkPlanExec => shuffles(adaptive.executedPlan)
+        case stage: QueryStageExec => shuffles(stage.plan)
+        case s: ShuffleExchangeLike => 1 + s.children.map(shuffles).sum
+        case other => other.children.map(shuffles).sum
+      }
+      assert(shuffles(joined.queryExecution.executedPlan) == 0,
+        joined.queryExecution.executedPlan.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("dict lift produces a typed one-row table") {
     val df = Sinks.liftSummary(spark, Seq(
       "total_value" -> 123.75,

@@ -17,6 +17,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // saveAsTable targets (bucketed-join tests) land in a tmp warehouse,
+    // not ./spark-warehouse inside the repo.
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
 
   override def afterAll(): Unit = spark.catalog.clearCache()

@@ -44,6 +44,16 @@ object Sinks {
       .option("maxRecordsPerFile", rowsPerFile)
       .parquet(path)
 
+  /** DQ fan-out in ONE pass (F4 + the quarantine side-output): the tagged
+    * stream writes partitioned by disposition, so each rule's rejects land
+    * in their own directory and the valid stream is a partition-PRUNED
+    * read — no second scan of the source to separate valid from
+    * quarantined (the two-query shape the Quality module uses for its
+    * oracle entries costs one scan per output; this is the deploy path). */
+  def writeDqFanout(tagged: DataFrame, path: String): Unit =
+    tagged.write.mode(SaveMode.Overwrite)
+      .partitionBy("dq_issue").parquet(path)
+
   /** Bucketed co-located write — the storage-layout half of the 100 TB
     * join strategy: both sides of a recurring equi-join written with the
     * SAME bucket spec (count + keys) read back co-partitioned, so the

@@ -94,6 +94,21 @@ object StreamingLedger {
         count(lit(1)).as("n_events"),
         sum(col("quantity")).as("total_quantity"))
 
+  /** T2's quarantine side-output, streaming: every micro-batch fans out
+    * by DQ disposition in one pass (`foreachBatch` + partitioned append —
+    * exactly-once under the checkpoint; SURVEY §2.9 T2 "the DQ quarantine
+    * maps to a side output"). The batch twin is
+    * [[graft.sources.Sinks.writeDqFanout]]. */
+  def dqFanoutStream(
+      tagged: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tagged.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("dq_issue").parquet(path)
+      }
+      .start()
+
   /** Batch replay twin (A14) used by the equivalence test. */
   def batchReplay(movements: Dataset[Movement]): DataFrame = {
     import movements.sparkSession.implicits._

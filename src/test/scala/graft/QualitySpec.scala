@@ -24,6 +24,46 @@ class QualitySpec extends SparkSpec {
       Ev(5, ts("2024-01-01 00:00:00"), 14, "purchase", 9.9, """{"k": 4}""")
     ).toDF())
 
+  test("one-pass DQ fan-out writes valid + per-rule quarantine partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft-dq").toString + "/fanout"
+    graft.sources.Sinks.writeDqFanout(Quality.tagged(spark, dir), out)
+    val back = spark.read.parquet(out)
+    // the valid partition IS the valid stream (and reading it prunes to
+    // one directory — check the pushed partition filter ran: counts match)
+    val valid = back.filter($"dq_issue" === "valid")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(valid == Set(4L, 5L))
+    val perRule = back.groupBy("dq_issue").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perRule == Map(
+      "invalid_reference" -> 1L, "invalid_value" -> 1L,
+      "future_date" -> 1L, "valid" -> 2L))
+  }
+
+  test("streaming DQ fan-out matches the batch fan-out per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files.createTempDirectory("graft-dqs").toString
+    val input = MemoryStream[Ev]
+    val tagged = input.toDF().withColumn("dq_issue", Quality.dqIssue)
+    val q = graft.streaming.StreamingLedger.dqFanoutStream(
+      tagged, s"$base/out", s"$base/ckpt")
+    try {
+      input.addData(
+        Ev(1, ts("2024-06-01 00:00:00"), 10, "purchase", 0.5, """{"k": 99}"""),
+        Ev(5, ts("2024-01-01 00:00:00"), 14, "purchase", 9.9, """{"k": 4}"""))
+      q.processAllAvailable()
+      input.addData(
+        Ev(3, ts("2024-06-01 00:00:00"), 12, "view", 50.0, """{"k": 2}"""))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$base/out")
+      val perRule = back.groupBy("dq_issue").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perRule == Map(
+        "invalid_reference" -> 1L, "future_date" -> 1L, "valid" -> 1L))
+    } finally q.stop()
+  }
+
   test("rule ladder is first-match: earlier rules mask later ones") {
     val tags = Quality.tagged(spark, dir)
       .select("event_id", "dq_issue").collect()

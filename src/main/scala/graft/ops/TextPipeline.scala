@@ -302,6 +302,74 @@ object TextPipeline {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q52
+
+  /** Winnowing fingerprint parameters: character k-grams hashed per
+    * position, then the minimum hash of each sliding window of `WINNOW_W`
+    * k-grams is selected (Schleimer/Wilkerson/Aiken's winnowing — the
+    * MOSS document-fingerprinting algorithm). Guarantees: any shared
+    * substring of length ≥ K + W − 1 contributes at least one shared
+    * fingerprint, while storage is ~2/(W+1) of all k-gram hashes. */
+  val WINNOW_K = 8
+  val WINNOW_W = 4
+
+  /** Per-document winnowing fingerprint summary. The per-position k-gram
+    * hash plays the rolling-hash role (md5 prefix → integer, the same
+    * engine-portable construction as SimHash q26 — positional recompute
+    * rather than an O(1) roll, identical selected set); selection and
+    * stats are pure higher-order column ops — one projection, no shuffle,
+    * no UDF. Docs shorter than K + W − 1 chars cannot fingerprint and are
+    * filtered (fixture min length 48 keeps every row). */
+  /** (doc_id, hs, fps): all k-gram hashes + the winnowed selection per
+    * document — the set form consumers (and the guarantee unit test)
+    * use; [[winnowFingerprints]] summarizes it for the driver compare. */
+  def winnowSets(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val h = s"CAST(conv(substring(md5(substring(text, i, $WINNOW_K)), 1, 8), 16, 10) AS BIGINT)"
+    documents
+      .filter(length($"text") >= WINNOW_K + WINNOW_W - 1)
+      .withColumn("hs",
+        expr(s"transform(sequence(1, length(text) - $WINNOW_K + 1), i -> $h)"))
+      .withColumn("fps",
+        expr(s"array_distinct(transform(sequence(1, size(hs) - $WINNOW_W + 1), " +
+          s"j -> array_min(slice(hs, j, $WINNOW_W))))"))
+  }
+
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    winnowSets(docs(spark, dir))
+      .select(
+        $"doc_id",
+        size($"hs").cast("long").as("n_kgrams"),
+        size($"fps").cast("long").as("n_fingerprints"),
+        expr("array_min(fps)").as("min_fp"),
+        expr("array_max(fps)").as("max_fp"),
+        expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)").as("fp_sum"))
+      .orderBy($"doc_id")
+  }
+
+  private val winnowOracle = {
+    val h = Dx.sqlHex2Long(s"md5(substr(text, i, $WINNOW_K))", 8)
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, len(text) - $WINNOW_K + 2),
+       |                        i -> $h) AS hs
+       |  FROM documents WHERE len(text) >= ${WINNOW_K + WINNOW_W - 1}
+       |), fps AS (
+       |  SELECT doc_id, hs,
+       |         list_distinct(list_transform(range(1, len(hs) - $WINNOW_W + 2),
+       |                       j -> list_min(hs[j:j+${WINNOW_W - 1}]))) AS fps
+       |  FROM hs
+       |)
+       |SELECT doc_id,
+       |       CAST(len(hs) AS BIGINT) AS n_kgrams,
+       |       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       |       CAST(list_min(fps) AS BIGINT) AS min_fp,
+       |       CAST(list_max(fps) AS BIGINT) AS max_fp,
+       |       CAST(list_sum(fps) AS BIGINT) AS fp_sum
+       |FROM fps ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q26
 
   /** 32-bit SimHash document fingerprint. Token hashes come from md5 (hex
@@ -529,5 +597,8 @@ object TextPipeline {
       tokenCounts, Some(tokenCountsOracle), headline = false),
     Query("q50_quality_ratios",
       "punctuation/stopword/token-length quality ratios per document",
-      qualityRatios, Some(qualityRatiosOracle), headline = false))
+      qualityRatios, Some(qualityRatiosOracle), headline = false),
+    Query("q52_winnow_fingerprint",
+      "winnowing k-gram document fingerprints (MOSS), per-doc summary",
+      winnowFingerprints, Some(winnowOracle), headline = false))
 }

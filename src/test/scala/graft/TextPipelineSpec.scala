@@ -82,6 +82,27 @@ class TextPipelineSpec extends SparkSpec {
       Set((1L, 2L), (4L, 5L)))
   }
 
+  test("winnowing guarantee: a shared substring >= K+W-1 yields a shared fingerprint") {
+    // A and B embed the same 44-char run in different contexts; C is
+    // disjoint. Winnowing guarantees any shared substring of length
+    // >= K+W-1 (= 11) contributes >= 1 common selected fingerprint.
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val d = fixtureDir("documents" -> Seq(
+      Doc(1, s"prefix aaa $shared suffix bbb"),
+      Doc(2, s"zq $shared xk"),
+      Doc(3, "completely different content with nothing in common at all")).toDF())
+    val rows = TextPipeline.winnowSets(
+      spark.read.parquet(s"$d/documents.parquet"))
+      .selectExpr("doc_id", "size(hs) AS nh", "fps").collect()
+    val fps = rows.map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Long]]("fps").toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring lost")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs should not collide")
+    // selection really compresses: far fewer fingerprints than k-grams
+    rows.foreach(r => assert(
+      r.getAs[scala.collection.Seq[Long]]("fps").size <= r.getInt(1) / 2 + 1))
+  }
+
   test("language-ID heuristic on real sentences") {
     val df = Seq(
       ("en", "the cat sat on the mat and it was happy"),

@@ -33,10 +33,21 @@ val jdk17AddOpens = Seq(
 // sub-50ms collections beats a giant one with multi-second ones.
 val requestedMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
 val cappedMem = {
-  val g = "([0-9]+)[gG]".r
+  // normalize any JVM-style size (plain bytes, k, m, g, t) to MiB and cap
+  // at 16 GiB; unparseable values fall back to the safe default rather
+  // than reaching -Xmx unchecked.
+  val sz = "([0-9]+)([kKmMgGtT]?)".r
   requestedMem match {
-    case g(n) if n.toLong > 16 => "16g"
-    case other => other
+    case sz(n, unit) =>
+      val mib = unit.toLowerCase match {
+        case "" => n.toLong / (1L << 20)
+        case "k" => n.toLong / 1024
+        case "m" => n.toLong
+        case "g" => n.toLong * 1024
+        case "t" => n.toLong * 1024 * 1024
+      }
+      if (mib > 16384) "16g" else requestedMem
+    case _ => "8g"
   }
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

@@ -25,9 +25,9 @@ object Bench {
 
   /** Non-headline operators benchmarked outside the baseline gate. */
   private val AUX = Set(
-    "q21_exact_dedup", "q26_simhash", "q28_neardup_minhash",
-    "q29_ann_bruteforce", "q30_ann_lsh", "q47_embedding_neardup",
-    "q48_ann_ivf")
+    "q21_exact_dedup", "q26_simhash", "q27_neardup_shingle",
+    "q28_neardup_minhash", "q29_ann_bruteforce", "q30_ann_lsh",
+    "q47_embedding_neardup", "q48_ann_ivf", "q52_winnow_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

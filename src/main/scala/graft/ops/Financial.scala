@@ -46,14 +46,16 @@ object Financial {
     val rev = li
       .groupBy($"l_partkey".as("part_id"))
       .agg(Dx.decSum(expr(REV)).as("rev_dec"))
-    // Distributed exact prefix sum (Scale.prefixSum): range-partition by the
-    // sort key, per-partition decimal cumsums, tiny per-partition offsets
-    // joined back — no single-partition window even at 100 TB dimension
-    // cardinalities. tot_dec is the last partition's offset+total, delivered
-    // by the same broadcast (no second scan, no empty-partition window).
+    // Exact decimal prefix sum. smallInput = true: the input is ONE ROW PER
+    // PART (dimension-bounded by construction — the fact table collapsed in
+    // the aggregate above), so the single-partition window is the cheaper
+    // plan; at catalog sizes where #parts itself is huge, flip the flag to
+    // get Scale.prefixSum's distributed two-pass — the ScalaCheck property
+    // pins both paths bit-identical, so the flip is a config change, not a
+    // correctness question.
     val ranked = Scale.prefixSum(
       rev, Seq($"rev_dec".desc, $"part_id".asc), $"rev_dec",
-      "cum_dec", "tot_dec")
+      "cum_dec", "tot_dec", smallInput = true)
     ranked
       .withColumn("revenue_percent",
         $"cum_dec".cast("double") / $"tot_dec".cast("double"))
@@ -238,9 +240,10 @@ object Financial {
     val daily = Tables(spark, dir, "lineitem")
       .groupBy(date_trunc("day", $"l_shipdate").as("ship_day"))
       .agg(Dx.decSum(expr(REV)).as("rev_dec"))
-    // Bucket count is calendar-bounded, but the distributed prefix sum is
-    // free to use and keeps every time-series cumsum on one code path.
-    Scale.prefixSum(daily, Seq($"ship_day".asc), $"rev_dec", "cum_dec", "__tot")
+    // smallInput: bucket count is calendar-bounded (≤ thousands of rows for
+    // decades of data at any fact scale).
+    Scale.prefixSum(daily, Seq($"ship_day".asc), $"rev_dec", "cum_dec", "__tot",
+      smallInput = true)
       .select(
         $"ship_day",
         $"rev_dec".cast("double").as("revenue"),

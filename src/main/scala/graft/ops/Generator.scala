@@ -35,6 +35,12 @@ object Generator {
     def x(i: String) = s"(($i * 48271 + 11) % $P)"
     def y(i: String) = s"((${x(i)} * 16807 + 7) % $P)"
     def z(i: String) = s"((${y(i)} * 69621 + 3) % $P)"
+    // A fourth chained step: attributes drawn from w must not share modular
+    // structure with y-based draws (y%100 and y%1000 agree mod 100 —
+    // deriving two "independent" attributes from y couples them; the extra
+    // Lehmer multiply scrambles residue classes the way a fresh PRNG draw
+    // would in the reference).
+    def w(i: String) = s"((${z(i)} * 48271 + 11) % $P)"
   }
 
   /** Deterministic synthetic stock movements. */
@@ -120,6 +126,7 @@ object Generator {
     * seasonal order date, weighted status, Poisson-analog detail count. */
   def orders(spark: SparkSession, n: Long = DEFAULT_ORDERS): DataFrame = {
     val x = Mix.x("id"); val y = Mix.y("id"); val z = Mix.z("id")
+    val w = Mix.w("id")
     spark.range(n).select(
       col("id").as("po_id"),
       expr(s"$x % 200").as("supplier_id"),
@@ -133,7 +140,10 @@ object Generator {
               |     WHEN $y % 100 < 55 THEN 'SHIPPED'
               |     WHEN $y % 100 < 90 THEN 'COMPLETED'
               |     ELSE 'CANCELLED' END""".stripMargin).as("status"),
-      expr(poissonLadder(s"($y % 1000)")).as("n_details"))
+      // n_details from the w-chain, NOT y: y%100 (status) and y%1000 agree
+      // mod 100, which would forbid e.g. a PENDING order from ever having
+      // 8 lines — the reference draws status and poisson(3) independently.
+      expr(poissonLadder(s"($w % 1000)")).as("n_details"))
   }
 
   /** Detail lines: each order explodes into `n_details` rows; per-line
@@ -211,7 +221,7 @@ object Generator {
   }
 
   private val orderSummaryOracle = {
-    val x = Mix.x("i"); val y = Mix.y("i"); val z = Mix.z("i")
+    val y = Mix.y("i"); val w = Mix.w("i")
     val k = "(po_id * 8 + line_no)"
     val lx = Mix.x(k); val ly = Mix.y(k)
     s"""WITH hdr AS (
@@ -221,7 +231,7 @@ object Generator {
        |              WHEN $y % 100 < 55 THEN 'SHIPPED'
        |              WHEN $y % 100 < 90 THEN 'COMPLETED'
        |              ELSE 'CANCELLED' END AS status,
-       |         ${poissonLadder(s"($y % 1000)")} AS n_details
+       |         ${poissonLadder(s"($w % 1000)")} AS n_details
        |  FROM range($DEFAULT_ORDERS) r(i)
        |), det AS (
        |  SELECT po_id, status, unnest(range(1, n_details + 1)) AS line_no

@@ -41,75 +41,41 @@ object Scale {
     * prefix sum for *some* tie order, but not necessarily the oracle's.
     * `value` should be an exact type (decimal/integral) — the rollup adds
     * partition sums in a different order than a sequential scan would.
-    */
-  /** Two-stage SALTED aggregation — the skew treatment for a hash agg
-    * whose key distribution is pathological (one hot key receiving a
-    * large share of a 100 TB fact: its single reduce task dominates the
-    * stage). Stage 1 aggregates (keys, salt) where the salt spreads one
-    * key's rows over `nSalts` reducers — deterministic, derived by
-    * hashing a caller-chosen high-cardinality column, NOT a random
-    * number, so retries and re-runs see identical salts; stage 2
-    * re-aggregates the `nSalts` partials per key. Correct for any
-    * commutative+associative aggregate; pass exact types (decimal /
-    * integral) if the final merge order must not matter — the q51 driver
-    * entry proves salted ≡ direct against the DuckDB oracle.
     *
-    * Spark's own partial aggregation already map-side-combines, which
-    * handles MODERATE skew; salting is for the case where even combined
-    * partials of the hot key overwhelm one reducer. AQE's skew handling
-    * covers joins, not aggregations — this is the aggregation-side tool. */
-  def saltedSum(
-      df: DataFrame,
-      keys: Seq[String],
-      value: Column,
-      spread: Column,
-      outName: String,
-      nSalts: Int = 16): DataFrame = {
-    val keyCols = keys.map(col)
-    df.groupBy(keyCols :+ pmod(hash(spread), lit(nSalts)).as("__salt"): _*)
-      .agg(sum(value).as("__partial"))
-      .groupBy(keyCols: _*)
-      .agg(sum(col("__partial")).as(outName))
-  }
-
-  /** Below this input size the two-pass machinery costs more than it
-    * saves: a single-task window over ≤4M already-aggregated rows beats
-    * the extra exchanges/jobs of the distributed path (measured at sf0.1,
-    * round-4: the q02 prefix sum spent most of its wall-clock on fixed
-    * overhead). Both paths use identical decimal arithmetic, so the
-    * result is bit-equal — only the physical plan differs. */
-  val SMALL_INPUT_ROWS: Long = 4L << 20
-
-  /** `smallInputRows` overrides the fast-path threshold — tests force the
-    * distributed path with 0; production callers use the default. */
+    * `smallInput`: a CALLER-DECLARED (static, no runtime probe — plan
+    * construction stays side-effect-free, no driver-side action in any
+    * query path) promise that the input is dimension-bounded (the ABC
+    * input is one row per part; a time-series cumsum is calendar-bounded).
+    * True ⇒ a plain single-partition window, NO persist, no extra stages —
+    * measured ~3× faster at sf0.1 where fixed overhead dominated. False
+    * (default) ⇒ the distributed two-pass above. The ScalaCheck property
+    * pins both paths bit-identical, which is what makes flipping the flag
+    * at a new scale a config change rather than a correctness question.
+    */
   def prefixSum(
       df: DataFrame,
       order: Seq[Column],
       value: Column,
       cumName: String,
       totName: String,
-      smallInputRows: Long = SMALL_INPUT_ROWS): DataFrame = {
+      smallInput: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // Persist the INPUT (not the ranged shuffle): the row count below, the
-    // range-partitioner's sampling pass and the shuffle map stage all read
-    // the cache instead of re-executing the (possibly expensive) upstream
-    // plan. Callers pass dimension-sized inputs, so the block is small.
-    val in = df.persist()
-    val n = in.count()
-
-    if (n <= smallInputRows) {
+    if (smallInput) {
       val cum = Window.orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val all = Window.orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      return in
+      return df
         .withColumn(cumName, sum(value).over(cum))
         .withColumn(totName, sum(value).over(all))
     }
 
-    val ranged = in
+    // Persist the INPUT (lazily — materialized by the first action) so the
+    // range-partitioner's sampling pass and the shuffle map stage read the
+    // cache instead of re-executing the (possibly expensive) upstream plan.
+    val ranged = df.persist()
       .repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
 
@@ -140,4 +106,35 @@ object Scale {
       .withColumn(totName, $"__tot")
       .drop("__pid", "__off", "__tot")
   }
+
+  /** Two-stage SALTED aggregation — the skew treatment for a hash agg
+    * whose key distribution is pathological (one hot key receiving a
+    * large share of a 100 TB fact: its single reduce task dominates the
+    * stage). Stage 1 aggregates (keys, salt) where the salt spreads one
+    * key's rows over `nSalts` reducers — deterministic, derived by
+    * hashing a caller-chosen high-cardinality column, NOT a random
+    * number, so retries and re-runs see identical salts; stage 2
+    * re-aggregates the `nSalts` partials per key. Correct for any
+    * commutative+associative aggregate; pass exact types (decimal /
+    * integral) if the final merge order must not matter — the q51 driver
+    * entry proves salted ≡ direct against the DuckDB oracle.
+    *
+    * Spark's own partial aggregation already map-side-combines, which
+    * handles MODERATE skew; salting is for the case where even combined
+    * partials of the hot key overwhelm one reducer. AQE's skew handling
+    * covers joins, not aggregations — this is the aggregation-side tool. */
+  def saltedSum(
+      df: DataFrame,
+      keys: Seq[String],
+      value: Column,
+      spread: Column,
+      outName: String,
+      nSalts: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    df.groupBy(keyCols :+ pmod(hash(spread), lit(nSalts)).as("__salt"): _*)
+      .agg(sum(value).as("__partial"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__partial")).as(outName))
+  }
+
 }

@@ -448,7 +448,12 @@ object TextPipeline {
 
   /** Candidate near-dup pairs from the df-bounded inverted index: pairs
     * sharing ≥ 1 shingle with df ≤ `maxDf`. */
-  def shingleCandidates(sh: DataFrame, maxDf: Int = MAX_SHINGLE_DF): DataFrame = {
+  def shingleCandidates(sh: DataFrame, maxDf: Int = MAX_SHINGLE_DF): DataFrame =
+    sharedRare(sh, maxDf).select(col("doc_a"), col("doc_b"))
+
+  /** Pairs sharing ≥1 RARE (df ≤ maxDf) shingle, with the count of shared
+    * rare shingles — candidacy and most of the intersection in ONE join. */
+  private def sharedRare(sh: DataFrame, maxDf: Int): DataFrame = {
     import sh.sparkSession.implicits._
     val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxDf)
@@ -457,8 +462,8 @@ object TextPipeline {
     idx.select($"doc_id".as("doc_a"), $"sh")
       .join(idx.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b")
-      .distinct()
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared_rare"))
   }
 
   /** Exact-Jaccard rerank of candidate pairs over the FULL shingle sets
@@ -483,13 +488,46 @@ object TextPipeline {
   }
 
   /** Near-duplicate pairs by exact 3-shingle Jaccard ≥ 0.8, candidates
-    * from the df-bounded inverted index ([[shingleCandidates]]) — NEVER
-    * all-pairs: the self-join is keyed by shingle, so only docs with
-    * overlapping RARE content ever meet; [[minhashNearDup]] is the
-    * sub-quadratic path when even the inverted index is too dense. */
+    * from the df-bounded inverted index — NEVER all-pairs: the self-join
+    * is keyed by shingle, so only docs with overlapping RARE content ever
+    * meet; [[minhashNearDup]] is the sub-quadratic path when even the
+    * inverted index is too dense.
+    *
+    * Exact-Jaccard decomposition: every common shingle is rare or hot, so
+    * |A∩B| = shared_rare (already counted by the candidate join itself) +
+    * shared_hot, topped up by joining only the HOT postings of candidate
+    * pairs — a handful of shingles per doc by construction. This replaces
+    * the full-set rerank (O(candidates × doc size) — measured 21 s at
+    * sf0.1) with O(candidates × hot-per-doc); on a corpus with no hot
+    * shingles the top-up join is empty and the whole query is the single
+    * inverted-index pass. */
   def shingleNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val sh = shingles(spark, dir)
-    jaccardRerank(shingleCandidates(sh), sh, NEARDUP_THRESHOLD)
+    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > MAX_SHINGLE_DF)
+      .select($"sh")
+    val shHot = sh.join(hot, Seq("sh"))
+    val cand = sharedRare(sh, MAX_SHINGLE_DF)
+    // top-up THROUGH the candidate pairs (never a free hot⋈hot self-join,
+    // which would reintroduce the df² fan-out the cutoff exists to stop)
+    val sharedHot = cand.select($"doc_a", $"doc_b")
+      .join(shHot.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+      .join(shHot.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared_hot"))
+    val withHot = cand
+      .join(sharedHot, Seq("doc_a", "doc_b"), "left")
+      .withColumn("shared", $"shared_rare" + coalesce($"shared_hot", lit(0L)))
+    val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    withHot
+      .join(n.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))
+      .join(n.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
+      .filter($"jaccard" >= NEARDUP_THRESHOLD)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
   }
 
   private def bruteForceNearDupSql(threshold: Double): String =

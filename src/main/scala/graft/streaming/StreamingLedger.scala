@@ -95,17 +95,28 @@ object StreamingLedger {
         sum(col("quantity")).as("total_quantity"))
 
   /** T2's quarantine side-output, streaming: every micro-batch fans out
-    * by DQ disposition in one pass (`foreachBatch` + partitioned append —
-    * exactly-once under the checkpoint; SURVEY §2.9 T2 "the DQ quarantine
+    * by DQ disposition in one pass (SURVEY §2.9 T2 "the DQ quarantine
     * maps to a side output"). The batch twin is
-    * [[graft.sources.Sinks.writeDqFanout]]. */
+    * [[graft.sources.Sinks.writeDqFanout]].
+    *
+    * Exactly-once is the SINK's job under `foreachBatch`, not the
+    * checkpoint's: a replayed micro-batch (failure between the write
+    * committing and the offset commit) must overwrite, not re-append.
+    * Writing under a `batch_id=` partition with dynamic partition
+    * overwrite makes the write idempotent — the replay replaces exactly
+    * its own partitions and no others. */
   def dqFanoutStream(
       tagged: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     tagged.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("dq_issue").parquet(path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "dq_issue")
+          .parquet(path)
       }
       .start()
 

@@ -23,13 +23,12 @@ class ScaleSpec extends SparkSpec {
         .map { case (v, i) => (i.toLong, BigDecimal(v)) }
         .toDF("k", "v")
         .repartition(parts)
-      // exercise BOTH physical paths: threshold 0 forces the distributed
-      // two-pass plan, the default takes the single-partition fast path —
-      // the contract is that they are bit-identical.
+      // exercise BOTH physical paths — the caller-declared smallInput flag
+      // picks the plan; the contract is that they are bit-identical.
       val expectCum = vs.map(BigDecimal(_)).scanLeft(BigDecimal(0))(_ + _).tail
       val total = vs.map(BigDecimal(_)).sum
-      val ok = Seq(0L, Scale.SMALL_INPUT_ROWS).forall { thr =>
-        val out = Scale.prefixSum(df, Seq($"k".asc), $"v", "cum", "tot", thr)
+      val ok = Seq(false, true).forall { small =>
+        val out = Scale.prefixSum(df, Seq($"k".asc), $"v", "cum", "tot", small)
           .orderBy($"k")
           .select($"k", $"cum", $"tot")
           .collect()
@@ -49,8 +48,8 @@ class ScaleSpec extends SparkSpec {
   test("prefixSum respects a descending order with tiebreaker") {
     val df = Seq((1L, BigDecimal(10)), (2L, BigDecimal(10)), (3L, BigDecimal(5)))
       .toDF("k", "v")
-    // threshold 0: the distributed path must honor the total order too
-    val out = Scale.prefixSum(df, Seq($"v".desc, $"k".asc), $"v", "cum", "tot", 0L)
+    // distributed path (smallInput = false) must honor the total order too
+    val out = Scale.prefixSum(df, Seq($"v".desc, $"k".asc), $"v", "cum", "tot")
       .orderBy($"v".desc, $"k".asc)
       .collect()
     spark.catalog.clearCache()

@@ -74,6 +74,25 @@ class TextPipelineSpec extends SparkSpec {
     assert(TextPipeline.shingleCandidates(sh, maxDf = 64).count() == 45)
   }
 
+  test("hot shingles excluded from candidacy still count toward Jaccard") {
+    // 70 filler docs share a 6-token boilerplate prefix (its 4 shingles go
+    // hot, df = 72 > 64) and are otherwise unique — no filler pair may
+    // surface. Docs 100/101 share the boilerplate AND 13 rare shingles,
+    // differing only in the final token: shared = 13 rare + 4 hot = 17 of
+    // 19 union → 0.895. Counting only rare shingles would give 13/23 =
+    // 0.565 and wrongly reject the pair — this pins the hot top-up join.
+    val boiler = "c1 c2 c3 c4 c5 c6"
+    val t13 = (1 to 13).map(i => s"s$i").mkString(" ")
+    val d = fixtureDir("documents" -> (
+      (1 to 70).map(i => Doc(i, s"$boiler u$i v$i w$i")) ++ Seq(
+        Doc(100, s"$boiler $t13 enda"),
+        Doc(101, s"$boiler $t13 endb"))).toDF())
+    val pairs = TextPipeline.shingleNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set((100L, 101L)), s"got ${pairs.keySet}")
+    assert(pairs((100L, 101L)) == 17.0 / 19.0)
+  }
+
   test("df cutoff never drops a pair the rerank would keep (fixture)") {
     // On the main fixture (max df 7 < 64) the cutoff is behavior-neutral.
     val sh = TextPipeline.shingles(spark, dir)

@@ -57,6 +57,18 @@ class GeneratorSpec extends SparkSpec {
     assert(perProduct.forall(_.getAs[Long]("net") == 0L))
   }
 
+  test("order status and detail count are independent draws") {
+    // regression guard: status (y%100) and n_details once both derived
+    // from the y-mix, which forced 8-line orders into COMPLETED/CANCELLED
+    // only (y%1000 >= 988 pins y%100 to 88..99). With the independent
+    // w-chain, max-line orders must appear across statuses.
+    val byStatus = Generator.orders(spark, 5000)
+      .filter($"n_details" === 8)
+      .groupBy($"status").count().collect()
+    assert(byStatus.length >= 3,
+      s"8-line orders concentrated in: ${byStatus.mkString(", ")}")
+  }
+
   test("movement distribution matches the declared weights") {
     val n = 20000L
     val byType = Generator.movements(spark, n)

@@ -1,0 +1,32 @@
+package graft
+
+/** End-to-end pipeline run over the smallest testdata: all twelve
+  * reference reports land with rows, the run summary appends once per
+  * run, and the incremental short-circuit writes nothing — the §3.1
+  * lifecycle as one call. */
+class PipelineSpec extends SparkSpec {
+
+  test("full run writes all 12 reports + appends the run summary") {
+    val out = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    val counts = Pipeline.run(spark, "/root/testdata/sf0.001", out)
+    assert(counts.keySet == Pipeline.REPORTS.map(_._1).toSet)
+    assert(counts.values.forall(_ > 0), counts.toString)
+    // one-row summaries really are one row
+    assert(counts("inventory_summary") == 1L)
+    assert(counts("financial_summary") == 1L)
+    val summary = spark.read.parquet(s"$out/analytics_daily_summary")
+    assert(summary.count() == 1)
+    // second run appends a second summary row (S6 semantics)
+    Pipeline.run(spark, "/root/testdata/sf0.001", out)
+    assert(spark.read.parquet(s"$out/analytics_daily_summary").count() == 2)
+  }
+
+  test("incremental run short-circuits when nothing is newer than the checkpoint") {
+    val out = java.nio.file.Files.createTempDirectory("graft-pipe-inc").toString
+    val counts = Pipeline.run(spark, "/root/testdata/sf0.001", out,
+      incrementalSince = Some("2035-01-01 00:00:00"))
+    assert(counts.isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/analytics_daily_summary")))
+  }
+}

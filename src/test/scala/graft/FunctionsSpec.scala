@@ -42,6 +42,49 @@ class FunctionsSpec extends SparkSpec {
       s"unexpected error: ${err.getMessage}")
   }
 
+  test("cosineMargin bounds |cos_fast − cosine| for arbitrary dims/magnitudes") {
+    // Property-pins Ann.cosineMargin's error analysis (round-4 advice: the
+    // old 1e-6 margin rested on a fixture measurement). Mirrors both
+    // engine formulations exactly: cos_fast = index-ordered double dot /
+    // shared decimal-derived norms; cosine = 1e-12 fixed-point decimal dot
+    // / the SAME norms. Magnitudes sweep 1e-6…1e3 — small norms are the
+    // regime where the old constant margin was unsound.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    def dotFast(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def dotDec(a: Array[Float], b: Array[Float]): BigDecimal =
+      a.indices.map { i =>
+        BigDecimal(math.floor(a(i).toDouble * b(i).toDouble * 1e12 + 0.5) / 1e12)
+          .setScale(15, BigDecimal.RoundingMode.HALF_UP)
+      }.foldLeft(BigDecimal(0))(_ + _)
+    val gen = for {
+      dim <- Gen.chooseNum(2, 64)
+      scale <- Gen.oneOf(1e-6, 1e-4, 1e-2, 1.0, 1e2, 1e3)
+      a <- Gen.listOfN(dim, Gen.chooseNum(-1.0, 1.0))
+      b <- Gen.listOfN(dim, Gen.chooseNum(-1.0, 1.0))
+    } yield (a.map(x => (x * scale).toFloat).toArray,
+      b.map(x => (x * scale).toFloat).toArray, dim)
+    val prop = Prop.forAll(gen) { case (a, b, dim) =>
+      val na = dotDec(a, a).toDouble
+      val nb = dotDec(b, b).toDouble
+      // zero decimal norm ⇒ both cosines are NaN in both engines; the
+      // near-dup path never emits such pairs (nothing passes >= threshold)
+      (na > 0 && nb > 0) ==> {
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        val cosFast = dotFast(a, b) / denom
+        val cosine = dotDec(a, b).toDouble / denom
+        val margin = dim * 1e-12 / denom + (2 * dim + 16) * 2.3e-16
+        math.abs(cosFast - cosine) <= margin
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("WeightedAvg Aggregator equals the builtin ratio and guards zero weight") {
     val lines = Seq(
       (1L, 100.0, 4.0), (1L, 200.0, 6.0), // part 1: (400+1200)/10 = 160

@@ -42,6 +42,17 @@ class InventorySpec extends SparkSpec {
     assert(flags == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
   }
 
+  test("asOf is caller-parameterized (C2): a later as-of makes fresh cells dead") {
+    import org.apache.spark.sql.functions.lit
+    // one year past the pinned AS_OF, cell (1,1)'s 10-day-old movement is
+    // now 375 days stale → dead; the production call passes current_date()
+    // the same way, no module edit needed.
+    val flags = Inventory.deadStockFlags(spark, dir, asOf = lit("2003-01-01"))
+      .select("part_id", "is_dead_stock").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
+  }
+
   test("inventory summary prices dead stock and guards ratios") {
     val row = Inventory.inventorySummary(spark, dir).collect().head
     assert(row.getAs[Long]("total_dead_stock_items") == 2L)

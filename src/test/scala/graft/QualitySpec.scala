@@ -24,6 +24,20 @@ class QualitySpec extends SparkSpec {
       Ev(5, ts("2024-01-01 00:00:00"), 14, "purchase", 9.9, """{"k": 4}""")
     ).toDF())
 
+  test("asOf is caller-parameterized (C2): an earlier as-of reclassifies rows") {
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    // with as-of rolled back before every event, the previously-valid rows
+    // become future_date; first-match precedence is unchanged (event 2 is
+    // still invalid_value, not future_date).
+    val tags = Quality.tagged(spark, dir,
+      asOf = to_timestamp(lit("2023-01-01 00:00:00")))
+      .select("event_id", "dq_issue").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tags == Map(
+      1L -> "invalid_reference", 2L -> "invalid_value",
+      3L -> "future_date", 4L -> "future_date", 5L -> "future_date"))
+  }
+
   test("one-pass DQ fan-out writes valid + per-rule quarantine partitions") {
     val out = java.nio.file.Files.createTempDirectory("graft-dq").toString + "/fanout"
     graft.sources.Sinks.writeDqFanout(Quality.tagged(spark, dir), out)

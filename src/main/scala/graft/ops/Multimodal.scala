@@ -81,17 +81,30 @@ object Multimodal {
   val FRAMES = 4
 
   /** Documents lifted to media assets: bytes + typed metadata struct. */
-  def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+  def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] =
+    lift(Tables(spark, dir, "documents"))
+
+  /** The ASCII-payload subset: byte length == char length ⟺ every char
+    * is one UTF-8 byte ⟺ byte i IS the code point of char i — the
+    * property that makes the stub decode's byte arithmetic expressible
+    * in ANSI SQL over the text column ([[mediaFrameMeans]]'s oracle).
+    * The check is a cross-engine-safe length comparison, not a regex. */
+  def asciiAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
-    Tables(spark, dir, "documents")
-      .select(
-        $"doc_id".as("asset_id"),
-        encode($"text", "UTF-8").as("media"),
-        struct(
-          lit("text/plain").as("format"),
-          length($"text").cast("int").as("width"),
-          lit(1).as("height"),
-          lit(FRAMES).as("n_frames")).as("meta"))
+    lift(Tables(spark, dir, "documents")
+      .filter(length(encode($"text", "UTF-8")) === length($"text")))
+  }
+
+  private def lift(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        lit("text/plain").as("format"),
+        length(col("text")).cast("int").as("width"),
+        lit(1).as("height"),
+        lit(FRAMES).as("n_frames")).as("meta"))
       .as[MediaAsset]
   }
 
@@ -148,8 +161,50 @@ object Multimodal {
       .orderBy($"asset_id")
   }
 
+  /** q41b: the decode pipeline HASH-VERIFIED end to end (round-4 verdict
+    * item 2). Same genuine `mapPartitions` decode as q41, restricted to
+    * [[asciiAssets]] and exploded to one row per frame — on single-byte
+    * payloads the stub's frame mean is pure byte arithmetic that DuckDB
+    * replays from the text column (`unicode(substring(...))` = byte
+    * value), so the driver gets a full rows+schema+hash oracle on the
+    * real decode path, not a row count. Both engines compute
+    * sum/count → exact-integer double division → nearest-float cast, so
+    * the REAL column is bit-equal. */
+  def mediaFrameMeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(asciiAssets(spark, dir)).toDF()
+      .select($"asset_id",
+        posexplode($"features").as(Seq("frame_idx", "frame_mean")))
+      .orderBy($"asset_id", $"frame_idx")
+  }
+
+  /** DuckDB replay of the stub decode over ASCII payloads (see
+    * [[mediaFrameMeans]]): size = max(1, n/FRAMES) bytes per frame, frame
+    * f averages bytes [f·size, min(n, f·size+size)), empty frames → 0. */
+  private val frameMeansOracle =
+    s"""WITH a AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |         GREATEST(1, length(text) // $FRAMES) AS sz
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) = length(text)
+       |), fr AS (
+       |  SELECT doc_id, text, n, sz, unnest(range(0, $FRAMES)) AS f
+       |  FROM a
+       |)
+       |SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx,
+       |       CAST(CASE WHEN LEAST(n, f*sz + sz) <= f*sz THEN 0.0
+       |            ELSE CAST(list_sum(list_transform(
+       |                   range(f*sz + 1, LEAST(n, f*sz + sz) + 1),
+       |                   i -> unicode(substring(text, CAST(i AS INT), 1)))) AS DOUBLE)
+       |                 / (LEAST(n, f*sz + sz) - f*sz) END AS REAL) AS frame_mean
+       |FROM fr
+       |ORDER BY asset_id, frame_idx""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q41_media_features",
       "binary media column → partition-amortized stub decode → frame features (rows-only)",
-      mediaFeatures, None, headline = false))
+      mediaFeatures, None, headline = false),
+    Query("q41b_media_frame_means",
+      "stub decode on ASCII payloads, per-frame rows — full byte-arithmetic oracle",
+      mediaFrameMeans, Some(frameMeansOracle), headline = false))
 }

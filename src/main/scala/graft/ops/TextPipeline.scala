@@ -335,17 +335,88 @@ object TextPipeline {
           s"j -> array_min(slice(hs, j, $WINNOW_W))))"))
   }
 
-  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    winnowSets(docs(spark, dir))
-      .select(
-        $"doc_id",
-        size($"hs").cast("long").as("n_kgrams"),
-        size($"fps").cast("long").as("n_fingerprints"),
-        expr("array_min(fps)").as("min_fp"),
-        expr("array_max(fps)").as("max_fp"),
-        expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)").as("fp_sum"))
+  /** Polynomial k-gram hash parameters for [[winnowSetsPoly]]: base 257
+    * (> any code point byte), modulus 1e9+7. The incremental step
+    * `(acc·B + c) mod M` never overflows a long (max ≈ M·B ≈ 2.6e11). */
+  val POLY_B = 257L
+  val POLY_M = 1000000007L
+
+  /** The rolling-hash twin of [[winnowSets]] (round-4 verdict item 6):
+    * identical winnowing structure, but the per-position k-gram hash is a
+    * POLYNOMIAL over the char codes — integer multiply-adds instead of an
+    * md5 per position, which was q52's whole cost (6.2 s at sf0.1, ~90%
+    * md5). The char-code array is built ONCE per document (zero-width
+    * regex split — O(len), no per-position substring scan), then each
+    * k-gram folds 8 codes mod M. Same MOSS selection guarantee, pinned by
+    * the same unit test; the md5 variant stays registered (q52b) as the
+    * structural cross-check. Engine parity: DuckDB replays the polynomial
+    * as a HUGEINT power-sum mod M — equal by modular-arithmetic identity,
+    * no floating point anywhere. */
+  def winnowSetsPoly(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents
+      .filter(length($"text") >= WINNOW_K + WINNOW_W - 1)
+      // (?!^|$): split at every inter-character position — no leading or
+      // trailing empty element (verified against Java's Pattern.split).
+      .withColumn("cs", expr("transform(split(text, '(?!^|$)'), c -> ascii(c))"))
+      .withColumn("hs",
+        expr(s"transform(sequence(1, size(cs) - $WINNOW_K + 1), " +
+          s"i -> aggregate(slice(cs, i, $WINNOW_K), CAST(0 AS BIGINT), " +
+          s"(acc, c) -> (acc * $POLY_B + c) % $POLY_M))"))
+      .withColumn("fps",
+        expr(s"array_distinct(transform(sequence(1, size(hs) - $WINNOW_W + 1), " +
+          s"j -> array_min(slice(hs, j, $WINNOW_W))))"))
+  }
+
+  private def winnowSummary(sets: DataFrame): DataFrame = {
+    import sets.sparkSession.implicits._
+    sets.select(
+      $"doc_id",
+      size($"hs").cast("long").as("n_kgrams"),
+      size($"fps").cast("long").as("n_fingerprints"),
+      expr("array_min(fps)").as("min_fp"),
+      expr("array_max(fps)").as("max_fp"),
+      expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)").as("fp_sum"))
       .orderBy($"doc_id")
+  }
+
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowSummary(winnowSetsPoly(docs(spark, dir)))
+
+  def winnowFingerprintsMd5(spark: SparkSession, dir: String): DataFrame =
+    winnowSummary(winnowSets(docs(spark, dir)))
+
+  /** DuckDB replay of [[winnowSetsPoly]]: the k-gram polynomial is a
+    * HUGEINT power-sum `Σ code[i+j]·B^(K−1−j) mod M` — identical to
+    * Spark's incremental `(acc·B + c) mod M` fold by modular identity. */
+  private val winnowPolyOracle = {
+    val powers = (0 until WINNOW_K)
+      .map(j => BigInt(POLY_B).pow(WINNOW_K - 1 - j))
+    val terms = powers.zipWithIndex.map { case (p, j) =>
+      s"CAST(codes[i + $j] AS HUGEINT) * CAST($p AS HUGEINT)"
+    }.mkString(" + ")
+    s"""WITH cs AS (
+       |  SELECT doc_id,
+       |         list_transform(string_split(text, ''), c -> unicode(c)) AS codes
+       |  FROM documents WHERE len(text) >= ${WINNOW_K + WINNOW_W - 1}
+       |), hs AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, len(codes) - $WINNOW_K + 2),
+       |                        i -> CAST(($terms) % $POLY_M AS BIGINT)) AS hs
+       |  FROM cs
+       |), fps AS (
+       |  SELECT doc_id, hs,
+       |         list_distinct(list_transform(range(1, len(hs) - $WINNOW_W + 2),
+       |                       j -> list_min(hs[j:j+${WINNOW_W - 1}]))) AS fps
+       |  FROM hs
+       |)
+       |SELECT doc_id,
+       |       CAST(len(hs) AS BIGINT) AS n_kgrams,
+       |       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       |       CAST(list_min(fps) AS BIGINT) AS min_fp,
+       |       CAST(list_max(fps) AS BIGINT) AS max_fp,
+       |       CAST(list_sum(fps) AS BIGINT) AS fp_sum
+       |FROM fps ORDER BY doc_id""".stripMargin
   }
 
   private val winnowOracle = {
@@ -637,6 +708,9 @@ object TextPipeline {
       "punctuation/stopword/token-length quality ratios per document",
       qualityRatios, Some(qualityRatiosOracle), headline = false),
     Query("q52_winnow_fingerprint",
-      "winnowing k-gram document fingerprints (MOSS), per-doc summary",
-      winnowFingerprints, Some(winnowOracle), headline = false))
+      "winnowing k-gram fingerprints (MOSS) via polynomial rolling hash, per-doc summary",
+      winnowFingerprints, Some(winnowPolyOracle), headline = false),
+    Query("q52b_winnow_md5",
+      "winnowing with md5 positional k-gram hashes — the structural cross-check twin",
+      winnowFingerprintsMd5, Some(winnowOracle), headline = false))
 }

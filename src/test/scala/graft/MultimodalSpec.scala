@@ -50,6 +50,24 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled == full.zipWithIndex.filter(_._2 % 2 == 0).map(_._1))
   }
 
+  test("q41b frame means: ASCII-only subset, per-frame rows, hand-checked") {
+    // mixed fixture: doc 4 is non-ASCII (é is 2 UTF-8 bytes) and must be
+    // excluded by the byte-length==char-length gate, NOT decoded wrongly
+    val mixed = fixtureDir(
+      "documents" -> Seq(
+        Doc(1, "abcdefgh"),
+        Doc(2, "zz"),
+        Doc(4, "café")
+      ).toDF())
+    val rows = Multimodal.mediaFrameMeans(spark, mixed).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getFloat(2)).toMap
+    assert(rows.keys.map(_._1).toSet == Set(1L, 2L), "non-ASCII doc leaked in")
+    // doc 1: frames of 2 bytes over 97..104
+    assert((0 to 3).map(f => rows((1L, f))) == Seq(97.5f, 99.5f, 101.5f, 103.5f))
+    // doc 2 ("zz", n=2 < FRAMES): size=1 → frames (122),(122),empty,empty
+    assert((0 to 3).map(f => rows((2L, f))) == Seq(122f, 122f, 0f, 0f))
+  }
+
   test("registered q41 emits only scalar columns with faithful digests") {
     // raw array columns crash the harness's sort-and-hash compare
     // (CORRECTNESS_r03 q41) — the registered entry must stay scalar.

@@ -110,16 +110,29 @@ class TextPipelineSpec extends SparkSpec {
       Doc(1, s"prefix aaa $shared suffix bbb"),
       Doc(2, s"zq $shared xk"),
       Doc(3, "completely different content with nothing in common at all")).toDF())
-    val rows = TextPipeline.winnowSets(
-      spark.read.parquet(s"$d/documents.parquet"))
-      .selectExpr("doc_id", "size(hs) AS nh", "fps").collect()
-    val fps = rows.map(r => r.getLong(0) ->
-      r.getAs[scala.collection.Seq[Long]]("fps").toSet).toMap
-    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring lost")
-    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs should not collide")
-    // selection really compresses: far fewer fingerprints than k-grams
-    rows.foreach(r => assert(
-      r.getAs[scala.collection.Seq[Long]]("fps").size <= r.getInt(1) / 2 + 1))
+    // the guarantee is structural — it must hold for BOTH hash variants
+    // (md5 positional and the polynomial rolling hash; they select
+    // different positions but each satisfies the MOSS bound)
+    val docsDf = spark.read.parquet(s"$d/documents.parquet")
+    Seq(
+      "md5" -> TextPipeline.winnowSets(docsDf),
+      "poly" -> TextPipeline.winnowSetsPoly(docsDf)
+    ).foreach { case (variant, sets) =>
+      val rows = sets.selectExpr("doc_id", "size(hs) AS nh", "fps").collect()
+      val fps = rows.map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("fps").toSet).toMap
+      assert((fps(1L) & fps(2L)).nonEmpty, s"[$variant] shared substring lost")
+      assert((fps(1L) & fps(3L)).isEmpty, s"[$variant] disjoint docs collide")
+      // selection really compresses: far fewer fingerprints than k-grams
+      rows.foreach(r => assert(
+        r.getAs[scala.collection.Seq[Long]]("fps").size <= r.getInt(1) / 2 + 1))
+    }
+    // both variants see the identical k-gram count (hash-independent)
+    val nhM = TextPipeline.winnowSets(docsDf).selectExpr("doc_id", "size(hs)")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nhP = TextPipeline.winnowSetsPoly(docsDf).selectExpr("doc_id", "size(hs)")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(nhM == nhP)
   }
 
   test("language-ID heuristic on real sentences") {

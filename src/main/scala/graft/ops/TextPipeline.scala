@@ -380,7 +380,32 @@ object TextPipeline {
       .orderBy($"doc_id")
   }
 
-  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+  /** q52: the registered fast path — the [[graft.functions.WinnowFingerprint]]
+    * native expression (O(1)-step rolling hash + deque sliding min in one
+    * compiled loop; the HOF formulation's per-element lambdas measured
+    * 5.7 s at sf0.1 where this is a projection-speed pass). Values are
+    * identical to [[winnowSetsPoly]] (unit-pinned) and to the DuckDB
+    * power-sum oracle; n_kgrams = chars − K + 1 by construction. */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .filter(length($"text") >= WINNOW_K + WINNOW_W - 1)
+      .select($"doc_id",
+        (length($"text") - (WINNOW_K - 1)).cast("long").as("n_kgrams"),
+        graft.functions.WinnowFingerprint(
+          $"text", WINNOW_K, WINNOW_W, POLY_B, POLY_M).as("fps"))
+      .select($"doc_id", $"n_kgrams",
+        size($"fps").cast("long").as("n_fingerprints"),
+        expr("array_min(fps)").as("min_fp"),
+        expr("array_max(fps)").as("max_fp"),
+        expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)").as("fp_sum"))
+      .orderBy($"doc_id")
+  }
+
+  /** The declarative HOF twin of [[winnowFingerprints]] — same values,
+    * kept for engines/contexts where custom expressions are off the
+    * table and as the unit-test reference for the native expression. */
+  def winnowFingerprintsPolyHof(spark: SparkSession, dir: String): DataFrame =
     winnowSummary(winnowSetsPoly(docs(spark, dir)))
 
   def winnowFingerprintsMd5(spark: SparkSession, dir: String): DataFrame =
@@ -558,6 +583,15 @@ object TextPipeline {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** How many of its smallest-by-hash HOT shingles an all-hot document
+    * posts into the fallback index — the MinHash-style probe width that
+    * lets >maxDf duplicate clusters (whose every shingle is hot) still
+    * meet. Recall: two docs meet if the min-K-by-hash of their hot sets
+    * intersect; for exact duplicates the probe sets are identical, and
+    * for Jaccard ≥ 0.8 pairs each probe lands in the intersection w.p.
+    * ≥ j/(1+j) ≈ 0.44, so 8 probes miss with odds < (1−0.44)⁸ ≈ 1%. */
+  val ALLHOT_PROBES = 8
+
   /** Near-duplicate pairs by exact 3-shingle Jaccard ≥ 0.8, candidates
     * from the df-bounded inverted index — NEVER all-pairs: the self-join
     * is keyed by shingle, so only docs with overlapping RARE content ever
@@ -571,15 +605,58 @@ object TextPipeline {
     * the full-set rerank (O(candidates × doc size) — measured 21 s at
     * sf0.1) with O(candidates × hot-per-doc); on a corpus with no hot
     * shingles the top-up join is empty and the whole query is the single
-    * inverted-index pass. */
-  def shingleNearDup(spark: SparkSession, dir: String): DataFrame = {
+    * inverted-index pass.
+    *
+    * ZERO-RARE FALLBACK (round-4 advice): a cluster duplicated more than
+    * maxDf times makes EVERY one of its shingles hot, so no member ever
+    * reaches the rare index — precisely the most-duplicated content a
+    * dedup pass targets. Documents with zero rare shingles therefore post
+    * their [[ALLHOT_PROBES]] smallest-by-hash hot shingles into a second
+    * tiny index and meet there. Fan-out stays bounded: only zero-rare
+    * docs post, K postings each, and a bucket of d duplicates yields
+    * O(d²) candidates — which is the size of the required OUTPUT for a
+    * duplicate cluster, not avoidable work. For these pairs shared_rare
+    * is 0 and the hot top-up computes the full intersection (every
+    * common shingle of an all-hot doc is hot). Residual known miss, by
+    * design: a pair whose common content is all-hot but where ONE side
+    * still owns an unrelated rare shingle — that side is not zero-rare,
+    * posts no probes, and widening the fallback to such docs is exactly
+    * the boilerplate d² explosion the cutoff exists to stop (pinned in
+    * TextPipelineSpec). */
+  def shingleNearDup(spark: SparkSession, dir: String,
+      maxDf: Int = MAX_SHINGLE_DF): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, dir)
-    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .filter($"df" > MAX_SHINGLE_DF)
-      .select($"sh")
-    val shHot = sh.join(hot, Seq("sh"))
-    val cand = sharedRare(sh, MAX_SHINGLE_DF)
+    // ONE df aggregation feeds the rare index, the hot top-up, and the
+    // zero-rare detection (was two separate aggs in round 4).
+    val shDf = sh.join(
+      sh.groupBy($"sh").agg(count(lit(1)).as("df")), Seq("sh"))
+    val shRare = shDf.filter($"df" <= maxDf).select($"doc_id", $"sh")
+    val shHot = shDf.filter($"df" > maxDf).select($"doc_id", $"sh")
+    val idxA = shRare.select($"doc_id".as("doc_a"), $"sh")
+    val idxB = shRare.select($"doc_id".as("doc_b"), $"sh")
+    val cand0 = idxA.join(idxB, Seq("sh"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared_rare"))
+    // fallback probes: docs whose EVERY shingle is hot (left_anti on the
+    // rare postings — no count needed), min-K hot shingles by hash
+    val allHotDocs = sh.select($"doc_id").distinct()
+      .join(shRare.select($"doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val probes = shHot.join(allHotDocs, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy(xxhash64($"sh"), $"sh")))
+      .filter($"rnk" <= ALLHOT_PROBES)
+      .select($"doc_id", $"sh")
+    val candHot = probes.select($"doc_id".as("doc_a"), $"sh")
+      .join(probes.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+      .withColumn("shared_rare", lit(0L))
+    // disjoint by construction: a candHot pair is two zero-rare docs,
+    // which can never share a rare shingle and so never appear in cand0
+    val cand = cand0.unionByName(candHot)
     // top-up THROUGH the candidate pairs (never a free hot⋈hot self-join,
     // which would reintroduce the df² fan-out the cutoff exists to stop)
     val sharedHot = cand.select($"doc_a", $"doc_b")
@@ -695,7 +772,7 @@ object TextPipeline {
       simhash, Some(simhashOracle), headline = false),
     Query("q27_neardup_shingle",
       "3-shingle Jaccard ≥ 0.8 near-dup pairs via inverted-index join",
-      shingleNearDup, Some(bruteForceNearDupSql(NEARDUP_THRESHOLD)),
+      (s, d) => shingleNearDup(s, d), Some(bruteForceNearDupSql(NEARDUP_THRESHOLD)),
       headline = false),
     Query("q28_neardup_minhash",
       "MinHash-LSH banded near-dup candidates + exact rerank ≥ 0.85",
@@ -708,7 +785,7 @@ object TextPipeline {
       "punctuation/stopword/token-length quality ratios per document",
       qualityRatios, Some(qualityRatiosOracle), headline = false),
     Query("q52_winnow_fingerprint",
-      "winnowing k-gram fingerprints (MOSS) via polynomial rolling hash, per-doc summary",
+      "winnowing fingerprints (MOSS) via native rolling-hash expression, per-doc summary",
       winnowFingerprints, Some(winnowPolyOracle), headline = false),
     Query("q52b_winnow_md5",
       "winnowing with md5 positional k-gram hashes — the structural cross-check twin",

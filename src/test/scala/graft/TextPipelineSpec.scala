@@ -93,6 +93,44 @@ class TextPipelineSpec extends SparkSpec {
     assert(pairs((100L, 101L)) == 17.0 / 19.0)
   }
 
+  test("zero-rare fallback: a >maxDf duplicate cluster is still found whole") {
+    // 5 identical docs with maxDf=2: every shingle has df=5 > 2, so no
+    // member owns a single rare shingle — the round-4 code missed the
+    // ENTIRE cluster (the most-duplicated content a dedup pass targets).
+    // The fallback posts each zero-rare doc's min-K hot shingles, all 10
+    // pairs meet there, and the hot top-up computes exact Jaccard 1.0.
+    // Independent docs (6,7) and a rare-capable near-dup pair (8,9) are
+    // unaffected.
+    val t12 = (1 to 12).map(i => s"p$i")
+    val d = fixtureDir("documents" -> (
+      (1 to 5).map(i => Doc(i, "dup dup2 dup3 dup4 dup5 dup6")) ++ Seq(
+        Doc(6, "six alpha beta gamma"),
+        Doc(7, "seven delta epsilon zeta"),
+        Doc(8, t12.mkString(" ")),
+        Doc(9, (t12.init :+ "OTHER").mkString(" ")))).toDF())
+    val pairs = TextPipeline.shingleNearDup(spark, d, maxDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cluster = (for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong)).toSet
+    assert(pairs.keySet == cluster + ((8L, 9L)), s"got ${pairs.keySet}")
+    cluster.foreach(p => assert(pairs(p) == 1.0))
+    assert(pairs((8L, 9L)) == 9.0 / 11.0)
+  }
+
+  test("zero-rare fallback residual: a rare-tailed twin is missed by design") {
+    // docs 1..3 identical; doc 4 = same content + a unique tail. With
+    // maxDf=2 the shared shingles are hot (df=4) but doc 4's tail gives it
+    // rare shingles, so it is NOT zero-rare, posts no probes, and the
+    // (1..3, 4) pairs are unreachable — the documented residual miss
+    // (widening the fallback to rare-owning docs is the boilerplate d²
+    // explosion the cutoff exists to prevent). The all-hot trio is found.
+    val base = "dup dup2 dup3 dup4 dup5 dup6"
+    val d = fixtureDir("documents" -> (
+      (1 to 3).map(i => Doc(i, base)) :+ Doc(4, s"$base uniquetail")).toDF())
+    val pairs = TextPipeline.shingleNearDup(spark, d, maxDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+  }
+
   test("df cutoff never drops a pair the rerank would keep (fixture)") {
     // On the main fixture (max df 7 < 64) the cutoff is behavior-neutral.
     val sh = TextPipeline.shingles(spark, dir)
@@ -133,6 +171,29 @@ class TextPipelineSpec extends SparkSpec {
     val nhP = TextPipeline.winnowSetsPoly(docsDf).selectExpr("doc_id", "size(hs)")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(nhM == nhP)
+  }
+
+  test("native winnow expression ≡ the declarative poly HOF twin") {
+    // the registered q52 runs the compiled rolling-hash/deque loop; its
+    // fingerprint SET and the whole summary row must equal the HOF
+    // formulation's on every doc (same B/M/K/W, modular identity for the
+    // roll, same sliding-min values). Uses the main fixture plus a doc
+    // right at the k+w-1 length boundary.
+    val d = fixtureDir("documents" -> (
+      Seq(
+        Doc(50, "abcdefghijk"), // exactly K+W-1 = 11 chars: one window
+        Doc(51, "aaaaaaaaaaaaaaaaa"), // degenerate: all hashes equal
+        Doc(52, "short")) ++ // below threshold: filtered in both paths
+        (1 to 5).map(i => Doc(i, s"document number $i with some shared text " * 3))
+      ).toDF())
+    val fast = TextPipeline.winnowFingerprints(spark, d).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val hof = TextPipeline.winnowFingerprintsPolyHof(spark, d).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(fast.keySet == hof.keySet)
+    assert(!fast.contains(52L)) // too short → filtered
+    fast.keys.foreach(id => assert(fast(id) == hof(id),
+      s"doc $id: ${fast(id)} vs ${hof(id)}"))
   }
 
   test("language-ID heuristic on real sentences") {

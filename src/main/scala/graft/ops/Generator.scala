@@ -81,6 +81,37 @@ object Generator {
   val DEFAULT_WAREHOUSES = 10L
   val DEFAULT_ORDERS = 2000L
   val DEFAULT_TRANSFERS = 1000L
+  val DEFAULT_CATEGORIES = 50L
+  val DEFAULT_SUPPLIERS = 200L
+
+  /** Categories master (`generate_data.py:58-67`: id, faker name,
+    * description) — deterministic string analogs; ids 0..n−1 match the
+    * `category_id` domain [[products]] draws from, so the FK is closed
+    * by construction (GeneratorSpec pins it). */
+  def categories(spark: SparkSession, n: Long = DEFAULT_CATEGORIES): DataFrame = {
+    val x = Mix.x("id")
+    spark.range(n).select(
+      col("id").as("category_id"),
+      expr("concat('Category-', lpad(CAST(id AS STRING), 3, '0'))").as("name"),
+      expr(s"concat('category description ', CAST($x % 1000 AS STRING))")
+        .as("description"))
+  }
+
+  /** Suppliers master (`generate_data.py:69-81`: id, company, contact,
+    * email, phone, address) — same deterministic construction; ids match
+    * the `supplier_id` domain of [[products]] and [[orders]]. */
+  def suppliers(spark: SparkSession, n: Long = DEFAULT_SUPPLIERS): DataFrame = {
+    val x = Mix.x("id"); val y = Mix.y("id"); val z = Mix.z("id")
+    spark.range(n).select(
+      col("id").as("supplier_id"),
+      expr("concat('Supplier-', lpad(CAST(id AS STRING), 4, '0'))").as("name"),
+      expr(s"concat('Contact ', CAST($x % 500 AS STRING))").as("contact_person"),
+      expr("concat('supplier', CAST(id AS STRING), '@example.com')").as("email"),
+      expr(s"concat('+62-', lpad(CAST($z % 10000000 AS STRING), 7, '0'))")
+        .as("phone"),
+      expr(s"concat('Street ', CAST($x % 100 AS STRING), ', City-', " +
+        s"CAST($y % 50 AS STRING))").as("address"))
+  }
 
   /** Products master (`generate_data.py:84-109`): SKU, category (50),
     * supplier (200), 2-dp unit cost. */

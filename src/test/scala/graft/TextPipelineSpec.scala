@@ -183,7 +183,12 @@ class TextPipelineSpec extends SparkSpec {
       Seq(
         Doc(50, "abcdefghijk"), // exactly K+W-1 = 11 chars: one window
         Doc(51, "aaaaaaaaaaaaaaaaa"), // degenerate: all hashes equal
-        Doc(52, "short")) ++ // below threshold: filtered in both paths
+        Doc(52, "short"), // below threshold: filtered in both paths
+        // supplementary-plane text: U+1D11E (surrogate pair in UTF-16).
+        // Both paths must hash it as ONE code point — the native loop
+        // iterates codePoints(), the HOF split keeps the pair together
+        // and ascii() = codePointAt — so the summaries agree beyond BMP.
+        Doc(53, "violin 𝄞 key 𝄞 melody line")) ++
         (1 to 5).map(i => Doc(i, s"document number $i with some shared text " * 3))
       ).toDF())
     val fast = TextPipeline.winnowFingerprints(spark, d).collect()

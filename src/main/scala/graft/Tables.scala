@@ -25,17 +25,45 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    // rejects. Read nanos as raw Long (legacy conf) and floor-divide to
-    // micros — exactly DuckDB's native nanos→micros truncation, so oracle
-    // comparisons stay bit-identical.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (dir.startsWith("jdbc:")) {
+      // S1 JDBC pass-through (`wsm/etl_pipeline/extract/data_extractor
+      // .py:27-36`: seven `SELECT *` over a warehouse connection): `dir`
+      // is the connection URL and `name` the table — so EVERY registered
+      // operator runs unchanged against a JDBC warehouse by passing the
+      // URL where the parquet dir usually goes. Catalyst pushes filters
+      // into the remote query (`PushedFilters` on the scan) and prunes
+      // columns into the SELECT list, same as the parquet path. For a
+      // parallel extract at scale use [[jdbcPartitioned]] — a plain JDBC
+      // read is a single connection/partition by design.
+      spark.read.format("jdbc")
+        .option("url", dir).option("dbtable", name).load()
+    } else {
+      // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+      // reader rejects. Read nanos as raw Long (legacy conf) and
+      // floor-divide to micros — exactly DuckDB's native nanos→micros
+      // truncation, so oracle comparisons stay bit-identical.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    }
+
+  /** Range-partitioned JDBC extract — the scale path for S1: `n` executor
+    * tasks each issue a bounded `WHERE partCol BETWEEN …` slice, so a
+    * 10⁹-row warehouse table extracts with cluster parallelism instead of
+    * one connection. Bounds need not be tight (empty slices are cheap);
+    * the usual key is the table's synthetic PK. */
+  def jdbcPartitioned(
+      spark: SparkSession, url: String, table: String, partCol: String,
+      lower: Long, upper: Long, n: Int): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("partitionColumn", partCol)
+      .option("lowerBound", lower).option("upperBound", upper)
+      .option("numPartitions", n)
+      .load()
 }
 
 /** Determinism helpers shared by every query and its DuckDB oracle.

@@ -32,10 +32,27 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
-  /** S6: append-only run-summary sink (parquet append; swap `.parquet`
-    * for `.jdbc` against a warehouse — the writer contract is the same). */
-  def appendSummary(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(path)
+  /** S6: append-only run-summary sink. A `path` starting with `jdbc:` is
+    * a connection URL and the summary appends to the `table` over JDBC —
+    * the reference's `analytics_daily_summary` INSERT
+    * (`wsm/etl_pipeline/load/data_loader.py:86-94`); otherwise parquet
+    * append at the path. Same writer contract either way. */
+  def appendSummary(df: DataFrame, path: String,
+      table: String = "analytics_daily_summary"): Unit =
+    if (path.startsWith("jdbc:")) writeJdbc(df, path, table, SaveMode.Append)
+    else df.write.mode(SaveMode.Append).parquet(path)
+
+  /** JDBC report sink (the S3/S6 warehouse branch): batched INSERTs from
+    * each partition in parallel — `batchsize` rows per round-trip plays
+    * the reference's 5 000-row executemany chunks (S8). Overwrite uses
+    * TRUNCATE-less table replace by default; Append assumes (or creates)
+    * the table, exactly Spark's `DataFrameWriter.jdbc` contract. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: SaveMode = SaveMode.Overwrite, batchSize: Int = 5000): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", batchSize)
+      .mode(mode).save()
 
   /** S8: bulk export capped at `rowsPerFile` rows per output file —
     * the reference's 5 000-row INSERT chunks, executed writer-side. */

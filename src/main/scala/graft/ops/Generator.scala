@@ -87,7 +87,8 @@ object Generator {
   /** Categories master (`generate_data.py:58-67`: id, faker name,
     * description) — deterministic string analogs; ids 0..n−1 match the
     * `category_id` domain [[products]] draws from, so the FK is closed
-    * by construction (GeneratorSpec pins it). */
+    * by construction (GeneratorSpec "FK closure" pins every master
+    * domain, and q53 consumes the join). */
   def categories(spark: SparkSession, n: Long = DEFAULT_CATEGORIES): DataFrame = {
     val x = Mix.x("id")
     spark.range(n).select(
@@ -232,6 +233,277 @@ object Generator {
         col("movement_date"))
   }
 
+  // ------------------------------------------- fixture-schema export
+  // The reference closes its lifecycle generator → warehouse → ETL →
+  // reports (`generate_data.py:528-556` writing the tables `main.py:
+  // 51-115` then reads). The engine's equivalent: project the generated
+  // warehouse into the two FIXTURE tables the twelve Pipeline reports
+  // consume (`lineitem` + `events` — the reports read nothing else), so
+  // `Pipeline.run(spark, <exported dir>, out)` executes the same loop
+  // end-to-end. The mapping is the declared dictionary between the
+  // warehouse domain and the engine's fixture domain; every expression is
+  // arithmetic over the same Lehmer mixes, so DuckDB replays it exactly
+  // (q55 oracle-checks the event mapping + DQ ladder over generated data).
+
+  /** Generated `events` in fixture schema. movement_type maps onto the
+    * fixture event vocabulary (the five [[graft.ops.Warehouse.EVENT_TYPES]]
+    * pivot values): IN→view, OUT→purchase, TRANSFER→click,
+    * ADJUSTMENT→error, RETURN→signup. `value` scales |quantity| by a
+    * fresh draw (purchases cross Movement's ≥150 hot-value cut), with a
+    * ~1% slice forced below 1.0 so the invalid_value DQ rule fires on
+    * generated data; the generator's 5% DQ-noise rows carry the props
+    * sentinel k=99 — exactly what the F1 rule quarantines, closing the
+    * reference's generate-noise→DQ-filters-it loop. */
+  def fixtureEvents(spark: SparkSession, n: Long = DEFAULT_ROWS): DataFrame = {
+    val x = Mix.x("movement_id")
+    movements(spark, n).select(
+      col("movement_id").as("event_id"),
+      col("movement_date").cast("timestamp").as("ts"),
+      col("reference_id").as("user_id"),
+      expr("""CASE movement_type WHEN 'IN' THEN 'view'
+              |     WHEN 'OUT' THEN 'purchase'
+              |     WHEN 'TRANSFER' THEN 'click'
+              |     WHEN 'ADJUSTMENT' THEN 'error'
+              |     ELSE 'signup' END""".stripMargin).as("event_type"),
+      expr(s"""CASE WHEN $x % 97 = 0 THEN 0.5
+              |     ELSE CAST(abs(quantity) * (1 + $x % 20) AS DOUBLE)
+              |END""".stripMargin).as("value"),
+      // normal rows: k = user_id % 50 < 50, never the 99 sentinel
+      expr("""concat('{"k":', CAST(CASE WHEN reference_id = 9999999 THEN 99
+              |     ELSE reference_id % 50 END AS STRING), '}')""".stripMargin)
+        .as("props"))
+  }
+
+  /** Generated `lineitem` in fixture schema: order detail lines enriched
+    * with header status/date, UNIONed with the paired [[transfers]] legs.
+    *
+    * Order lines: returnflag CANCELLED→'R', COMPLETED→'A', else 'N'
+    * (Inventory's logged-movement set is {'A','R'}); linestatus
+    * COMPLETED/SHIPPED→'F' else 'O' (the valuation's completed-cost-pool
+    * cut). Ship date = order date + line offset.
+    *
+    * Transfer legs: the fixture convention reads same-(orderkey, partkey)
+    * R+A row pairs as the two legs of one transfer (Warehouse J2) —
+    * (po_id, product_id) is UNIQUE within an order, so order lines can
+    * never pair; the generator's [[transfers]] (built around exactly that
+    * P2 pairing) supply them under an offset orderkey space, OUT→'R',
+    * IN→'A', linestatus 'O' so legs never enter the completed cost pool. */
+  def fixtureLineitem(spark: SparkSession, n: Long = DEFAULT_ORDERS): DataFrame = {
+    val k = "(po_id * 8 + line_no)"
+    val lz = Mix.z(k); val lw = Mix.w(k)
+    val orderLines = orderDetails(spark, n)
+      .join(broadcast(orders(spark, n).select(
+        col("po_id"), col("status"), col("order_date"))), Seq("po_id"))
+      .select(
+        col("po_id").as("l_orderkey"),
+        col("product_id").as("l_partkey"),
+        col("warehouse_id").as("l_suppkey"),
+        col("quantity").cast("double").as("l_quantity"),
+        (col("quantity") * col("unit_price")).as("l_extendedprice"),
+        expr(s"CAST($lz % 11 AS DOUBLE) / 100.0").as("l_discount"),
+        expr(s"CAST($lw % 9 AS DOUBLE) / 100.0").as("l_tax"),
+        expr("""CASE status WHEN 'CANCELLED' THEN 'R'
+                |     WHEN 'COMPLETED' THEN 'A' ELSE 'N' END""".stripMargin)
+          .as("l_returnflag"),
+        expr("""CASE WHEN status IN ('COMPLETED', 'SHIPPED') THEN 'F'
+                |     ELSE 'O' END""".stripMargin).as("l_linestatus"),
+        expr("CAST(order_date + CAST(line_no - 1 AS INT) AS TIMESTAMP)")
+          .as("l_shipdate"))
+    val legs = transfers(spark).select(
+      (lit(TRANSFER_ORDERKEY_BASE) + col("reference_id")).as("l_orderkey"),
+      col("product_id").as("l_partkey"),
+      col("warehouse_id").as("l_suppkey"),
+      abs(col("quantity")).cast("double").as("l_quantity"),
+      (abs(col("quantity")) * lit(10.0)).as("l_extendedprice"),
+      lit(0.0).as("l_discount"),
+      lit(0.0).as("l_tax"),
+      when(col("leg") === "OUT", "R").otherwise("A").as("l_returnflag"),
+      lit("O").as("l_linestatus"),
+      col("movement_date").cast("timestamp").as("l_shipdate"))
+    orderLines.unionByName(legs)
+  }
+
+  /** Transfer legs live above every po_id so the two key spaces never
+    * collide (po ids are 0..n−1). */
+  val TRANSFER_ORDERKEY_BASE = 1000000L
+
+  /** Write the full generated warehouse to `dir`: the six native
+    * warehouse tables (masters + order family + facts) AND the two
+    * fixture-schema projections, laid out like an sfDir — so
+    * `Pipeline.run(spark, dir, out)` (and any registered operator) runs
+    * directly over generator output. PipelineSpec drives the loop
+    * end-to-end; returns rows written per table. */
+  def writeWarehouse(spark: SparkSession, dir: String): Map[String, Long] = {
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "categories" -> categories(spark),
+      "suppliers" -> suppliers(spark),
+      "products" -> products(spark),
+      "warehouses" -> warehouses(spark),
+      "movements" -> movements(spark),
+      "orders" -> orders(spark),
+      "order_details" -> orderDetails(spark),
+      "transfers" -> transfers(spark),
+      "lineitem" -> fixtureLineitem(spark),
+      "events" -> fixtureEvents(spark))
+    tables.map { case (name, df) =>
+      graft.sources.Sinks.writeParquet(df, s"$dir/$name.parquet")
+      name -> spark.read.parquet(s"$dir/$name.parquet").count()
+    }.toMap
+  }
+
+  /** q53: revenue per category over the generated masters — detail lines
+    * ⋈ products ⋈ categories (the FK chain the masters exist for; a
+    * broken closure drops rows and the oracle catches it). Both
+    * dimensions broadcast — the J5 shape over generated data. */
+  def categoryRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orderDetails(spark)
+      .join(broadcast(products(spark)
+        .select($"product_id", $"category_id")), Seq("product_id"))
+      .join(broadcast(categories(spark)
+        .select($"category_id", $"name")), Seq("category_id"))
+      .groupBy($"category_id", $"name")
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum($"quantity").cast("long").as("total_quantity"),
+        Dx.dsum2($"quantity" * $"unit_price").as("revenue"))
+      .orderBy($"category_id")
+  }
+
+  private val categoryRevenueOracle = {
+    val w = Mix.w("i")
+    val k = "(po_id * 8 + line_no)"
+    val lx = Mix.x(k); val ly = Mix.y(k)
+    val px = Mix.x("i")
+    s"""WITH hdr AS (
+       |  SELECT i AS po_id, ${poissonLadder(s"($w % 1000)")} AS n_details
+       |  FROM range($DEFAULT_ORDERS) r(i)
+       |), det AS (
+       |  SELECT po_id, unnest(range(1, n_details + 1)) AS line_no FROM hdr
+       |), lines AS (
+       |  SELECT ($lx % 625) * 8 + line_no - 1 AS product_id,
+       |         ($ly % 50) + 1 AS quantity,
+       |         CAST(($lx % 50000) + 100 AS DOUBLE) / 100.0 AS unit_price
+       |  FROM det
+       |), prod AS (
+       |  SELECT i AS product_id, $px % 50 AS category_id
+       |  FROM range($DEFAULT_PRODUCTS) r(i)
+       |), cat AS (
+       |  SELECT i AS category_id,
+       |         concat('Category-', lpad(CAST(i AS VARCHAR), 3, '0')) AS name
+       |  FROM range($DEFAULT_CATEGORIES) r(i)
+       |)
+       |SELECT c.category_id AS category_id, c.name AS name,
+       |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |       CAST(SUM(quantity) AS BIGINT) AS total_quantity,
+       |       ${Dx.sqlDsum2("quantity * unit_price")} AS revenue
+       |FROM lines l
+       |JOIN prod p ON l.product_id = p.product_id
+       |JOIN cat c ON p.category_id = c.category_id
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
+  /** q54: per-supplier order book over the generated masters — headers ⋈
+    * suppliers, status mix, Poisson line totals, date bounds. */
+  def supplierOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark)
+      .join(broadcast(suppliers(spark)
+        .select($"supplier_id", $"name", $"email")), Seq("supplier_id"))
+      .groupBy($"supplier_id", $"name", $"email")
+      .agg(
+        count(lit(1)).cast("long").as("n_orders"),
+        count(when($"status" === "COMPLETED", lit(1))).cast("long")
+          .as("n_completed"),
+        sum($"n_details").cast("long").as("n_lines"),
+        min($"order_date").cast("timestamp").as("first_order"),
+        max($"order_date").cast("timestamp").as("last_order"))
+      .orderBy($"supplier_id")
+  }
+
+  private val supplierOrdersOracle = {
+    val x = Mix.x("i"); val y = Mix.y("i"); val z = Mix.z("i")
+    val w = Mix.w("i")
+    s"""WITH hdr AS (
+       |  SELECT $x % 200 AS supplier_id,
+       |         CASE WHEN $y % 100 < 15 THEN 'PENDING'
+       |              WHEN $y % 100 < 30 THEN 'PROCESSING'
+       |              WHEN $y % 100 < 55 THEN 'SHIPPED'
+       |              WHEN $y % 100 < 90 THEN 'COMPLETED'
+       |              ELSE 'CANCELLED' END AS status,
+       |         ${poissonLadder(s"($w % 1000)")} AS n_details,
+       |         DATE '2022-01-01' + CAST((($x % 365) + ($z % 366)) AS INT)
+       |           AS order_date
+       |  FROM range($DEFAULT_ORDERS) r(i)
+       |), sup AS (
+       |  SELECT i AS supplier_id,
+       |         concat('Supplier-', lpad(CAST(i AS VARCHAR), 4, '0')) AS name,
+       |         concat('supplier', CAST(i AS VARCHAR), '@example.com') AS email
+       |  FROM range($DEFAULT_SUPPLIERS) r(i)
+       |)
+       |SELECT s.supplier_id AS supplier_id, s.name AS name, s.email AS email,
+       |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |       CAST(COUNT(CASE WHEN status = 'COMPLETED' THEN 1 END) AS BIGINT)
+       |         AS n_completed,
+       |       CAST(SUM(n_details) AS BIGINT) AS n_lines,
+       |       CAST(MIN(order_date) AS TIMESTAMP) AS first_order,
+       |       CAST(MAX(order_date) AS TIMESTAMP) AS last_order
+       |FROM hdr h JOIN sup s ON h.supplier_id = s.supplier_id
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+  }
+
+  /** q55: the DQ ladder over GENERATED events — quarantine counts per
+    * disposition. Proves the fixture-event mapping (vocabulary, value
+    * scaling, props sentinel) reproduces in both engines AND that the
+    * generator's planted noise is exactly what F1/F2 catch. */
+  def generatedDqSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fixtureEvents(spark)
+      .groupBy(Quality.dqIssue.as("dq_issue"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+      .orderBy($"dq_issue")
+  }
+
+  private val generatedDqOracle = {
+    val x = Mix.x("i"); val y = Mix.y("i"); val z = Mix.z("i")
+    s"""WITH mv AS (
+       |  SELECT i,
+       |         CASE WHEN $y % 100 < 45 THEN 'IN'
+       |              WHEN $y % 100 < 80 THEN 'OUT'
+       |              WHEN $y % 100 < 90 THEN 'TRANSFER'
+       |              WHEN $y % 100 < 95 THEN 'ADJUSTMENT'
+       |              ELSE 'RETURN' END AS movement_type,
+       |         CASE WHEN $y % 100 >= 45 AND $y % 100 < 80
+       |              THEN -(($x % 50) + 1) ELSE ($x % 50) + 1 END AS quantity,
+       |         DATE '2022-01-01' + CAST((($x % 365) + ($z % 366)) AS INT)
+       |           AS movement_date,
+       |         CASE WHEN $z % 20 = 0 THEN 9999999
+       |              ELSE $x % 100000 END AS reference_id
+       |  FROM range($DEFAULT_ROWS) r(i)
+       |), ev AS (
+       |  SELECT CAST(movement_date AS TIMESTAMP) AS ts,
+       |         CASE movement_type WHEN 'IN' THEN 'view'
+       |              WHEN 'OUT' THEN 'purchase'
+       |              WHEN 'TRANSFER' THEN 'click'
+       |              WHEN 'ADJUSTMENT' THEN 'error'
+       |              ELSE 'signup' END AS event_type,
+       |         CASE WHEN $x % 97 = 0 THEN 0.5
+       |              ELSE CAST(abs(quantity) * (1 + $x % 20) AS DOUBLE)
+       |         END AS value,
+       |         concat('{"k":', CAST(CASE WHEN reference_id = 9999999 THEN 99
+       |              ELSE reference_id % 50 END AS VARCHAR), '}') AS props
+       |  FROM mv
+       |)
+       |SELECT CASE WHEN CAST(json_extract_string(props, '$$.k') AS INT) = 99
+       |            THEN 'invalid_reference'
+       |            WHEN event_type IN ('purchase', 'signup') AND value < 1.0
+       |            THEN 'invalid_value'
+       |            WHEN ts > TIMESTAMP '${Quality.AS_OF}' THEN 'future_date'
+       |            ELSE 'valid' END AS dq_issue,
+       |       CAST(COUNT(*) AS BIGINT) AS n_rows
+       |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q44: order-family generator check — per-status counts, detail-line
     * totals and exact decimal order value (proves headers, the Poisson
     * ladder, the detail explosion and per-line draws all reproduce). */
@@ -373,5 +645,14 @@ object Generator {
       orderSummary, Some(orderSummaryOracle), headline = false),
     Query("q45_generator_transfers",
       "paired TRANSFER legs, per-warehouse flows + zero-sum invariant (P9/P2)",
-      transferSummary, Some(transferSummaryOracle), headline = false))
+      transferSummary, Some(transferSummaryOracle), headline = false),
+    Query("q53_generated_category_revenue",
+      "revenue per category over generated masters: details ⋈ products ⋈ categories (P9 FK chain, J5)",
+      categoryRevenue, Some(categoryRevenueOracle), headline = false),
+    Query("q54_generated_supplier_orders",
+      "per-supplier order book over generated masters: headers ⋈ suppliers (P9)",
+      supplierOrders, Some(supplierOrdersOracle), headline = false),
+    Query("q55_generated_dq_summary",
+      "DQ ladder over generated events: planted noise lands in quarantine (P9→F1/F2 loop)",
+      generatedDqSummary, Some(generatedDqOracle), headline = false))
 }

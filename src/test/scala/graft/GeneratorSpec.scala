@@ -69,6 +69,44 @@ class GeneratorSpec extends SparkSpec {
       s"8-line orders concentrated in: ${byStatus.mkString(", ")}")
   }
 
+  test("FK closure: every foreign key drawn by facts exists in its master") {
+    // the promise Generator's master scaladocs make: id domains of
+    // categories/suppliers/warehouses ⊇ every draw in products, orders,
+    // order_details, movements and transfers. Anti-joins must all be
+    // empty — a modulus drifting from a DEFAULT_* constant breaks this.
+    val cats = Generator.categories(spark).select($"category_id")
+    val sups = Generator.suppliers(spark).select($"supplier_id")
+    val whs = Generator.warehouses(spark).select($"warehouse_id")
+    val prods = Generator.products(spark)
+    val orphans = Seq(
+      "products.category_id" -> prods.select($"category_id")
+        .join(cats, Seq("category_id"), "left_anti"),
+      "products.supplier_id" -> prods.select($"supplier_id")
+        .join(sups, Seq("supplier_id"), "left_anti"),
+      "orders.supplier_id" -> Generator.orders(spark).select($"supplier_id")
+        .join(sups, Seq("supplier_id"), "left_anti"),
+      "orders.warehouse_id" -> Generator.orders(spark).select($"warehouse_id")
+        .join(whs, Seq("warehouse_id"), "left_anti"),
+      "order_details.product_id" -> Generator.orderDetails(spark)
+        .select($"product_id")
+        .join(prods.select($"product_id"), Seq("product_id"), "left_anti"),
+      "movements.product_id" -> Generator.movements(spark)
+        .select($"product_id")
+        .join(prods.select($"product_id"), Seq("product_id"), "left_anti"),
+      "movements.warehouse_id" -> Generator.movements(spark)
+        .select($"warehouse_id")
+        .join(whs, Seq("warehouse_id"), "left_anti"),
+      "transfers.warehouse_id" -> Generator.transfers(spark)
+        .select($"warehouse_id")
+        .join(whs, Seq("warehouse_id"), "left_anti"))
+    orphans.foreach { case (fk, orphan) =>
+      assert(orphan.count() == 0L, s"$fk has orphan rows")
+    }
+    // masters themselves are key-unique at their declared cardinality
+    assert(cats.distinct().count() == Generator.DEFAULT_CATEGORIES)
+    assert(sups.distinct().count() == Generator.DEFAULT_SUPPLIERS)
+  }
+
   test("movement distribution matches the declared weights") {
     val n = 20000L
     val byType = Generator.movements(spark, n)

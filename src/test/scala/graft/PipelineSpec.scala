@@ -25,6 +25,36 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/analytics_daily_summary").count() == 2)
   }
 
+  test("generator → warehouse → pipeline → reports closes the lifecycle loop") {
+    // the reference's own loop (generate_data.py:528-556 feeding
+    // main.py:51-115): write the generated warehouse (masters + order
+    // family + facts + fixture projections), run the UNCHANGED pipeline
+    // over it, and check every report lands with rows.
+    val gen = java.nio.file.Files.createTempDirectory("graft-genwh").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-genout").toString
+    val written = graft.ops.Generator.writeWarehouse(spark, gen)
+    // all ten tables landed, at their declared cardinalities
+    assert(written("categories") == graft.ops.Generator.DEFAULT_CATEGORIES)
+    assert(written("suppliers") == graft.ops.Generator.DEFAULT_SUPPLIERS)
+    assert(written("movements") == graft.ops.Generator.DEFAULT_ROWS)
+    assert(written("events") == graft.ops.Generator.DEFAULT_ROWS)
+    // order lines + the two paired legs per transfer
+    assert(written("lineitem") ==
+      written("order_details") + 2 * graft.ops.Generator.DEFAULT_TRANSFERS)
+
+    val counts = Pipeline.run(spark, gen, out, dqFanout = true)
+    assert(counts.keySet == Pipeline.REPORTS.map(_._1).toSet)
+    assert(counts.values.forall(_ > 0), counts.toString)
+    // the generator's planted 5% noise is what the DQ fan-out quarantines:
+    // props k=99 rows land under dq_issue=invalid_reference
+    val dq = spark.read.parquet(s"$out/dq_events")
+    val quarantined = dq.filter(dq("dq_issue") === "invalid_reference").count()
+    val planted = spark.read.parquet(s"$gen/events.parquet")
+    val expected = planted.filter(planted("user_id") === 9999999L).count()
+    assert(quarantined == expected && quarantined > 0,
+      s"planted=$expected quarantined=$quarantined")
+  }
+
   test("incremental run short-circuits when nothing is newer than the checkpoint") {
     val out = java.nio.file.Files.createTempDirectory("graft-pipe-inc").toString
     val counts = Pipeline.run(spark, "/root/testdata/sf0.001", out,

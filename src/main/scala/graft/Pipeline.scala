@@ -16,15 +16,20 @@ import graft.sources.Sinks
   *  - reports are LAZY DataFrame DAGs materialized by their writes (the
   *    reference materializes every intermediate eagerly in RAM);
   *  - `incrementalSince` honors the T1 empty-batch short-circuit
-  *    (`main.py:68-70`); when new data DOES exist the engine RECOMPUTES
-  *    the reports in full rather than transforming only the new rows —
-  *    recompute-over-the-ledger is the engine's batch philosophy (A14;
-  *    same divergence documented on the ingest path), idempotent and
-  *    skew-free where row-subset incremental state is not. The summary
-  *    row records `incremental_recompute` so the mode is never
-  *    misrepresented. The true row-subset path exists as
+  *    (`main.py:68-70`). When new data exists, the three calendar-trend
+  *    reports take the TRUE row-subset delta path when their previous
+  *    output exists at `outDir`: [[ops.Movement.trendDelta]] merges the
+  *    stored report with only the post-checkpoint buckets (pushed-down
+  *    predicate scan) and re-densifies — oracle-proven ≡ the full
+  *    recompute (q56). Every other report RECOMPUTES in full:
+  *    recompute-over-the-ledger is the engine's batch philosophy (A14)
+  *    for reports whose delta is not cheaper than their aggregate
+  *    (single-row summaries, full-ledger windows). The summary row
+  *    records `incremental_delta` when at least one report took the
+  *    delta path, `incremental_recompute` otherwise — the mode is never
+  *    misrepresented. The row-subset scan itself is also exposed as
   *    [[ops.Incremental.incrementalEvents]] (q37) and the streaming
-  *    ledger (T3) for consumers that need it;
+  *    ledger (T3);
   *  - DQ is an explicit, separately-written output (`dqFanout = true`
   *    writes the valid/quarantine split under `<outDir>/dq_events` in one
   *    pass — the reference filters movements inside extract instead;
@@ -52,10 +57,23 @@ object Pipeline {
     "transfer_patterns" -> (ops.Warehouse.transferPatterns(_, _)),
     "warehouse_io_summary" -> (ops.Warehouse.ioPivot(_, _)))
 
+  /** The calendar-trend reports and their (unit, step) — the reports
+    * with a genuine row-subset delta (merging new buckets into a stored
+    * calendar is cheaper than rescanning the ledger; for everything else
+    * delta ≈ recompute). */
+  val TREND_REPORTS: Map[String, (String, String)] = Map(
+    "daily_trends" -> (("day", "1 day")),
+    "weekly_trends" -> (("week", "1 week")),
+    "monthly_trends" -> (("month", "1 month")))
+
   /** Run the full pipeline; returns rows written per report (empty map =
     * incremental short-circuit fired). Each report lands at
     * `<outDir>/<name>`; the run summary appends to
-    * `<outDir>/analytics_daily_summary` (S6/S7). */
+    * `<outDir>/analytics_daily_summary` (S6/S7). Incremental caller
+    * contract: `incrementalSince` is the checkpoint the PREVIOUS run
+    * covered (its reports hold exactly the events ≤ that timestamp) and
+    * the event ledger is append-only — then the trend delta path is
+    * exact (see [[ops.Movement.trendDelta]]). */
   def run(
       spark: SparkSession,
       dataDir: String,
@@ -70,9 +88,26 @@ object Pipeline {
       Sinks.writeDqFanout(
         ops.Quality.tagged(spark, dataDir), s"$outDir/dq_events")
 
+    val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    var deltasTaken = 0
     val counts = REPORTS.map { case (name, fn) =>
       val path = s"$outDir/$name"
-      Sinks.writeParquet(fn(spark, dataDir), path)
+      val deltaSpec = incrementalSince.flatMap(since =>
+        TREND_REPORTS.get(name)
+          .filter(_ => fs.exists(new org.apache.hadoop.fs.Path(path)))
+          .map((since, _)))
+      deltaSpec match {
+        case Some((since, (unit, step))) =>
+          // row-subset path: stored report ⊎ post-checkpoint buckets;
+          // staging swap because the merge reads the path it replaces
+          Sinks.overwriteInPlace(
+            ops.Movement.trendDelta(spark, dataDir, unit, step, since,
+              spark.read.parquet(path)), path)
+          deltasTaken += 1
+        case None =>
+          Sinks.writeParquet(fn(spark, dataDir), path)
+      }
       // count what actually landed (reading the written files back is the
       // honest number and avoids a second computation of the report DAG)
       name -> spark.read.parquet(path).count()
@@ -80,9 +115,10 @@ object Pipeline {
 
     Sinks.appendSummary(
       Sinks.liftSummary(spark, Seq(
-        // never claim row-subset incremental processing happened — see
-        // class doc: new-data runs are full RECOMPUTES behind the T1 gate.
-        "load_type" -> incrementalSince.fold("full")(_ => "incremental_recompute"),
+        // the label claims exactly what happened — see class doc
+        "load_type" -> incrementalSince.fold("full")(_ =>
+          if (deltasTaken > 0) "incremental_delta"
+          else "incremental_recompute"),
         "n_reports" -> counts.size.toLong,
         "total_rows" -> counts.values.sum)),
       s"$outDir/analytics_daily_summary")

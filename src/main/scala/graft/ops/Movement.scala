@@ -59,14 +59,36 @@ object Movement {
     * unpartitioned but runs over the AGGREGATED buckets, whose cardinality
     * is calendar-bounded (≤ a few thousand rows for decades of data at any
     * fact scale). */
-  def trend(spark: SparkSession, dir: String, unit: String, step: String): DataFrame = {
+  def trend(spark: SparkSession, dir: String, unit: String, step: String): DataFrame =
+    trendOf(hot(spark, dir), unit, step)
+
+  /** The stored-report simulation for the delta test/query: the trend a
+    * previous pipeline run would have written from events ≤ `until` —
+    * the complement of the T1 `ts > checkpoint` delta scan. */
+  def trendUntil(spark: SparkSession, dir: String,
+      unit: String, step: String, until: String): DataFrame = {
     import spark.implicits._
+    trendOf(hot(spark, dir).filter($"ts" <= to_timestamp(lit(until))),
+      unit, step)
+  }
+
+  private def trendOf(events: DataFrame, unit: String, step: String): DataFrame = {
+    import events.sparkSession.implicits._
+    gapFill(
+      events
+        .groupBy(date_trunc(unit, $"ts").as("b"))
+        .agg(
+          count(lit(1)).cast("long").as("n_events"),
+          Dx.dsum($"value").as("total_value")),
+      step)
+  }
+
+  /** The densify half of A11 over an aggregated bucket frame
+    * (b, n_events, total_value) — shared by the full recompute and the
+    * delta merge. */
+  private def gapFill(buckets: DataFrame, step: String): DataFrame = {
+    import buckets.sparkSession.implicits._
     val stepI = expr(s"interval $step")
-    val buckets = hot(spark, dir)
-      .groupBy(date_trunc(unit, $"ts").as("b"))
-      .agg(
-        count(lit(1)).cast("long").as("n_events"),
-        Dx.dsum($"value").as("total_value"))
     buckets
       .withColumn("next_b", lead($"b", 1).over(Window.orderBy($"b")))
       .select(
@@ -80,6 +102,44 @@ object Movement {
         when($"bucket" === $"b", $"n_events").otherwise(0L).as("n_events"),
         when($"bucket" === $"b", $"total_value").otherwise(0.0).as("total_value"))
       .orderBy($"bucket")
+  }
+
+  /** T1 row-subset incremental transform for the trend reports: merge the
+    * PREVIOUSLY-STORED gap-filled report with the buckets of only the
+    * events newer than `checkpoint` (a pushed-down predicate scan — the
+    * fact is never rescanned below the checkpoint), then re-densify.
+    * Result ≡ the full recompute (q56's oracle IS the full-recompute
+    * SQL), because the stored report carries exact per-bucket partial
+    * sums for everything ≤ checkpoint — including its explicit zero
+    * rows — and the gap-fill closes any calendar hole between the old
+    * span and the new buckets.
+    *
+    * Caller contract (the reference's checkpoint semantics,
+    * `config.yaml:15`): `stored` was built from exactly the events with
+    * `ts <= checkpoint`, and the ledger is append-only. Decimal note:
+    * the stored double `total_value` round-trips through DECIMAL(30,6)
+    * exactly while its magnitude stays under ~10⁹ (15 significant
+    * digits); a warehouse running hotter than that should persist the
+    * report's decimal column instead of the presentation double. */
+  def trendDelta(spark: SparkSession, dir: String, unit: String, step: String,
+      checkpoint: String, stored: DataFrame): DataFrame = {
+    import spark.implicits._
+    val delta = hot(spark, dir)
+      .filter($"ts" > to_timestamp(lit(checkpoint)))
+      .groupBy(date_trunc(unit, $"ts").as("b"))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        Dx.decSum($"value").as("v_dec"))
+    val merged = stored
+      .select($"bucket".as("b"), $"n_events",
+        $"total_value".cast(org.apache.spark.sql.types.DecimalType(30, 6))
+          .as("v_dec"))
+      .unionByName(delta)
+      .groupBy($"b")
+      .agg(
+        sum($"n_events").cast("long").as("n_events"),
+        sum($"v_dec").cast("double").as("total_value"))
+    gapFill(merged, step)
   }
 
   private def trendSql(unit: String, step: String): String =
@@ -182,5 +242,13 @@ object Movement {
       peakMonth, Some(peakMonthOracle)),
     Query("q43_peak_day_top",
       "first row of the sorted peak-day table — the reference's iloc[0] (O6)",
-      peakDayTop, Some(peakDayTopOracle), headline = false))
+      peakDayTop, Some(peakDayTopOracle), headline = false),
+    Query("q56_trend_delta",
+      "incremental daily trend: stored report ⊎ post-checkpoint buckets, re-densified ≡ full recompute (T1/A11)",
+      // stored := what a previous run persisted from events ≤ checkpoint;
+      // the oracle is the FULL recompute — the delta must be
+      // indistinguishable from it
+      (s, d) => trendDelta(s, d, "day", "1 day", Incremental.CHECKPOINT,
+        trendUntil(s, d, "day", "1 day", Incremental.CHECKPOINT)),
+      Some(trendSql("day", "1 day")), headline = false))
 }

@@ -54,6 +54,23 @@ object Sinks {
       .option("batchsize", batchSize)
       .mode(mode).save()
 
+  /** In-place refresh of a report that is being UPDATED from its own
+    * previous contents (the incremental-delta path reads `path` lazily
+    * while producing its replacement): materialize to a staging dir
+    * first, then swap — the read and the overwrite never race. The
+    * rename is atomic on HDFS; on object stores it's a copy, which is
+    * fine for the calendar-bounded reports this serves. */
+  def overwriteInPlace(df: DataFrame, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(p, true)
+    if (!fs.rename(staging, p))
+      throw new java.io.IOException(s"staging swap failed for $path")
+  }
+
   /** S8: bulk export capped at `rowsPerFile` rows per output file —
     * the reference's 5 000-row INSERT chunks, executed writer-side. */
   def chunkedExport(df: DataFrame, path: String, rowsPerFile: Long = 5000): Unit =

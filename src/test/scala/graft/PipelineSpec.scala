@@ -55,6 +55,36 @@ class PipelineSpec extends SparkSpec {
       s"planted=$expected quarantined=$quarantined")
   }
 
+  test("incremental delta: stored trends merge new buckets, ≡ full recompute") {
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001"
+    val cut = "2024-01-15 00:00:00"
+    // phase 1: a full run over the ledger AS OF the checkpoint — what a
+    // previous day's pipeline would have persisted
+    val dirA = fixtureDir(
+      "lineitem" -> Tables(spark, src, "lineitem"),
+      "events" -> Tables(spark, src, "events")
+        .filter($"ts" <= to_timestamp(lit(cut))))
+    val out = java.nio.file.Files.createTempDirectory("graft-delta").toString
+    Pipeline.run(spark, dirA, out)
+    // phase 2: incremental over the grown ledger — trends must take the
+    // delta path (merge stored + post-checkpoint buckets in place)
+    val counts2 = Pipeline.run(spark, src, out, incrementalSince = Some(cut))
+    assert(counts2.nonEmpty)
+    Pipeline.TREND_REPORTS.foreach { case (name, (unit, step)) =>
+      val delta = spark.read.parquet(s"$out/$name").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = graft.ops.Movement.trend(spark, src, unit, step).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(delta == full, s"$name: delta != full recompute")
+    }
+    // the summary row claims exactly what happened
+    val loadTypes = spark.read.parquet(s"$out/analytics_daily_summary")
+      .select("load_type").collect().map(_.getString(0)).toSet
+    assert(loadTypes == Set("full", "incremental_delta"))
+  }
+
   test("incremental run short-circuits when nothing is newer than the checkpoint") {
     val out = java.nio.file.Files.createTempDirectory("graft-pipe-inc").toString
     val counts = Pipeline.run(spark, "/root/testdata/sf0.001", out,

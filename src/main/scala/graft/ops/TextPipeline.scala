@@ -589,7 +589,7 @@ object TextPipeline {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** How many of its smallest-by-hash HOT shingles an all-hot document
+  /** How many of its smallest-by-hash HOT shingles a mostly-hot document
     * posts into the fallback index — the MinHash-style probe width that
     * lets >maxDf duplicate clusters (whose every shingle is hot) still
     * meet. Recall: two docs meet if the min-K-by-hash of their hot sets
@@ -613,22 +613,32 @@ object TextPipeline {
     * shingles the top-up join is empty and the whole query is the single
     * inverted-index pass.
     *
-    * ZERO-RARE FALLBACK (round-4 advice): a cluster duplicated more than
-    * maxDf times makes EVERY one of its shingles hot, so no member ever
-    * reaches the rare index — precisely the most-duplicated content a
-    * dedup pass targets. Documents with zero rare shingles therefore post
-    * their [[ALLHOT_PROBES]] smallest-by-hash hot shingles into a second
-    * tiny index and meet there. Fan-out stays bounded: only zero-rare
-    * docs post, K postings each, and a bucket of d duplicates yields
-    * O(d²) candidates — which is the size of the required OUTPUT for a
-    * duplicate cluster, not avoidable work. For these pairs shared_rare
-    * is 0 and the hot top-up computes the full intersection (every
-    * common shingle of an all-hot doc is hot). Residual known miss, by
-    * design: a pair whose common content is all-hot but where ONE side
-    * still owns an unrelated rare shingle — that side is not zero-rare,
-    * posts no probes, and widening the fallback to such docs is exactly
-    * the boilerplate d² explosion the cutoff exists to stop (pinned in
-    * TextPipelineSpec). */
+    * MOSTLY-HOT FALLBACK (round-4 advice; widened round 6): a cluster
+    * duplicated more than maxDf times makes EVERY one of its shingles
+    * hot, so no member ever reaches the rare index — precisely the
+    * most-duplicated content a dedup pass targets. Which docs must post
+    * probes for full recall? A pair at Jaccard ≥ t meets in the rare
+    * index unless its ENTIRE intersection is hot; in that case
+    * hot_frac(A) ≥ |A∩B|/|A| ≥ |A∩B|/|A∪B| ≥ t for BOTH sides. So
+    * exactly the docs with hot fraction ≥ t (equivalently n_rare ≤
+    * (1−t)·n_sh; zero-rare docs are the hot_frac = 1 case) post their
+    * [[ALLHOT_PROBES]] smallest-by-hash hot shingles into a second tiny
+    * index and meet there — this closes the round-5 rare-tailed-twin
+    * residual (a duplicate that grew one unique tail line now posts and
+    * is found; TextPipelineSpec pins it).
+    *
+    * Fan-out stays bounded: K postings per posting doc, and a doc posts
+    * ONLY when ≥ t of its content is >maxDf-duplicated material — a
+    * boilerplate HEADER never qualifies a doc whose body is its own
+    * (the planted-boilerplate tests keep proving 0 candidates). Among
+    * qualifying docs the min-K-by-hash posting is a MinHash signature,
+    * so collisions are similarity-driven, not df-driven — a bucket of d
+    * true duplicates yields O(d²) candidates, the size of the required
+    * OUTPUT, the same acceptance class as [[minhashNearDup]]. A
+    * fallback pair's shared_rare is set by anti-join: pairs already
+    * found rare-side keep their exact count, fallback-only pairs share
+    * no rare shingle by construction (they would be in the rare index
+    * otherwise), and the hot top-up completes the intersection. */
   def shingleNearDup(spark: SparkSession, dir: String,
       maxDf: Int = MAX_SHINGLE_DF): DataFrame = {
     import spark.implicits._
@@ -645,11 +655,19 @@ object TextPipeline {
       .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("shared_rare"))
-    // fallback probes: docs whose EVERY shingle is hot (left_anti on the
-    // rare postings — no count needed), min-K hot shingles by hash
-    val allHotDocs = sh.select($"doc_id").distinct()
-      .join(shRare.select($"doc_id").distinct(), Seq("doc_id"), "left_anti")
-    val probes = shHot.join(allHotDocs, Seq("doc_id"))
+    // fallback probes: docs whose content is ≥ NEARDUP_THRESHOLD hot
+    // (n_rare ≤ (1−t)·n_sh — the class doc proves no qualifying pair can
+    // have a sub-threshold poster), min-K hot shingles by hash
+    val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val nRare = shRare.groupBy($"doc_id").agg(count(lit(1)).as("n_rare"))
+    val mostlyHot = n.join(nRare, Seq("doc_id"), "left")
+      // hot_frac ≥ t, as a ratio — the algebraically equal
+      // `n_rare ≤ (1−t)·n_sh` form loses the boundary doc to binary
+      // rounding of (1−t)
+      .filter(($"n_sh" - coalesce($"n_rare", lit(0L))).cast("double")
+        / $"n_sh" >= NEARDUP_THRESHOLD)
+      .select($"doc_id")
+    val probes = shHot.join(mostlyHot, Seq("doc_id"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
           .orderBy(xxhash64($"sh"), $"sh")))
@@ -659,9 +677,13 @@ object TextPipeline {
       .join(probes.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
+      // two mostly-hot docs CAN also share a rare shingle (each may own a
+      // small rare tail) — those pairs are already in cand0 with their
+      // exact shared_rare; keep only the genuinely new pairs, whose
+      // shared_rare is 0 by construction
+      .join(cand0.select($"doc_a", $"doc_b"), Seq("doc_a", "doc_b"),
+        "left_anti")
       .withColumn("shared_rare", lit(0L))
-    // disjoint by construction: a candHot pair is two zero-rare docs,
-    // which can never share a rare shingle and so never appear in cand0
     val cand = cand0.unionByName(candHot)
     // top-up THROUGH the candidate pairs (never a free hot⋈hot self-join,
     // which would reintroduce the df² fan-out the cutoff exists to stop)
@@ -673,7 +695,6 @@ object TextPipeline {
     val withHot = cand
       .join(sharedHot, Seq("doc_a", "doc_b"), "left")
       .withColumn("shared", $"shared_rare" + coalesce($"shared_hot", lit(0L)))
-    val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     withHot
       .join(n.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))
       .join(n.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), Seq("doc_b"))

@@ -116,19 +116,26 @@ class TextPipelineSpec extends SparkSpec {
     assert(pairs((8L, 9L)) == 9.0 / 11.0)
   }
 
-  test("zero-rare fallback residual: a rare-tailed twin is missed by design") {
+  test("mostly-hot fallback: a rare-tailed twin is found (round-5 residual closed)") {
     // docs 1..3 identical; doc 4 = same content + a unique tail. With
-    // maxDf=2 the shared shingles are hot (df=4) but doc 4's tail gives it
-    // rare shingles, so it is NOT zero-rare, posts no probes, and the
-    // (1..3, 4) pairs are unreachable — the documented residual miss
-    // (widening the fallback to rare-owning docs is the boilerplate d²
-    // explosion the cutoff exists to prevent). The all-hot trio is found.
+    // maxDf=2 the shared shingles are hot (df=4) and doc 4's tail gives
+    // it ONE rare shingle of five — hot fraction 0.8 ≥ the threshold, so
+    // it posts probes alongside the zero-rare trio and all (i,4) pairs
+    // are found at exactly Jaccard 4/5 = 0.8 (round 5 missed them: only
+    // strictly zero-rare docs posted). The gate cannot reopen the
+    // boilerplate d² hole: a doc qualifies only when ≥ 80% of its
+    // content is hot, which the boilerplate-header fixtures above never
+    // reach — and no sub-gate doc can belong to a ≥ 0.8-Jaccard pair
+    // whose intersection is all-hot (hot_frac ≥ J bound in the scaladoc).
     val base = "dup dup2 dup3 dup4 dup5 dup6"
     val d = fixtureDir("documents" -> (
       (1 to 3).map(i => Doc(i, base)) :+ Doc(4, s"$base uniquetail")).toDF())
     val pairs = TextPipeline.shingleNearDup(spark, d, maxDf = 2).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val all = (for (a <- 1 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)).toSet
+    assert(pairs.keySet == all, s"got ${pairs.keySet}")
+    (1 to 3).foreach(i => assert(pairs((i.toLong, 4L)) == 4.0 / 5.0))
+    assert(pairs((1L, 2L)) == 1.0)
   }
 
   test("df cutoff never drops a pair the rerank would keep (fixture)") {

@@ -40,9 +40,14 @@ object Bench {
 
     // Aux = every registered non-headline query, derived from the registry
     // itself — a hand-maintained name set silently dropped new queries from
-    // timing (round-4 advice).
-    val headline = SparkEntry.registry.filter(_.headline)
-    val aux = SparkEntry.registry.filterNot(_.headline)
+    // timing (round-4 advice). SPARK_GRAFT_BENCH_ONLY=q27,…: focused
+    // re-timing of a comma-separated subset (perf-iteration tooling; the
+    // driver's full run never sets it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(q: Query): Boolean = only.forall(_.exists(q.name.startsWith))
+    val headline = SparkEntry.registry.filter(_.headline).filter(selected)
+    val aux = SparkEntry.registry.filterNot(_.headline).filter(selected)
 
     // Untimed warm-up: the first headline query end-to-end.
     try {

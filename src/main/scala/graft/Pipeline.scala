@@ -66,6 +66,15 @@ object Pipeline {
     "weekly_trends" -> (("week", "1 week")),
     "monthly_trends" -> (("month", "1 month")))
 
+  /** Reports that are pure aggregations of a trend report written earlier
+    * in the SAME run: derived from the just-written parquet (calendar-
+    * bounded — broadcast-sized at any fact scale) instead of re-scanning
+    * the fact. [[REPORTS]] lists sources before their derivations. */
+  val DERIVED_FROM_TRENDS
+      : Map[String, (String, org.apache.spark.sql.DataFrame => DataFrame)] = Map(
+    "peak_day_of_week" -> (("daily_trends", ops.Movement.peakFromDaily _)),
+    "peak_month" -> (("monthly_trends", ops.Movement.peakFromMonthly _)))
+
   /** Run the full pipeline; returns rows written per report (empty map =
     * incremental short-circuit fired). Each report lands at
     * `<outDir>/<name>`; the run summary appends to
@@ -97,15 +106,22 @@ object Pipeline {
         TREND_REPORTS.get(name)
           .filter(_ => fs.exists(new org.apache.hadoop.fs.Path(path)))
           .map((since, _)))
-      deltaSpec match {
-        case Some((since, (unit, step))) =>
+      val derivedSrc = DERIVED_FROM_TRENDS.get(name).filter { case (src, _) =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/$src"))
+      }
+      (deltaSpec, derivedSrc) match {
+        case (Some((since, (unit, step))), _) =>
           // row-subset path: stored report ⊎ post-checkpoint buckets;
           // staging swap because the merge reads the path it replaces
           Sinks.overwriteInPlace(
             ops.Movement.trendDelta(spark, dataDir, unit, step, since,
               spark.read.parquet(path)), path)
           deltasTaken += 1
-        case None =>
+        case (None, Some((src, derive))) =>
+          // aggregate the trend report this run just wrote — no fact scan
+          Sinks.writeParquet(
+            derive(spark.read.parquet(s"$outDir/$src")), path)
+        case _ =>
           Sinks.writeParquet(fn(spark, dataDir), path)
       }
       // count what actually landed (reading the written files back is the

@@ -184,9 +184,18 @@ object Movement {
   /** Peak day-of-week (A12): average daily event count per weekday over the
     * gap-filled daily series (empty days pull the mean down, exactly like
     * pandas `resample('D').count().groupby(day_name).mean()`). */
-  def peakDayOfWeek(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    trend(spark, dir, "day", "1 day")
+  def peakDayOfWeek(spark: SparkSession, dir: String): DataFrame =
+    peakFromDaily(trend(spark, dir, "day", "1 day"))
+
+  /** A12 from an ALREADY-MATERIALIZED gap-filled daily frame (the stored
+    * `daily_trends` report): the peak table is definitionally an
+    * aggregation of the daily series, so a pipeline that just wrote it
+    * derives peaks from calendar-bounded input instead of re-scanning
+    * the fact — at 100 TB that turns two of the twelve reports into
+    * broadcast-sized work. */
+  def peakFromDaily(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    daily
       .groupBy(dayName($"bucket").as("day_name"))
       .agg((sum($"n_events").cast("double") / count(lit(1))).as("avg_daily_events"))
       .orderBy($"avg_daily_events".desc, $"day_name".asc)
@@ -200,9 +209,13 @@ object Movement {
        |ORDER BY avg_daily_events DESC, day_name""".stripMargin
 
   /** Peak month (A13): average monthly event count per month name. */
-  def peakMonth(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    trend(spark, dir, "month", "1 month")
+  def peakMonth(spark: SparkSession, dir: String): DataFrame =
+    peakFromMonthly(trend(spark, dir, "month", "1 month"))
+
+  /** A13 from an already-materialized monthly frame (see [[peakFromDaily]]). */
+  def peakFromMonthly(monthly: DataFrame): DataFrame = {
+    import monthly.sparkSession.implicits._
+    monthly
       .groupBy(monthName($"bucket").as("month_name"))
       .agg((sum($"n_events").cast("double") / count(lit(1))).as("avg_monthly_events"))
       .orderBy($"avg_monthly_events".desc, $"month_name".asc)

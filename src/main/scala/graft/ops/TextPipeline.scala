@@ -655,17 +655,21 @@ object TextPipeline {
       .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("shared_rare"))
-    // fallback probes: docs whose content is ≥ NEARDUP_THRESHOLD hot
-    // (n_rare ≤ (1−t)·n_sh — the class doc proves no qualifying pair can
-    // have a sub-threshold poster), min-K hot shingles by hash
-    val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val nRare = shRare.groupBy($"doc_id").agg(count(lit(1)).as("n_rare"))
-    val mostlyHot = n.join(nRare, Seq("doc_id"), "left")
-      // hot_frac ≥ t, as a ratio — the algebraically equal
-      // `n_rare ≤ (1−t)·n_sh` form loses the boundary doc to binary
-      // rounding of (1−t)
-      .filter(($"n_sh" - coalesce($"n_rare", lit(0L))).cast("double")
-        / $"n_sh" >= NEARDUP_THRESHOLD)
+    // ONE per-doc aggregation over the df-tagged postings yields both the
+    // set sizes the rerank needs AND the rare counts the fallback gate
+    // needs (folding what would be two full-size aggs — and replacing the
+    // two doc_id distincts of the zero-rare-only round-5 shape)
+    val docStats = shDf.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_sh"),
+      count(when($"df" <= maxDf, lit(1))).as("n_rare"))
+    // fallback probes: docs whose content is ≥ NEARDUP_THRESHOLD hot —
+    // the class doc proves no qualifying pair can have a sub-threshold
+    // poster. hot_frac ≥ t as a ratio: the algebraically equal
+    // `n_rare ≤ (1−t)·n_sh` form loses the boundary doc to binary
+    // rounding of (1−t).
+    val mostlyHot = docStats
+      .filter(($"n_sh" - $"n_rare").cast("double") / $"n_sh"
+        >= NEARDUP_THRESHOLD)
       .select($"doc_id")
     val probes = shHot.join(mostlyHot, Seq("doc_id"))
       .withColumn("rnk", row_number().over(
@@ -677,14 +681,17 @@ object TextPipeline {
       .join(probes.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
-      // two mostly-hot docs CAN also share a rare shingle (each may own a
-      // small rare tail) — those pairs are already in cand0 with their
-      // exact shared_rare; keep only the genuinely new pairs, whose
-      // shared_rare is 0 by construction
-      .join(cand0.select($"doc_a", $"doc_b"), Seq("doc_a", "doc_b"),
-        "left_anti")
       .withColumn("shared_rare", lit(0L))
+    // two mostly-hot docs CAN also share a rare shingle (each may own a
+    // small rare tail), so a pair may arrive from both indexes: dedupe by
+    // max(shared_rare) — the rare-index row carries the exact count, the
+    // fallback row 0 (a fallback-ONLY pair shares no rare shingle by
+    // construction, else it would be in cand0). An anti-join dedupe here
+    // would traverse the cand0 subtree twice; this aggregate touches only
+    // candidate-pair-sized data.
     val cand = cand0.unionByName(candHot)
+      .groupBy($"doc_a", $"doc_b")
+      .agg(max($"shared_rare").as("shared_rare"))
     // top-up THROUGH the candidate pairs (never a free hot⋈hot self-join,
     // which would reintroduce the df² fan-out the cutoff exists to stop)
     val sharedHot = cand.select($"doc_a", $"doc_b")
@@ -695,6 +702,7 @@ object TextPipeline {
     val withHot = cand
       .join(sharedHot, Seq("doc_a", "doc_b"), "left")
       .withColumn("shared", $"shared_rare" + coalesce($"shared_hot", lit(0L)))
+    val n = docStats.select($"doc_id", $"n_sh")
     withHot
       .join(n.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))
       .join(n.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), Seq("doc_b"))

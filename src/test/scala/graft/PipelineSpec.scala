@@ -79,6 +79,13 @@ class PipelineSpec extends SparkSpec {
         .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
       assert(delta == full, s"$name: delta != full recompute")
     }
+    // peak reports were derived from the merged trends (no fact rescan)
+    // and must still equal their full recompute
+    val peakDelta = spark.read.parquet(s"$out/peak_day_of_week").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    val peakFull = graft.ops.Movement.peakDayOfWeek(spark, src).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(peakDelta == peakFull, "peak_day_of_week: derived != recompute")
     // the summary row claims exactly what happened
     val loadTypes = spark.read.parquet(s"$out/analytics_daily_summary")
       .select("load_type").collect().map(_.getString(0)).toSet

@@ -93,21 +93,32 @@ object Pipeline {
       !ops.Incremental.hasNewData(spark, dataDir, ts))
     if (skip) return Map.empty
 
-    if (dqFanout)
-      Sinks.writeDqFanout(
-        ops.Quality.tagged(spark, dataDir), s"$outDir/dq_events")
-
-    val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+    // A jdbc: outDir loads every report into warehouse TABLES and the
+    // summary over JDBC — the reference's real load stage
+    // (`data_loader.py:33-94`: 12 report tables + the summary INSERT into
+    // Postgres). The trend delta path stays parquet-only (it re-reads its
+    // own previous output; a warehouse-side merge is the warehouse's job).
+    val jdbcOut = outDir.startsWith("jdbc:")
+    lazy val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    def written(name: String): DataFrame =
+      if (jdbcOut) Tables(spark, outDir, name)
+      else spark.read.parquet(s"$outDir/$name")
+    def exists(name: String): Boolean =
+      !jdbcOut && fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/$name"))
+
+    if (dqFanout) {
+      val tagged = ops.Quality.tagged(spark, dataDir)
+      if (jdbcOut) Sinks.writeJdbc(tagged, outDir, "dq_events")
+      else Sinks.writeDqFanout(tagged, s"$outDir/dq_events")
+    }
+
     var deltasTaken = 0
     val counts = REPORTS.map { case (name, fn) =>
-      val path = s"$outDir/$name"
       val deltaSpec = incrementalSince.flatMap(since =>
-        TREND_REPORTS.get(name)
-          .filter(_ => fs.exists(new org.apache.hadoop.fs.Path(path)))
-          .map((since, _)))
+        TREND_REPORTS.get(name).filter(_ => exists(name)).map((since, _)))
       val derivedSrc = DERIVED_FROM_TRENDS.get(name).filter { case (src, _) =>
-        fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/$src"))
+        jdbcOut || exists(src)
       }
       (deltaSpec, derivedSrc) match {
         case (Some((since, (unit, step))), _) =>
@@ -115,18 +126,21 @@ object Pipeline {
           // staging swap because the merge reads the path it replaces
           Sinks.overwriteInPlace(
             ops.Movement.trendDelta(spark, dataDir, unit, step, since,
-              spark.read.parquet(path)), path)
+              written(name)), s"$outDir/$name")
           deltasTaken += 1
         case (None, Some((src, derive))) =>
           // aggregate the trend report this run just wrote — no fact scan
-          Sinks.writeParquet(
-            derive(spark.read.parquet(s"$outDir/$src")), path)
+          val df = derive(written(src))
+          if (jdbcOut) Sinks.writeJdbc(df, outDir, name)
+          else Sinks.writeParquet(df, s"$outDir/$name")
         case _ =>
-          Sinks.writeParquet(fn(spark, dataDir), path)
+          val df = fn(spark, dataDir)
+          if (jdbcOut) Sinks.writeJdbc(df, outDir, name)
+          else Sinks.writeParquet(df, s"$outDir/$name")
       }
-      // count what actually landed (reading the written files back is the
+      // count what actually landed (reading the written output back is the
       // honest number and avoids a second computation of the report DAG)
-      name -> spark.read.parquet(path).count()
+      name -> written(name).count()
     }.toMap
 
     Sinks.appendSummary(
@@ -137,7 +151,9 @@ object Pipeline {
           else "incremental_recompute"),
         "n_reports" -> counts.size.toLong,
         "total_rows" -> counts.values.sum)),
-      s"$outDir/analytics_daily_summary")
+      // jdbc: the URL itself is the sink and the table name defaults to
+      // analytics_daily_summary; parquet: the usual subdirectory
+      if (jdbcOut) outDir else s"$outDir/analytics_daily_summary")
     counts
   }
 }

@@ -92,6 +92,22 @@ class PipelineSpec extends SparkSpec {
     assert(loadTypes == Set("full", "incremental_delta"))
   }
 
+  test("jdbc outDir: all 12 reports + summary + DQ land in a warehouse") {
+    // the reference's real load stage (12 report tables + summary INSERT
+    // into Postgres) against in-process Derby — same writer calls, only
+    // the URL differs
+    val url = "jdbc:derby:memory:graftpipe;create=true"
+    val counts = Pipeline.run(spark, "/root/testdata/sf0.001", url,
+      dqFanout = true)
+    assert(counts.keySet == Pipeline.REPORTS.map(_._1).toSet)
+    assert(counts.values.forall(_ > 0), counts.toString)
+    assert(Tables(spark, url, "analytics_daily_summary").count() == 1)
+    assert(Tables(spark, url, "dq_events").count() > 0)
+    // second run appends a second summary row over JDBC (S6)
+    Pipeline.run(spark, "/root/testdata/sf0.001", url)
+    assert(Tables(spark, url, "analytics_daily_summary").count() == 2)
+  }
+
   test("incremental run short-circuits when nothing is newer than the checkpoint") {
     val out = java.nio.file.Files.createTempDirectory("graft-pipe-inc").toString
     val counts = Pipeline.run(spark, "/root/testdata/sf0.001", out,

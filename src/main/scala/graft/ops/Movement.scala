@@ -124,8 +124,21 @@ object Movement {
   def trendDelta(spark: SparkSession, dir: String, unit: String, step: String,
       checkpoint: String, stored: DataFrame): DataFrame = {
     import spark.implicits._
-    val delta = hot(spark, dir)
-      .filter($"ts" > to_timestamp(lit(checkpoint)))
+    mergeTrend(stored,
+      hot(spark, dir).filter($"ts" > to_timestamp(lit(checkpoint))),
+      unit, step)
+  }
+
+  /** The merge core shared by the batch delta path and the streaming
+    * foreachBatch report sink: fold an arbitrary frame of NEW events
+    * (ts, value) into a stored gap-filled trend report and re-densify.
+    * Exact for ANY arrival order — a late event lands in its true
+    * calendar bucket because the stored report keeps exact per-bucket
+    * partial sums, where a watermarked window would have dropped it. */
+  def mergeTrend(stored: DataFrame, newEvents: DataFrame,
+      unit: String, step: String): DataFrame = {
+    import stored.sparkSession.implicits._
+    val delta = newEvents
       .groupBy(date_trunc(unit, $"ts").as("b"))
       .agg(
         count(lit(1)).cast("long").as("n_events"),
@@ -141,6 +154,12 @@ object Movement {
         sum($"v_dec").cast("double").as("total_value"))
     gapFill(merged, step)
   }
+
+  /** [[trend]] over an arbitrary event frame (ts, value) — the public
+    * twin of the internal core, used by tests and streaming callers that
+    * already hold the filtered stream. */
+  def trendOfEvents(events: DataFrame, unit: String, step: String): DataFrame =
+    trendOf(events, unit, step)
 
   private def trendSql(unit: String, step: String): String =
     s"""WITH hot AS ($hotSql

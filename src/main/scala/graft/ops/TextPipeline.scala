@@ -713,6 +713,55 @@ object TextPipeline {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // ---------------------------------------------------------------- q57
+
+  /** The end-to-end dedup DECISION a curation pipeline actually ships:
+    * one keep/drop verdict per document, combining exact-hash groups
+    * (keep the minimum doc_id of each group) with near-duplicate Jaccard
+    * pairs (greedy: drop the larger id of every surviving pair). Greedy
+    * pair-dropping is deterministic and one-pass; it needs no transitive
+    * closure (A~B, B~C with A≁C drops B and C — a connected-components
+    * pass would keep the same representative A but costs an iterative
+    * join at scale, and over-dropping borderline chains is the
+    * conservative direction for training data).
+    *
+    * Scale shape: both evidence streams are already candidate-bounded
+    * ([[exactDedup]]'s hash groups, [[shingleNearDup]]'s index); the drop
+    * set is a distinct over doc_ids and the final anti-join shuffles ids
+    * only — output-sized end to end. */
+  def dedupKeepList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"content_hash").orderBy($"doc_id")
+    val exactDropped = docs(spark, dir)
+      .withColumn("content_hash", md5($"text"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" > 1)
+      .select($"doc_id")
+    val nearDropped = shingleNearDup(spark, dir)
+      .select($"doc_b".as("doc_id"))
+    val drops = exactDropped.unionByName(nearDropped).distinct()
+    docs(spark, dir)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  private val dedupKeepOracle =
+    s"""WITH exact_drop AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+       |                                      ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn > 1
+       |), near AS (${bruteForceNearDupSql(NEARDUP_THRESHOLD)
+         .replace("ORDER BY doc_a, doc_b", "")}
+       |), drops AS (
+       |  SELECT doc_id FROM exact_drop
+       |  UNION SELECT doc_b AS doc_id FROM near
+       |)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |ORDER BY doc_id""".stripMargin
+
   private def bruteForceNearDupSql(threshold: Double): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |s AS (SELECT DISTINCT doc_id, sh FROM (
@@ -790,6 +839,9 @@ object TextPipeline {
     Query("q21_exact_dedup",
       "content-hash exact dedup, keep lowest doc_id per md5 group",
       exactDedup, Some(exactDedupOracle), headline = false),
+    Query("q57_dedup_keep_list",
+      "end-to-end dedup decision: exact groups + greedy near-dup pair drops → kept documents",
+      dedupKeepList, Some(dedupKeepOracle), headline = false),
     Query("q22_text_stats",
       "corpus char/token statistics per (lang, source)",
       textStats, Some(textStatsOracle), headline = false),

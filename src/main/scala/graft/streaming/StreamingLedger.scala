@@ -120,6 +120,64 @@ object StreamingLedger {
       }
       .start()
 
+  /** One micro-batch of the trend-report sink: merge `batch` into the
+    * report at `path` via [[graft.ops.Movement.mergeTrend]] unless this
+    * batchId was already merged. Exactly-once without a sidecar: the
+    * report carries a `_merged_through` batch-id column written
+    * ATOMICALLY with the data (same parquet swap), so a replayed
+    * micro-batch — failure between sink commit and offset commit — sees
+    * its own id and skips; there is no window where data and progress
+    * marker disagree. Returns whether a merge happened. */
+  def mergeBatchInto(
+      batch: DataFrame, batchId: Long, path: String,
+      unit: String = "day", step: String = "1 day"): Boolean = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stored0 =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        Some(spark.read.parquet(path))
+      else None
+    val last = stored0
+      .map(_.agg(max(col("_merged_through"))).head.getLong(0))
+      .getOrElse(-1L)
+    if (batchId <= last) return false
+    val stored = stored0
+      .map(_.select(col("bucket"), col("n_events"), col("total_value")))
+      .getOrElse {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(
+            StructField("bucket", TimestampType),
+            StructField("n_events", LongType),
+            StructField("total_value", DoubleType))))
+      }
+    graft.sources.Sinks.overwriteInPlace(
+      graft.ops.Movement.mergeTrend(stored, batch, unit, step)
+        .withColumn("_merged_through", lit(batchId)),
+      path)
+    true
+  }
+
+  /** T1's streaming twin: the daily-trend REPORT maintained continuously.
+    * Each micro-batch folds into the stored gap-filled report through the
+    * SAME merge+densify core as the batch incremental path
+    * (`Pipeline.run` delta / q56) — one code path, two triggers. Unlike
+    * the watermarked [[dailyTrend]], the merge sink is exact under ANY
+    * lateness (the stored report is the state, so a straggler lands in
+    * its true bucket); the trade is a report rewrite per micro-batch,
+    * which calendar-bounded reports afford at any fact scale. */
+  def trendReportStream(
+      hotEvents: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    hotEvents.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatchInto(batch, batchId, path): Unit
+      }
+      .start()
+
   /** Batch replay twin (A14) used by the equivalence test. */
   def batchReplay(movements: Dataset[Movement]): DataFrame = {
     import movements.sparkSession.implicits._

@@ -86,6 +86,52 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch trend-report sink ≡ batch recompute, exact under lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-trendsink").toString + "/daily_trends"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-trendsink-ckpt").toString
+    val input = MemoryStream[Ev]
+    val query = StreamingLedger.trendReportStream(
+      input.toDF().select($"ts", $"value"), path, ckpt)
+    try {
+      val batch1 = Seq(
+        Ev(1, ts("2024-01-01 08:00:00"), 1, "purchase", 200.0, "{}"),
+        Ev(2, ts("2024-01-01 16:00:00"), 1, "purchase", 300.0, "{}"),
+        Ev(3, ts("2024-01-04 10:00:00"), 2, "purchase", 150.0, "{}"))
+      // batch 2 includes a STRAGGLER for Jan 1 — the watermarked window
+      // sink would drop it; the merge sink lands it in its true bucket
+      val batch2 = Seq(
+        Ev(4, ts("2024-01-05 09:00:00"), 2, "purchase", 400.0, "{}"),
+        Ev(5, ts("2024-01-01 23:00:00"), 3, "purchase", 500.0, "{}"))
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+
+      val stored = spark.read.parquet(path)
+        .select($"bucket", $"n_events", $"total_value").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      val expected = graft.ops.Movement.trendOfEvents(
+        (batch1 ++ batch2).toDF().select($"ts", $"value"), "day", "1 day")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(stored == expected) // incl. gap-filled Jan 2/3 zero rows
+      assert(stored.size == 5)
+
+      // replayed micro-batch (sink committed, offset lost) must be a no-op
+      val before = stored
+      val merged = StreamingLedger.mergeBatchInto(
+        (batch2.toDF().select($"ts", $"value")), 1L, path)
+      assert(!merged)
+      val after = spark.read.parquet(path)
+        .select($"bucket", $"n_events", $"total_value").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(after == before)
+    } finally query.stop()
+  }
+
   test("watermark policy rejects future rows before state is touched") {
     val df = Seq(
       Movement(1, 1, 5.0, ts("2024-01-10 00:00:00")),

@@ -355,7 +355,7 @@ object Ann {
 
   /** DuckDB replay of [[embeddingNearDup]] (same literal planes / XOR
     * probe / decimal-cosine machinery as [[lshOracle]]). */
-  private def nearDupOracle(threshold: Double, dim: Int): String = {
+  private[ops] def nearDupOracle(threshold: Double, dim: Int): String = {
     val planes = planeSigns(dim)
     def projSql(p: Int): String = {
       val lits = planes(p).map(s => s"$s.0").mkString(", ")

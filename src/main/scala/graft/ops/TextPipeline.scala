@@ -746,6 +746,54 @@ object TextPipeline {
       .orderBy($"doc_id")
   }
 
+  /** q58: the keep list with the EMBEDDING evidence folded in — the
+    * multimodal dedup verdict of the brief (text near-dups catch shared
+    * wording; embedding-cosine near-dups catch paraphrases wording-level
+    * Jaccard misses). Fixture mapping: `embeddings.vec_id ≡ doc_id`
+    * (identical 0..N−1 domains in the testdata). Same greedy policy:
+    * drop the larger id of each pair, whatever modality surfaced it. */
+  def dedupKeepListMultimodal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val embDropped = Ann
+      .embeddingNearDup(spark, dir, Ann.FIXTURE_NEARDUP_COS)
+      .select($"vec_b".as("doc_id"))
+    val w = Window.partitionBy($"content_hash").orderBy($"doc_id")
+    val exactDropped = docs(spark, dir)
+      .withColumn("content_hash", md5($"text"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" > 1)
+      .select($"doc_id")
+    val nearDropped = shingleNearDup(spark, dir)
+      .select($"doc_b".as("doc_id"))
+    val drops = exactDropped.unionByName(nearDropped)
+      .unionByName(embDropped).distinct()
+    docs(spark, dir)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  private def dedupKeepMultimodalOracle =
+    s"""WITH exact_drop AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+       |                                      ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn > 1
+       |), near AS (${bruteForceNearDupSql(NEARDUP_THRESHOLD)
+         .replace("ORDER BY doc_a, doc_b", "")}
+       |), emb AS (
+       |  SELECT vec_b FROM (${Ann
+           .nearDupOracle(Ann.FIXTURE_NEARDUP_COS, Ann.EMBED_DIM)
+           .replace("ORDER BY vec_a, vec_b", "")})
+       |), drops AS (
+       |  SELECT doc_id FROM exact_drop
+       |  UNION SELECT doc_b AS doc_id FROM near
+       |  UNION SELECT vec_b AS doc_id FROM emb
+       |)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |ORDER BY doc_id""".stripMargin
+
   private val dedupKeepOracle =
     s"""WITH exact_drop AS (
        |  SELECT doc_id FROM (
@@ -842,6 +890,9 @@ object TextPipeline {
     Query("q57_dedup_keep_list",
       "end-to-end dedup decision: exact groups + greedy near-dup pair drops → kept documents",
       dedupKeepList, Some(dedupKeepOracle), headline = false),
+    Query("q58_dedup_keep_multimodal",
+      "dedup verdict with embedding evidence folded in: exact ∪ shingle-Jaccard ∪ embedding-cosine drops",
+      dedupKeepListMultimodal, Some(dedupKeepMultimodalOracle), headline = false),
     Query("q22_text_stats",
       "corpus char/token statistics per (lang, source)",
       textStats, Some(textStatsOracle), headline = false),

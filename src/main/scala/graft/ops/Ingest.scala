@@ -61,13 +61,33 @@ object Ingest {
       |            ELSE 'ref ' || l_orderkey END AS notes
       |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin
 
+  /** The batch-start snapshot kept as DECIMAL sub-sums: exact and
+    * associative, so it doubles as the BASE REPLAY aggregate in
+    * [[replaySnapshot]] — sum-of-cell-sums ≡ flat ledger sum, bit-exactly.
+    * Shared (identical subtree → one exchange via ReuseExchange) between
+    * the validation join and the replay union, which is what cuts q36
+    * from three lineitem scans to two (round-6 verdict #1). */
+  private def snapshotDec(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // The explicit key isnotnull filter mirrors what
+    // InferFiltersFromConstraints adds on the validation-join side; stating
+    // it here makes the two snapshot subtrees canonically IDENTICAL so the
+    // exchange is planned once and reused. Ledger cell keys are non-null by
+    // schema contract (the reference's NOT NULL FKs, schema.sql), so the
+    // filter is semantically free.
+    Tables(spark, dir, "lineitem")
+      .filter($"l_partkey".isNotNull && $"l_suppkey".isNotNull)
+      .groupBy($"l_partkey".as("part_id"),
+        $"l_suppkey".as("from_warehouse_id"))
+      .agg(Dx.decSum(expr("l_quantity")).as("current_stock_dec"))
+  }
+
   /** The batch-start snapshot: ledger replay per (part, warehouse). */
   private def snapshot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "lineitem")
-      .groupBy($"l_partkey".as("part_id"),
-        $"l_suppkey".as("from_warehouse_id"))
-      .agg(Dx.dsum(expr("l_quantity")).as("current_stock"))
+    snapshotDec(spark, dir)
+      .select($"part_id", $"from_warehouse_id",
+        $"current_stock_dec".cast("double").as("current_stock"))
   }
 
   private val snapshotSql =
@@ -212,20 +232,26 @@ object Ingest {
        |ORDER BY reference_id, part_id, quantity""".stripMargin
 
   /** A14 replay over base ledger ∪ new legs: the post-batch snapshot.
-    * One scan of the fact plus the (already tiny) legs — the UPSERT
-    * becomes a union + re-aggregation on the same (part, warehouse)
-    * shuffle key. */
+    * The base is NOT a third scan of the fact — it is the batch-start
+    * [[snapshotDec]] aggregate itself (decimal cell sums are exact and
+    * associative, so re-summing them with the legs equals a flat ledger
+    * replay bit-for-bit). The validation join inside [[transferLegs]]
+    * reads the SAME aggregate subtree, so the physical plan reuses one
+    * exchange for both and q36 touches lineitem exactly twice (commands +
+    * snapshot); IngestSpec pins the scan count on the executed plan. */
   def replaySnapshot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables(spark, dir, "lineitem").select(
-      $"l_partkey".as("part_id"),
-      $"l_suppkey".as("warehouse_id"),
-      $"l_quantity".as("quantity"))
+    val base = snapshotDec(spark, dir).select(
+      $"part_id",
+      $"from_warehouse_id".as("warehouse_id"),
+      $"current_stock_dec".as("quantity"))
     val legs = transferLegs(spark, dir)
-      .select($"part_id", $"warehouse_id", $"quantity")
+      .select($"part_id", $"warehouse_id",
+        $"quantity".cast(org.apache.spark.sql.types.DecimalType(30, 6))
+          .as("quantity"))
     base.unionByName(legs)
       .groupBy($"part_id", $"warehouse_id")
-      .agg(Dx.dsum(expr("quantity")).as("quantity_on_hand"))
+      .agg(sum($"quantity").cast("double").as("quantity_on_hand"))
       .orderBy($"part_id", $"warehouse_id")
   }
 

@@ -74,6 +74,31 @@ class IngestSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("q36 replay reads lineitem exactly twice (base = reused snapshot aggregate)") {
+    // Round-6 verdict #1: replaySnapshot must NOT re-scan the fact for the
+    // base replay — the batch-start snapshot aggregate (identical subtree
+    // inside the validation join) is the base, so the executed plan holds
+    // exactly two lineitem scans (commands + snapshot) with the snapshot
+    // exchange reused, not three.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = Ingest.replaySnapshot(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case _: ReusedExchangeExec => Seq.empty // a reuse is not a rescan
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val distinct = scans(df.queryExecution.executedPlan)
+      .groupBy(System.identityHashCode(_)).values.map(_.head).toSeq
+    assert(distinct.size == 2,
+      s"expected 2 lineitem scans, saw ${distinct.size}:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
   test("incremental load short-circuits on an empty batch") {
     val evDir = fixtureDir(
       "events" -> Seq(

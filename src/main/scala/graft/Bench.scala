@@ -40,14 +40,33 @@ object Bench {
 
     // Aux = every registered non-headline query, derived from the registry
     // itself — a hand-maintained name set silently dropped new queries from
-    // timing (round-4 advice). SPARK_GRAFT_BENCH_ONLY=q27,…: focused
-    // re-timing of a comma-separated subset (perf-iteration tooling; the
-    // driver's full run never sets it).
+    // timing (round-4 advice). SPARK_GRAFT_BENCH_ONLY=q27_…,…: focused
+    // re-timing of a comma-separated EXACT-name subset (perf-iteration
+    // tooling; the driver's full run never sets it). Exact matching + a
+    // hard failure on unknown names (round-6 advice): a prefix like "q5"
+    // used to select q53–q58 and a typo silently produced an empty run
+    // whose zero total could be misread as a perf win.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    def selected(q: Query): Boolean = only.forall(_.exists(q.name.startsWith))
+    only.foreach { names =>
+      val known = SparkEntry.registry.map(_.name).toSet
+      val unknown = names.diff(known)
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] SPARK_GRAFT_BENCH_ONLY names not in the registry: " +
+            unknown.toSeq.sorted.mkString(", "))
+        spark.stop()
+        sys.exit(3)
+      }
+    }
+    def selected(q: Query): Boolean = only.forall(_.contains(q.name))
     val headline = SparkEntry.registry.filter(_.headline).filter(selected)
-    val aux = SparkEntry.registry.filterNot(_.headline).filter(selected)
+    // benchSkip twins stay out of the ROUTINE aux run but an explicit
+    // BENCH_ONLY naming still times them.
+    val aux = SparkEntry.registry.filterNot(_.headline)
+      .filter(selected).filter(q => only.isDefined || !q.benchSkip)
+    val skipped = SparkEntry.registry
+      .filter(q => q.benchSkip && only.isEmpty).map(_.name)
 
     // Untimed warm-up: the first headline query end-to-end.
     try {
@@ -99,10 +118,18 @@ object Bench {
     unstable.foreach(k => System.err.println(
       s"[bench] UNSTABLE $k: max > 3x min — environment stall suspected"))
     val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Measurement provenance (round-6 advice): queries timed on a benchFn
+    // measure the operator's API shape, not the registered compare
+    // closure — flag them so cross-round artifact diffs see the
+    // measurement change, and record which twins were skipped entirely.
+    val shapeJson = (headline ++ aux).filter(_.benchFn.isDefined)
+      .map(q => "\"" + q.name + "\":\"api\"").mkString("{", ",", "}")
+    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_max":$qsMax,"aux_queries":$auxQs,"runs":$runs,""" +
-        s""""unstable":$unstableJson,"sf":"$sfDir"}"""
+        s""""unstable":$unstableJson,"bench_shape":$shapeJson,""" +
+        s""""bench_skipped":$skippedJson,"sf":"$sfDir"}"""
     // Durable artifact FIRST (round-5 verdict item 4: a tail-captured
     // stdout window truncated the total once aux grew) — the file is the
     // self-contained record regardless of how stdout is captured.

@@ -22,6 +22,13 @@ final case class Query(
       * the driver sorts rows itself). That sort is comparison overhead,
       * not operator cost, so the bench may time the unordered API shape
       * instead. Defaults to [[fn]]. */
-    benchFn: Option[(SparkSession, String) => DataFrame] = None) {
+    benchFn: Option[(SparkSession, String) => DataFrame] = None,
+    /** Excluded from the ROUTINE bench run (still a correctness entry, and
+      * still timeable on demand via SPARK_GRAFT_BENCH_ONLY): structural
+      * cross-check twins whose cost is by-construction (e.g. q52b's
+      * md5-per-position winnowing) tell us nothing run-over-run and would
+      * dominate aux totals (round-6 verdict item 7). The bench artifact
+      * records the exclusion under "bench_skipped". */
+    benchSkip: Boolean = false) {
   def timed: (SparkSession, String) => DataFrame = benchFn.getOrElse(fn)
 }

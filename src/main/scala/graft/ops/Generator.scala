@@ -289,6 +289,13 @@ object Generator {
     * P2 pairing) supply them under an offset orderkey space, OUT→'R',
     * IN→'A', linestatus 'O' so legs never enter the completed cost pool. */
   def fixtureLineitem(spark: SparkSession, n: Long = DEFAULT_ORDERS): DataFrame = {
+    // po ids are 0..n−1; transfer-leg orderkeys start at
+    // TRANSFER_ORDERKEY_BASE. A larger n would silently collide the two
+    // key spaces and the same-(orderkey, partkey) R+A pairing convention
+    // would fabricate false transfer pairs (round-6 advice).
+    require(n <= TRANSFER_ORDERKEY_BASE,
+      s"fixtureLineitem: n=$n would overlap the transfer orderkey space " +
+        s"(base=$TRANSFER_ORDERKEY_BASE)")
     val k = "(po_id * 8 + line_no)"
     val lz = Mix.z(k); val lw = Mix.w(k)
     val orderLines = orderDetails(spark, n)

@@ -927,5 +927,9 @@ object TextPipeline {
       winnowFingerprints, Some(winnowPolyOracle), headline = false),
     Query("q52b_winnow_md5",
       "winnowing with md5 positional k-gram hashes — the structural cross-check twin",
-      winnowFingerprintsMd5, Some(winnowOracle), headline = false))
+      winnowFingerprintsMd5, Some(winnowOracle), headline = false,
+      // md5-per-position by construction (~40% of aux time, zero
+      // run-over-run signal) — correctness entry stays, routine bench
+      // skips it (round-6 verdict item 7).
+      benchSkip = true))
 }

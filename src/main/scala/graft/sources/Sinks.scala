@@ -63,12 +63,44 @@ object Sinks {
   def overwriteInPlace(df: DataFrame, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
     val fs = p.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path) // finish any interrupted previous swap first
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    fs.delete(p, true)
+    // Swap via rename-aside, never delete-then-rename: at every crash
+    // point either `path` still holds the old report or `.staging` holds
+    // the complete new one, and [[recoverSwap]] rolls the swap forward —
+    // no window where the report is simply gone (round-6 advice: the
+    // delete/rename gap silently reset the streaming merge history).
+    fs.delete(old, true)
+    if (fs.exists(p) && !fs.rename(p, old))
+      throw new java.io.IOException(s"rename-aside failed for $path")
     if (!fs.rename(staging, p))
       throw new java.io.IOException(s"staging swap failed for $path")
+    fs.delete(old, true)
+  }
+
+  /** Crash recovery for [[overwriteInPlace]], run by writers AND readers
+    * before touching `path`: a missing report with a complete `.staging`
+    * (crash between rename-aside and swap-in) is rolled FORWARD — the
+    * staging dir is the fully-written replacement, so completing the
+    * rename loses nothing. A surviving `.old` next to a live `path` is
+    * leftover cleanup. The `_SUCCESS` marker gates forward-roll so a
+    * half-written staging dir (crash mid-write) is never promoted. */
+  def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    if (!fs.exists(p)) {
+      val complete = fs.exists(
+        new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+      if (complete) { fs.rename(staging, p): Unit }
+      else if (fs.exists(old)) { fs.rename(old, p): Unit }
+    }
+    if (fs.exists(p)) {
+      fs.delete(old, true): Unit
+    }
   }
 
   /** S8: bulk export capped at `rowsPerFile` rows per output file —

@@ -134,12 +134,22 @@ object StreamingLedger {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    graft.sources.Sinks.recoverSwap(fs, path)
     val stored0 =
       if (fs.exists(new org.apache.hadoop.fs.Path(path)))
         Some(spark.read.parquet(path))
       else None
+    // Baseline (-1 = nothing merged) when the stored report is empty
+    // (foreachBatch does fire zero-row first batches — max() is NULL) or
+    // was seeded by the BATCH pipeline, which writes no `_merged_through`
+    // column: a batch-written report is an un-merged baseline, not a
+    // poison pill (round-6 advice).
     val last = stored0
-      .map(_.agg(max(col("_merged_through"))).head.getLong(0))
+      .filter(_.columns.contains("_merged_through"))
+      .map { df =>
+        val row = df.agg(max(col("_merged_through"))).head
+        if (row.isNullAt(0)) -1L else row.getLong(0)
+      }
       .getOrElse(-1L)
     if (batchId <= last) return false
     val stored = stored0

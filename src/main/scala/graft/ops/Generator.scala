@@ -305,6 +305,7 @@ object Generator {
         col("po_id").as("l_orderkey"),
         col("product_id").as("l_partkey"),
         col("warehouse_id").as("l_suppkey"),
+        col("line_no").cast("int").as("l_linenumber"),
         col("quantity").cast("double").as("l_quantity"),
         (col("quantity") * col("unit_price")).as("l_extendedprice"),
         expr(s"CAST($lz % 11 AS DOUBLE) / 100.0").as("l_discount"),
@@ -320,6 +321,8 @@ object Generator {
       (lit(TRANSFER_ORDERKEY_BASE) + col("reference_id")).as("l_orderkey"),
       col("product_id").as("l_partkey"),
       col("warehouse_id").as("l_suppkey"),
+      when(col("leg") === "OUT", 1).otherwise(2).cast("int")
+        .as("l_linenumber"),
       abs(col("quantity")).cast("double").as("l_quantity"),
       (abs(col("quantity")) * lit(10.0)).as("l_extendedprice"),
       lit(0.0).as("l_discount"),

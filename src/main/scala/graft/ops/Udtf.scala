@@ -91,15 +91,27 @@ object Udtf {
        |ORDER BY part_id, supplier_id""".stripMargin
   }
 
-  /** P4: stock valuation by method; only AVG is implemented — FIFO/LIFO
-    * throw, mirroring the reference's RAISE EXCEPTION contract. */
+  /** P4: stock valuation by method. AVG is the reference's implemented
+    * path; FIFO/LIFO — where the reference RAISEs
+    * (`wsm/database_function/functions.sql:233-238`) — are implemented
+    * here as ledger layer allocation (see [[stockValuationLayers]]),
+    * going beyond reference parity. Unknown methods still throw. */
   def calculateStockValue(
       spark: SparkSession, dir: String, method: String): DataFrame = {
+    import spark.implicits._
+    if (method == "FIFO" || method == "LIFO") {
+      val layers = stockValuationLayers(spark, dir)
+      val value =
+        if (method == "FIFO") layers("fifo_value") else layers("lifo_value")
+      return layers.select(
+        $"part_id", $"part_name", $"total_quantity",
+        value.as("total_value"))
+    }
     if (method != "AVG")
       throw new IllegalArgumentException(
-        s"Valuation method '$method' not implemented. Use 'AVG'. " +
-          "(FIFO/LIFO mirror wsm/database_function/functions.sql:233-238.)")
-    import spark.implicits._
+        s"Valuation method '$method' not implemented. Use AVG, FIFO or LIFO. " +
+          "(The reference raises for FIFO/LIFO — functions.sql:233-238; " +
+          "this engine implements them.)")
     val li = Tables(spark, dir, "lineitem")
     // Cost pool: rows of COMPLETED orders only — a different table than
     // the snapshot, so the left join + coalesce(cost, 0) below is the
@@ -161,6 +173,131 @@ object Udtf {
        |JOIN part p ON t.part_id = p.p_partkey
        |WHERE t.total_quantity > 0.0
        |ORDER BY part_id""".stripMargin
+
+  /** FIFO + LIFO stock valuation by ledger layer allocation — the surface
+    * the reference declares and refuses (`functions.sql:233-238` RAISE
+    * EXCEPTION): value the on-hand stock of every (part, warehouse) cell
+    * from its receipt layers, then roll up per part.
+    *
+    * Semantics (standard perpetual-inventory layer costing):
+    *  - the ledger is the 'A' (IN) / 'R' (OUT) movement set (the
+    *    Warehouse-module convention; warehouse := supplier);
+    *  - on_hand(cell) = Σ(+A, −R) quantities;
+    *  - FIFO consumes oldest receipts first, so the REMAINING stock is a
+    *    suffix of receipts in reverse ship-date order: layer i (newest
+    *    first, cumulative qty `cum_desc`) retains
+    *    clamp(on_hand − (cum_desc − qty), 0, qty);
+    *  - LIFO consumes newest first, so remaining stock is a PREFIX of
+    *    receipts in ship-date order — same clamp over the ascending
+    *    cumulative, derived as total_receipts − cum_desc + qty (no second
+    *    window sort);
+    *  - layer value = retained qty × per-receipt unit cost
+    *    (extendedprice/quantity rounded to cents, Dx.round2).
+    *
+    * Exactness: every cumulative/clamp runs in DECIMAL(18,6) (order-
+    * independent, so the window tie-break only has to be deterministic up
+    * to identical (qty, cost) rows — (shipdate, orderkey, linenumber) is
+    * a total order anyway); layer values follow the dsum2 discipline.
+    *
+    * 100 TB shape: ONE fact scan (A/R pushed to parquet), one shuffle+sort
+    * by cell for all three window frames, then an aggregate-sized rollup
+    * to parts and a broadcast dim join. No self-join, no per-layer
+    * iteration — the allocation is a closed-form window expression. */
+  def stockValuationLayers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Column
+    val dec = DecimalType(18, 6)
+    val li = Tables(spark, dir, "lineitem")
+      .filter($"l_returnflag".isin("A", "R"))
+      .select(
+        $"l_partkey".as("part_id"), $"l_suppkey".as("warehouse_id"),
+        $"l_orderkey", $"l_linenumber", $"l_shipdate", $"l_returnflag",
+        $"l_quantity".cast(dec).as("qty_dec"),
+        when($"l_returnflag" === "A", $"l_quantity")
+          .otherwise(-$"l_quantity").cast(dec).as("signed_dec"),
+        Dx.round2($"l_extendedprice" / $"l_quantity").as("unit_cost"))
+    val cell = Window.partitionBy($"part_id", $"warehouse_id")
+    val newestFirst = cell
+      .orderBy($"l_shipdate".desc, $"l_orderkey".desc, $"l_linenumber".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val receiptQty =
+      when($"l_returnflag" === "A", $"qty_dec").otherwise(lit(0).cast(dec))
+    val enriched = li
+      .withColumn("on_hand", sum($"signed_dec").over(cell))
+      .withColumn("total_rcpt", sum(receiptQty).over(cell))
+      .withColumn("cum_desc", sum(receiptQty).over(newestFirst))
+    def retained(cum: Column): Column =
+      least($"qty_dec",
+        greatest($"on_hand" - (cum - $"qty_dec"), lit(0).cast(dec)))
+    val cumAsc = $"total_rcpt" - $"cum_desc" + $"qty_dec"
+    def layerValue(cum: Column): Column =
+      when($"l_returnflag" === "A",
+        Dx.round2(retained(cum).cast("double") * $"unit_cost")
+          .cast(DecimalType(30, 6)))
+    val parts = Tables(spark, dir, "part")
+      .select($"p_partkey".as("part_id"), $"p_name".as("part_name"))
+    enriched
+      .groupBy($"part_id")
+      .agg(
+        sum($"signed_dec").cast("double").as("total_quantity"),
+        coalesce(sum(layerValue($"cum_desc")).cast("double"), lit(0.0))
+          .as("fifo_value"),
+        coalesce(sum(layerValue(cumAsc)).cast("double"), lit(0.0))
+          .as("lifo_value"))
+      .filter($"total_quantity" > 0.0)
+      .join(broadcast(parts), Seq("part_id"))
+      .select($"part_id", $"part_name", $"total_quantity",
+        $"fifo_value", $"lifo_value")
+      .orderBy($"part_id")
+  }
+
+  private val layersOracle = {
+    val dec = "DECIMAL(18,6)"
+    s"""WITH led AS (
+       |  SELECT l_partkey AS part_id, l_suppkey AS warehouse_id,
+       |         l_orderkey, l_linenumber, l_shipdate, l_returnflag,
+       |         CAST(l_quantity AS $dec) AS qty_dec,
+       |         CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity
+       |                   ELSE -l_quantity END AS $dec) AS signed_dec,
+       |         ${Dx.sqlRound2("l_extendedprice / l_quantity")} AS unit_cost
+       |  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+       |), w AS (
+       |  SELECT *,
+       |         SUM(signed_dec) OVER cell AS on_hand,
+       |         SUM(CASE WHEN l_returnflag = 'A' THEN qty_dec
+       |                  ELSE CAST(0 AS $dec) END) OVER cell AS total_rcpt,
+       |         SUM(CASE WHEN l_returnflag = 'A' THEN qty_dec
+       |                  ELSE CAST(0 AS $dec) END) OVER (
+       |           PARTITION BY part_id, warehouse_id
+       |           ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       |         ) AS cum_desc
+       |  FROM led
+       |  WINDOW cell AS (PARTITION BY part_id, warehouse_id)
+       |), v AS (
+       |  SELECT part_id,
+       |         LEAST(qty_dec, GREATEST(on_hand - (cum_desc - qty_dec),
+       |                                 CAST(0 AS $dec))) AS ret_fifo,
+       |         LEAST(qty_dec, GREATEST(on_hand - ((total_rcpt - cum_desc
+       |                                             + qty_dec) - qty_dec),
+       |                                 CAST(0 AS $dec))) AS ret_lifo,
+       |         unit_cost, l_returnflag, signed_dec
+       |  FROM w
+       |)
+       |SELECT v.part_id AS part_id, p.p_name AS part_name,
+       |       CAST(SUM(signed_dec) AS DOUBLE) AS total_quantity,
+       |       COALESCE(CAST(SUM(CASE WHEN l_returnflag = 'A' THEN
+       |         CAST(${Dx.sqlRound2("CAST(ret_fifo AS DOUBLE) * unit_cost")}
+       |              AS DECIMAL(30,6)) END) AS DOUBLE), 0.0) AS fifo_value,
+       |       COALESCE(CAST(SUM(CASE WHEN l_returnflag = 'A' THEN
+       |         CAST(${Dx.sqlRound2("CAST(ret_lifo AS DOUBLE) * unit_cost")}
+       |              AS DECIMAL(30,6)) END) AS DOUBLE), 0.0) AS lifo_value
+       |FROM v JOIN part p ON v.part_id = p.p_partkey
+       |GROUP BY v.part_id, p.p_name
+       |HAVING CAST(SUM(signed_dec) AS DOUBLE) > 0.0
+       |ORDER BY part_id""".stripMargin
+  }
 
   /** J7 cross-join densification — the reference generator's snapshot
     * completion (`wsm/data_generator/generate_data.py:389-398`): every
@@ -228,6 +365,9 @@ object Udtf {
       "AVG-method valuation: completed-order cost pool, left join + coalesce 0, dim join (P4/J3/J6/C17/F10)",
       (s, d) => calculateStockValue(s, d, "AVG"),
       Some(valuationOracle), headline = false),
+    Query("q59_stock_valuation_fifo",
+      "FIFO+LIFO layer valuation over the A/R movement ledger — beyond the reference's RAISE (P4)",
+      stockValuationLayers, Some(layersOracle), headline = false),
     Query("q42_densified_snapshot",
       "dense part×warehouse snapshot: dim cross join ⟕ cells, default fill (J7/C5)",
       // the orderBy exists only here: driver-compare determinism, not API

@@ -30,18 +30,74 @@ class IngestSpec extends SparkSpec {
     "part" -> Seq((1L, "part one"), (2L, "part two"), (4L, "part four"))
       .toDF("p_partkey", "p_name"))
 
-  test("FIFO/LIFO valuation methods raise, AVG works") {
+  test("unknown valuation method raises, AVG works") {
     val e = intercept[IllegalArgumentException] {
-      Udtf.calculateStockValue(spark, dir, "FIFO")
+      Udtf.calculateStockValue(spark, dir, "XYZ")
     }
     assert(e.getMessage.contains("not implemented"))
-    intercept[IllegalArgumentException] {
-      Udtf.calculateStockValue(spark, dir, "LIFO")
-    }
     // AVG with no completed orders: cost pool empty → coalesce(0) path.
     val rows = Udtf.calculateStockValue(spark, dir, "AVG").collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Double]("weighted_avg_cost") == 0.0))
+  }
+
+  test("FIFO keeps the newest receipt layers, LIFO the oldest (hand-walked)") {
+    // One cell: receipts of 10 @ cost 10 (Jan) and 10 @ cost 20 (Feb),
+    // then 5 issued (Mar) → on-hand 15.
+    //   FIFO consumes the Jan layer first: remaining = 10@20 + 5@10 = 250.
+    //   LIFO consumes the Feb layer first: remaining = 10@10 + 5@20 = 200.
+    val vDir = fixtureDir(
+      "lineitem" -> Seq(
+        Li(l_orderkey = 1, l_partkey = 7, l_suppkey = 1, l_quantity = 10,
+          l_extendedprice = 100.0, l_discount = 0, l_tax = 0,
+          l_returnflag = "A", l_linestatus = "O",
+          l_shipdate = ts("2001-01-01 00:00:00")),
+        Li(l_orderkey = 2, l_partkey = 7, l_suppkey = 1, l_quantity = 10,
+          l_extendedprice = 200.0, l_discount = 0, l_tax = 0,
+          l_returnflag = "A", l_linestatus = "O",
+          l_shipdate = ts("2001-02-01 00:00:00")),
+        Li(l_orderkey = 3, l_partkey = 7, l_suppkey = 1, l_quantity = 5,
+          l_extendedprice = 55.0, l_discount = 0, l_tax = 0,
+          l_returnflag = "R", l_linestatus = "O",
+          l_shipdate = ts("2001-03-01 00:00:00"))
+      ).toDF(),
+      "part" -> Seq((7L, "part seven")).toDF("p_partkey", "p_name"))
+    val layers = Udtf.stockValuationLayers(spark, vDir).collect()
+    assert(layers.length == 1)
+    val r = layers.head
+    assert(r.getAs[Double]("total_quantity") == 15.0)
+    assert(r.getAs[Double]("fifo_value") == 250.0)
+    assert(r.getAs[Double]("lifo_value") == 200.0)
+    // the method dispatch serves the same numbers through the P4 API
+    val fifo = Udtf.calculateStockValue(spark, vDir, "FIFO").collect().head
+    assert(fifo.getAs[Double]("total_value") == 250.0)
+    val lifo = Udtf.calculateStockValue(spark, vDir, "LIFO").collect().head
+    assert(lifo.getAs[Double]("total_value") == 200.0)
+  }
+
+  test("FIFO/LIFO converge to cost×qty when nothing was issued, 0 when oversold") {
+    val vDir = fixtureDir(
+      "lineitem" -> Seq(
+        // part 1: single receipt, no issues → both methods = 10×10 = 100.
+        Li(l_orderkey = 1, l_partkey = 1, l_suppkey = 1, l_quantity = 10,
+          l_extendedprice = 100.0, l_discount = 0, l_tax = 0,
+          l_returnflag = "A", l_linestatus = "O",
+          l_shipdate = ts("2001-01-01 00:00:00")),
+        // part 2: oversold cell (issues > receipts) → dropped (on-hand ≤ 0).
+        Li(l_orderkey = 2, l_partkey = 2, l_suppkey = 1, l_quantity = 5,
+          l_extendedprice = 50.0, l_discount = 0, l_tax = 0,
+          l_returnflag = "A", l_linestatus = "O",
+          l_shipdate = ts("2001-01-01 00:00:00")),
+        Li(l_orderkey = 3, l_partkey = 2, l_suppkey = 1, l_quantity = 9,
+          l_extendedprice = 90.0, l_discount = 0, l_tax = 0,
+          l_returnflag = "R", l_linestatus = "O",
+          l_shipdate = ts("2001-02-01 00:00:00"))
+      ).toDF(),
+      "part" -> Seq((1L, "p1"), (2L, "p2")).toDF("p_partkey", "p_name"))
+    val rows = Udtf.stockValuationLayers(spark, vDir).collect()
+    assert(rows.map(_.getAs[Long]("part_id")).toSeq == Seq(1L))
+    assert(rows.head.getAs[Double]("fifo_value") == 100.0)
+    assert(rows.head.getAs[Double]("lifo_value") == 100.0)
   }
 
   test("validation rules fire in first-match order") {

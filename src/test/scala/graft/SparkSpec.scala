@@ -44,6 +44,7 @@ final case class Li(
     l_orderkey: Long,
     l_partkey: Long,
     l_suppkey: Long,
+    l_linenumber: Int = 1,
     l_quantity: Double,
     l_extendedprice: Double,
     l_discount: Double,

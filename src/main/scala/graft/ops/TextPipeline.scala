@@ -865,6 +865,109 @@ object TextPipeline {
        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+
+  /** Iteration bound for the component propagation — label propagation
+    * needs one round per edge of a component's DIAMETER, and duplicate
+    * clusters are near-cliques (diameter ≤ 2–3); 16 covers a 16-link
+    * chain of borderline pairs. The loop fails LOUDLY if a pathological
+    * edge set hasn't converged rather than returning a wrong keep list. */
+  val COMPONENT_MAX_ITERS = 16
+
+  /** Connected-components keep list — the transitive-closure alternative
+    * to [[dedupKeepList]]'s greedy pair-drop: duplicate evidence (exact
+    * md5 groups + shingle-Jaccard pairs) is treated as an EQUIVALENCE, so
+    * each connected component of the evidence graph keeps exactly its
+    * minimum doc_id.
+    *
+    * Greedy vs components — when each is right: greedy drops a doc iff it
+    * is DIRECTLY evidenced against a smaller id (similarity treated as
+    * local, non-transitive), so doc 2 with its only link to doc 3
+    * survives even when 3 also links to 1. Components drop a doc iff ANY
+    * smaller id is transitively reachable — the same doc 2 collapses into
+    * component {1,2,3} and drops. Components are right for boilerplate
+    * families and mirror sites, where transitivity is real and keeping
+    * two transitively-linked members double-counts; greedy is right when
+    * borderline pairs chain without genuine equivalence — a run of
+    * barely-0.8 links must not weld distinct documents into one drop
+    * set. Both verdicts ship; the corpus decides.
+    *
+    * Scale shape: the edge set is the candidate-pair output (already
+    * sub-quadratic); vertices are only docs TOUCHED by evidence, so each
+    * propagation round is two candidate-sized shuffles. Iteration uses
+    * localCheckpoint per round (the standard Spark iterate device —
+    * lineage would otherwise double per round) and a driver-side
+    * convergence count, which is iteration CONTROL, not data movement.
+    * Rounds needed = component diameter, tiny for dup clusters. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = dedupBase(spark, dir)
+    // exact evidence as edges (group min ↔ member), near evidence as-is
+    val gmin = Window.partitionBy($"content_hash")
+    val exactEdges = base
+      .withColumn("m", min($"doc_id").over(gmin))
+      .filter($"doc_id" =!= $"m")
+      .select($"m".as("a"), $"doc_id".as("b"))
+    val nearEdges = shingleNearDup(spark, dir)
+      .select($"doc_a".as("a"), $"doc_b".as("b"))
+    val edges = exactEdges.unionByName(nearEdges)
+      .select(explode(array(
+        struct($"a".as("node"), $"b".as("nbr")),
+        struct($"b".as("node"), $"a".as("nbr")))).as("e"))
+      .select($"e.node", $"e.nbr")
+      .localCheckpoint()
+    var comp = edges.select($"node").distinct()
+      .withColumn("comp", $"node")
+      .localCheckpoint()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < COMPONENT_MAX_ITERS) {
+      val nbrComp = edges
+        .join(comp.select($"node".as("nbr"), $"comp"), Seq("nbr"))
+        .select($"node", $"comp")
+      val next = comp.unionByName(nbrComp)
+        .groupBy($"node").agg(min($"comp").as("comp"))
+        .localCheckpoint()
+      changed = next.join(comp.withColumnRenamed("comp", "prev"), Seq("node"))
+        .filter($"comp" < $"prev").count()
+      comp = next
+      iters += 1
+    }
+    require(changed == 0,
+      s"component propagation did not converge in $COMPONENT_MAX_ITERS rounds")
+    val drops = comp.filter($"comp" < $"node").select($"node".as("doc_id"))
+    base
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  /** DuckDB oracle for q60: reachability closure by recursive CTE, then
+    * comp(node) = min(node, reachable minimum) — ANSI-exact transitive
+    * closure over the same evidence edges. */
+  private def dedupComponentsOracle =
+    s"""WITH RECURSIVE exact_edges AS (
+       |  SELECT m AS a, doc_id AS b FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS m
+       |    FROM documents) WHERE doc_id <> m
+       |), near AS (${bruteForceNearDupSql(NEARDUP_THRESHOLD)
+         .replace("ORDER BY doc_a, doc_b", "")}
+       |), edges AS (
+       |  SELECT a, b FROM exact_edges
+       |  UNION SELECT doc_a, doc_b FROM near
+       |  UNION SELECT b, a FROM exact_edges
+       |  UNION SELECT doc_b, doc_a FROM near
+       |), reach(node, anc) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.anc = e.a
+       |), comp AS (
+       |  SELECT node, LEAST(node, MIN(anc)) AS comp
+       |  FROM reach GROUP BY node
+       |)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT node FROM comp WHERE comp < node)
+       |ORDER BY doc_id""".stripMargin
+
   private def bruteForceNearDupSql(threshold: Double): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |s AS (SELECT DISTINCT doc_id, sh FROM (
@@ -954,6 +1057,11 @@ object TextPipeline {
       (s, d) => dedupKeepListMultimodal(s, d).orderBy("doc_id"),
       Some(dedupKeepMultimodalOracle), headline = false,
       benchFn = Some(dedupKeepListMultimodal)),
+    Query("q60_dedup_components",
+      "connected-components keep list: evidence as equivalence, min doc_id per component kept",
+      (s, d) => dedupComponents(s, d).orderBy("doc_id"),
+      Some(dedupComponentsOracle), headline = false,
+      benchFn = Some(dedupComponents)),
     Query("q22_text_stats",
       "corpus char/token statistics per (lang, source)",
       textStats, Some(textStatsOracle), headline = false),

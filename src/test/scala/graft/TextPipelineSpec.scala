@@ -62,6 +62,51 @@ class TextPipelineSpec extends SparkSpec {
     spark.catalog.clearCache() // the repo-wide per-query caller contract
   }
 
+  test("components vs greedy: the transitive weld is the exact divergence") {
+    // Hub doc 3 = t1..t20 (18 shingles). Doc 1 changes the last two
+    // tokens (16 shared → J(1,3) = 16/20 = 0.80, evidenced); doc 2
+    // changes the first token (17 shared → J(2,3) = 17/19 ≈ 0.895,
+    // evidenced); J(1,2) shares only the middle windows (15 shared →
+    // 15/21 ≈ 0.71, NOT evidenced). Evidence = {(1,3), (2,3)}.
+    //   greedy: drops the larger side of each pair → 3 twice → keeps {1,2}
+    //   components: welds {1,2,3} through the hub → keeps {1}
+    // Doc 9 has no evidence and survives both.
+    val a = (1 to 20).map(i => s"t$i")
+    val d = fixtureDir("documents" -> Seq(
+      Doc(1, (a.take(18) ++ Seq("AA", "AB")).mkString(" ")),
+      Doc(2, (Seq("BB") ++ a.drop(1)).mkString(" ")),
+      Doc(3, a.mkString(" ")),
+      Doc(9, "lone wolf document here")
+    ).toDF())
+    val pairs = TextPipeline.shingleNearDup(spark, d)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L)), s"evidence was $pairs")
+    val greedyKept = TextPipeline.dedupKeepList(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val compKept = TextPipeline.dedupComponents(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    assert(greedyKept == Set(1L, 2L, 9L))
+    assert(compKept == Set(1L, 9L))
+    spark.catalog.clearCache()
+  }
+
+  test("components fold exact-dup groups into the same closure") {
+    // 5 and 7 are byte-identical (exact edge 5↔7); 6 near-dups 7 only
+    // (first-token change → J(6,7)=17/19; J(5,6) identical text → also
+    // 17/19, both pairs evidenced). Component {5,6,7} → keep {5}.
+    val a = (1 to 20).map(i => s"t$i")
+    val d = fixtureDir("documents" -> Seq(
+      Doc(5, a.mkString(" ")),
+      Doc(6, (Seq("BB") ++ a.drop(1)).mkString(" ")),
+      Doc(7, a.mkString(" "))
+    ).toDF())
+    val compKept = TextPipeline.dedupComponents(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    assert(compKept == Set(5L))
+    spark.catalog.clearCache()
+  }
+
   test("shingle near-dup finds exactly the planted pairs with exact Jaccard") {
     val pairs = TextPipeline.shingleNearDup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -56,6 +56,27 @@ object Incremental {
   def hasNewData(spark: SparkSession, dir: String, checkpoint: String): Boolean =
     !incrementalEvents(spark, dir, checkpoint).isEmpty
 
+  /** T1 over the DATE-PARTITIONED ledger layout
+    * ([[graft.sources.Sinks.writeDatePartitioned]]) — the 100 TB shape of
+    * the incremental scan made literal instead of aspirational: the
+    * checkpoint predicate on `ts` is restated on the `event_date`
+    * PARTITION column (derivable: ts > c ⇒ date(ts) ≥ date(c)), so the
+    * scan's PartitionFilters eliminate every directory older than the
+    * checkpoint date before any file is opened. The exact `ts` filter
+    * still applies within the boundary date's partition. SinksSpec
+    * asserts the executed scan reads strictly fewer files than the
+    * layout holds. */
+  def incrementalEventsPartitioned(
+      spark: SparkSession, path: String,
+      checkpoint: String = CHECKPOINT): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .filter(
+        $"event_date" >= to_date(to_timestamp(lit(checkpoint))) &&
+          $"ts" > to_timestamp(lit(checkpoint)))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+  }
+
   private def incrementalOracle(checkpoint: String): String =
     s"""SELECT event_id, ts, user_id, event_type, value
        |FROM events WHERE ts > TIMESTAMP '$checkpoint'

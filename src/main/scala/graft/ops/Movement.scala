@@ -72,6 +72,10 @@ object Movement {
       unit, step)
   }
 
+  /** The exact storage type of trend values: 24 integer digits — any
+    * realizable value magnitude; see [[gapFill]]. */
+  private val TREND_DEC = org.apache.spark.sql.types.DecimalType(30, 6)
+
   private def trendOf(events: DataFrame, unit: String, step: String): DataFrame = {
     import events.sparkSession.implicits._
     gapFill(
@@ -79,20 +83,25 @@ object Movement {
         .groupBy(date_trunc(unit, $"ts").as("b"))
         .agg(
           count(lit(1)).cast("long").as("n_events"),
-          Dx.dsum($"value").as("total_value")),
+          Dx.decSum($"value").cast(TREND_DEC).as("v_dec")),
       step)
   }
 
   /** The densify half of A11 over an aggregated bucket frame
-    * (b, n_events, total_value) — shared by the full recompute and the
-    * delta merge. */
+    * (b, n_events, v_dec DECIMAL) — shared by the full recompute and the
+    * delta merge. Emits BOTH value representations: `total_value_dec`
+    * (DECIMAL(30,6), the exact stored truth every later merge consumes —
+    * this is what removes the old ~1e9 double round-trip bound) and
+    * `total_value` (the presentation double the reports and oracles
+    * compare). Registered queries drop the decimal twin; WRITTEN reports
+    * keep it. */
   private def gapFill(buckets: DataFrame, step: String): DataFrame = {
     import buckets.sparkSession.implicits._
     val stepI = expr(s"interval $step")
     buckets
       .withColumn("next_b", lead($"b", 1).over(Window.orderBy($"b")))
       .select(
-        $"b", $"n_events", $"total_value",
+        $"b", $"n_events", $"v_dec",
         // [b, next_b) stepped by the calendar unit; the final bucket
         // (next_b null) emits only itself.
         explode(sequence($"b", coalesce($"next_b" - stepI, $"b"), stepI))
@@ -100,7 +109,9 @@ object Movement {
       .select(
         $"bucket",
         when($"bucket" === $"b", $"n_events").otherwise(0L).as("n_events"),
-        when($"bucket" === $"b", $"total_value").otherwise(0.0).as("total_value"))
+        when($"bucket" === $"b", $"v_dec")
+          .otherwise(lit(0).cast(TREND_DEC)).as("total_value_dec"))
+      .withColumn("total_value", $"total_value_dec".cast("double"))
       .orderBy($"bucket")
   }
 
@@ -117,10 +128,10 @@ object Movement {
     * Caller contract (the reference's checkpoint semantics,
     * `config.yaml:15`): `stored` was built from exactly the events with
     * `ts <= checkpoint`, and the ledger is append-only. Decimal note:
-    * the stored double `total_value` round-trips through DECIMAL(30,6)
-    * exactly while its magnitude stays under ~10⁹ (15 significant
-    * digits); a warehouse running hotter than that should persist the
-    * report's decimal column instead of the presentation double. */
+    * engine-written reports carry `total_value_dec` DECIMAL(30,6) and the
+    * merge consumes it — exact at ANY magnitude. A stored report holding
+    * only the presentation double (foreign writers) falls back to the
+    * double→decimal cast, exact while magnitude stays under ~10⁹. */
   def trendDelta(spark: SparkSession, dir: String, unit: String, step: String,
       checkpoint: String, stored: DataFrame): DataFrame = {
     import spark.implicits._
@@ -142,16 +153,20 @@ object Movement {
       .groupBy(date_trunc(unit, $"ts").as("b"))
       .agg(
         count(lit(1)).cast("long").as("n_events"),
-        Dx.decSum($"value").as("v_dec"))
+        Dx.decSum($"value").cast(TREND_DEC).as("v_dec"))
+    // prefer the exact decimal column engine-written reports persist;
+    // fall back to the presentation double for foreign reports
+    val storedVal =
+      if (stored.columns.contains("total_value_dec"))
+        $"total_value_dec".cast(TREND_DEC)
+      else $"total_value".cast(TREND_DEC)
     val merged = stored
-      .select($"bucket".as("b"), $"n_events",
-        $"total_value".cast(org.apache.spark.sql.types.DecimalType(30, 6))
-          .as("v_dec"))
+      .select($"bucket".as("b"), $"n_events", storedVal.as("v_dec"))
       .unionByName(delta)
       .groupBy($"b")
       .agg(
         sum($"n_events").cast("long").as("n_events"),
-        sum($"v_dec").cast("double").as("total_value"))
+        sum($"v_dec").cast(TREND_DEC).as("v_dec"))
     gapFill(merged, step)
   }
 
@@ -257,15 +272,21 @@ object Movement {
   private val peakDayTopOracle = s"$peakDayOracle LIMIT 1"
 
   val all: Seq[Query] = Seq(
+    // the registered trend queries compare the presentation columns; the
+    // exact DECIMAL twin (total_value_dec) is for WRITTEN reports and
+    // their later merges, not the oracle surface
     Query("q11_daily_trends",
       "gap-filled daily counts+value of high-value purchases (A11/F5, empty bins emitted)",
-      (s, d) => trend(s, d, "day", "1 day"), Some(trendSql("day", "1 day"))),
+      (s, d) => trend(s, d, "day", "1 day").drop("total_value_dec"),
+      Some(trendSql("day", "1 day"))),
     Query("q12_weekly_trends",
       "gap-filled ISO-Monday weekly buckets (A11, weekly anchor declared)",
-      (s, d) => trend(s, d, "week", "1 week"), Some(trendSql("week", "1 week"))),
+      (s, d) => trend(s, d, "week", "1 week").drop("total_value_dec"),
+      Some(trendSql("week", "1 week"))),
     Query("q13_monthly_trends",
       "gap-filled calendar-month buckets (A11)",
-      (s, d) => trend(s, d, "month", "1 month"), Some(trendSql("month", "1 month"))),
+      (s, d) => trend(s, d, "month", "1 month").drop("total_value_dec"),
+      Some(trendSql("month", "1 month"))),
     Query("q14_peak_day_of_week",
       "avg daily events per weekday over the gap-filled series, sorted desc (A12/C6/O2)",
       peakDayOfWeek, Some(peakDayOracle)),
@@ -281,6 +302,7 @@ object Movement {
       // the oracle is the FULL recompute — the delta must be
       // indistinguishable from it
       (s, d) => trendDelta(s, d, "day", "1 day", Incremental.CHECKPOINT,
-        trendUntil(s, d, "day", "1 day", Incremental.CHECKPOINT)),
+        trendUntil(s, d, "day", "1 day", Incremental.CHECKPOINT))
+        .drop("total_value_dec"),
       Some(trendSql("day", "1 day")), headline = false))
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.current_timestamp
+import org.apache.spark.sql.functions.{col, current_timestamp, to_date}
 import org.apache.spark.sql.types._
 
 /** Output surface — the reference's load stage re-expressed as Spark
@@ -102,6 +102,22 @@ object Sinks {
       fs.delete(old, true): Unit
     }
   }
+
+  /** The event-ledger LAYOUT RULE for incremental loads at scale: write
+    * the fact partitioned by event DATE (`event_date=YYYY-MM-DD/`
+    * directories), so the T1 checkpoint scan
+    * ([[graft.ops.Incremental.incrementalEventsPartitioned]]) prunes
+    * every closed partition at PLANNING time — a day's increment over a
+    * 100 TB ledger opens one day's directories, not the ledger. Daily
+    * granularity bounds partition count (≤ a few thousand for a decade)
+    * while keeping each partition append-only once its day closes; finer
+    * grains multiply small files, coarser grains re-scan the open
+    * partition's siblings. */
+  def writeDatePartitioned(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date").parquet(path)
 
   /** S8: bulk export capped at `rowsPerFile` rows per output file —
     * the reference's 5 000-row INSERT chunks, executed writer-side. */

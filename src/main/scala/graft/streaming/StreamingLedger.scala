@@ -153,7 +153,15 @@ object StreamingLedger {
       .getOrElse(-1L)
     if (batchId <= last) return false
     val stored = stored0
-      .map(_.select(col("bucket"), col("n_events"), col("total_value")))
+      .map { df =>
+        // carry the exact decimal twin when the stored report has one
+        // (engine-written reports do) — mergeTrend prefers it, keeping
+        // the stream's accumulated value exact at any magnitude
+        val cols = Seq(col("bucket"), col("n_events"), col("total_value")) ++
+          (if (df.columns.contains("total_value_dec"))
+            Seq(col("total_value_dec")) else Nil)
+        df.select(cols: _*)
+      }
       .getOrElse {
         import org.apache.spark.sql.types._
         spark.createDataFrame(

@@ -73,9 +73,11 @@ class PipelineSpec extends SparkSpec {
     val counts2 = Pipeline.run(spark, src, out, incrementalSince = Some(cut))
     assert(counts2.nonEmpty)
     Pipeline.TREND_REPORTS.foreach { case (name, (unit, step)) =>
-      val delta = spark.read.parquet(s"$out/$name").collect()
+      val delta = spark.read.parquet(s"$out/$name")
+        .select("bucket", "n_events", "total_value").collect()
         .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
-      val full = graft.ops.Movement.trend(spark, src, unit, step).collect()
+      val full = graft.ops.Movement.trend(spark, src, unit, step)
+        .select("bucket", "n_events", "total_value").collect()
         .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
       assert(delta == full, s"$name: delta != full recompute")
     }

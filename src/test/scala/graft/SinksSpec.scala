@@ -10,6 +10,48 @@ class SinksSpec extends SparkSpec {
   private def tmp(): String =
     Files.createTempDirectory("graft-sink").toString
 
+  test("date-partitioned ledger: checkpoint scan prunes closed partitions") {
+    // Four days of events; checkpoint mid-Jan-03. The partitioned layout
+    // must let the T1 scan eliminate Jan 01/02 at PLANNING time: the
+    // executed scan's PartitionFilters are populated and it reads
+    // strictly fewer files than the layout holds (the `numFiles` metric
+    // is the partition-pruning proof, the same executed-plan evidence
+    // style as the zero-shuffle bucketed-join test below).
+    val events = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+      Ev(2, ts("2024-01-02 10:00:00"), 1, "view", 1.0, "{}"),
+      Ev(3, ts("2024-01-03 10:00:00"), 2, "view", 1.0, "{}"),
+      Ev(4, ts("2024-01-03 18:00:00"), 2, "view", 1.0, "{}"),
+      Ev(5, ts("2024-01-04 10:00:00"), 3, "view", 1.0, "{}")
+    ).toDF()
+    val p = tmp() + "/events_by_date"
+    Sinks.writeDatePartitioned(events, p)
+    val layoutFiles = spark.read.parquet(p).inputFiles.length
+    assert(layoutFiles >= 4, "expected one file per day at minimum")
+
+    val df = graft.ops.Incremental
+      .incrementalEventsPartitioned(spark, p, "2024-01-03 12:00:00")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(4L, 5L))
+
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan).head
+    assert(scan.partitionFilters.nonEmpty,
+      "checkpoint predicate did not reach PartitionFilters")
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead < layoutFiles,
+      s"no pruning: read $filesRead of $layoutFiles files")
+    // Jan-03 (boundary, kept for the exact ts filter) + Jan-04 only
+    assert(filesRead <= layoutFiles - 2,
+      s"expected the two closed days pruned, read $filesRead/$layoutFiles")
+  }
+
   test("parquet and CSV sinks round-trip the report") {
     val report = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "k", "v")
     val p = tmp() + "/report_parquet"

@@ -115,7 +115,7 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
       val expected = graft.ops.Movement.trendOfEvents(
         (batch1 ++ batch2).toDF().select($"ts", $"value"), "day", "1 day")
-        .collect()
+        .select($"bucket", $"n_events", $"total_value").collect()
         .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
       assert(stored == expected) // incl. gap-filled Jan 2/3 zero rows
       assert(stored.size == 5)
@@ -130,6 +130,32 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
       assert(after == before)
     } finally query.stop()
+  }
+
+  test("decimal trend persistence: merges stay exact beyond double precision") {
+    // A stored bucket at 1e10 + 1e-6 — a value no double represents (the
+    // old double round-trip silently lost the microunit; the persisted
+    // DECIMAL(30,6) twin must carry it through a merge bit-exactly).
+    val dec = org.apache.spark.sql.types.DecimalType(30, 6)
+    val stored = Seq(("2024-01-01 00:00:00", 1L, "10000000000.000001"))
+      .toDF("b", "n_events", "v")
+      .select(
+        org.apache.spark.sql.functions.to_timestamp($"b").as("bucket"),
+        $"n_events",
+        $"v".cast(dec).as("total_value_dec"),
+        $"v".cast(dec).cast("double").as("total_value"))
+    val newEvents = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 1.0, "{}")
+    ).toDF().select($"ts", $"value")
+    val merged = graft.ops.Movement
+      .mergeTrend(stored, newEvents, "day", "1 day")
+    val r = merged.select($"total_value_dec").head.getDecimal(0)
+    assert(r.compareTo(new java.math.BigDecimal("10000000001.000001")) == 0,
+      s"expected exact 10000000001.000001, got $r")
+    // and the presentation double is the decimal's rounding, not an
+    // accumulated-in-double approximation
+    val d = merged.select($"total_value").head.getDouble(0)
+    assert(d == new java.math.BigDecimal("10000000001.000001").doubleValue())
   }
 
   test("watermark policy rejects future rows before state is touched") {

@@ -60,6 +60,47 @@ object StreamingLedger {
         })
   }
 
+  /** [[runningSnapshot]] with BOUNDED state under key churn: idle cells
+    * are evicted via `GroupStateTimeout.ProcessingTimeTimeout` after
+    * `idleTimeoutMs` without traffic. Eviction removes state WITHOUT
+    * emitting — the cell's last emitted [[CellUpdate]] remains its truth,
+    * so the contract is sound when either (a) evicted cells never revive
+    * (decommissioned warehouses, retired SKUs — the key-churn case that
+    * actually grows state), or (b) the downstream sink merges updates
+    * ADDITIVELY (the [[mergeBatchInto]] pattern), because a revived
+    * cell's state restarts at zero and its updates become deltas against
+    * the stored value. With NoTimeout ([[runningSnapshot]]) every update
+    * is an absolute snapshot and no merge is needed — that is the
+    * default; this variant is the 100 TB key-churn knob, paired with the
+    * RocksDB state store (`spark.sql.streaming.stateStore.providerClass`
+    * = RocksDBStateStoreProvider) once live state outgrows executor
+    * heaps. StreamingSpec pins both: state rows drop after idle
+    * eviction, and the ledger equivalence holds under RocksDB. */
+  def runningSnapshotEvicting(
+      movements: Dataset[Movement],
+      idleTimeoutMs: Long): Dataset[CellUpdate] = {
+    import movements.sparkSession.implicits._
+    movements
+      .groupByKey(m => (m.part_id, m.warehouse_id))
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(
+        (key: (Long, Long), rows: Iterator[Movement],
+         state: GroupState[(Double, Long)]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (q0, n0) = state.getOption.getOrElse((0.0, 0L))
+            var q = q0
+            var n = n0
+            rows.foreach { m => q += m.quantity; n += 1 }
+            state.update((q, n))
+            state.setTimeoutDuration(idleTimeoutMs)
+            Iterator(CellUpdate(key._1, key._2, q, n))
+          }
+        })
+  }
+
   /** T2 watermark policy on an event-time stream: reject future-dated
     * rows up front (the DQ rule F3) and declare a 1-day lateness grace —
     * the engine then bounds state for any windowed aggregate downstream. */

@@ -51,6 +51,90 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("idle-cell eviction bounds state under key churn") {
+    implicit val sqlCtx = spark.sqlContext
+    // With ProcessingTimeTimeout the engine keeps running state-cleanup
+    // batches, so processAllAvailable never quiesces BY DESIGN — the test
+    // polls progress instead of awaiting it.
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(cond, s"not observed within 60s: $what")
+    }
+    val input = MemoryStream[Movement]
+    val query = StreamingLedger
+      .runningSnapshotEvicting(input.toDS(), idleTimeoutMs = 1L)
+      .writeStream
+      .format("memory")
+      .queryName("evicting_updates")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      // churn: 50 one-shot cells that never return
+      val churn = (1 to 50).map(i =>
+        Movement(i.toLong, 100L, 1.0, ts("2024-01-01 00:00:00")))
+      input.addData(churn: _*)
+      waitFor("all 50 churn updates emitted")(
+        spark.table("evicting_updates").count() == 50L)
+      // the 1ms idle timers expire and the cleanup batches must drain
+      // the store back to zero — bounded state under churn
+      waitFor("state store drained after idle eviction")(
+        Option(query.lastProgress)
+          .exists(_.stateOperators.headOption.exists(_.numRowsTotal == 0L)))
+      // the evicted cells' last emitted updates remain their truth
+      val updates = spark.table("evicting_updates").as[CellUpdate].collect()
+      assert(updates.count(_.warehouse_id == 100L) == 50)
+      assert(updates.forall(u => u.quantity_on_hand == 1.0 && u.n_movements == 1L))
+      // a revived cell restarts from zero — its update is a DELTA against
+      // whatever the sink stored (the documented contract)
+      input.addData(Movement(7, 100, 5.0, ts("2024-01-02 00:00:00")))
+      waitFor("revived cell re-emits from fresh state")(
+        spark.table("evicting_updates").as[CellUpdate].collect()
+          .exists(u => u.part_id == 7L && u.quantity_on_hand == 5.0 &&
+            u.n_movements == 1L))
+    } finally query.stop()
+  }
+
+  test("ledger equivalence holds on the RocksDB state store") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Movement]
+      val query = StreamingLedger.runningSnapshot(input.toDS())
+        .writeStream
+        .format("memory")
+        .queryName("rocksdb_updates")
+        .outputMode(OutputMode.Update)
+        .start()
+      try {
+        val batches = Seq(
+          Movement(1, 1, 10.0, ts("2024-01-01 00:00:00")),
+          Movement(1, 1, -4.0, ts("2024-01-01 01:00:00")),
+          Movement(2, 1, 7.0, ts("2024-01-01 02:00:00")))
+        input.addData(batches: _*)
+        query.processAllAvailable()
+        // the provider actually in use surfaces its own metrics
+        val custom = query.lastProgress.stateOperators.head.customMetrics
+        assert(custom.keySet.toString.toLowerCase.contains("rocksdb"),
+          s"RocksDB provider not active: $custom")
+        val streamed = spark.table("rocksdb_updates").as[CellUpdate]
+          .collect()
+          .groupBy(u => (u.part_id, u.warehouse_id))
+          .map { case (k, us) => k -> us.maxBy(_.n_movements).quantity_on_hand }
+        val replayed = StreamingLedger.batchReplay(batches.toDS())
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+          .toMap
+        assert(streamed == replayed)
+      } finally query.stop()
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("streaming daily windows ≡ batch buckets; too-late stragglers dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Movement]

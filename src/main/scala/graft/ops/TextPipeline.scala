@@ -482,6 +482,13 @@ object TextPipeline {
     * agg whose output is one row per document. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    simhashFingerprints(spark, dir).orderBy($"doc_id")
+  }
+
+  /** [[simhash]] without the presentation sort — the shared base of the
+    * fingerprint query and the Hamming-band near-dup route (q61). */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val tok = docs(spark, dir)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .withColumn("h", conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"))
@@ -495,7 +502,86 @@ object TextPipeline {
     tok.groupBy($"doc_id")
       .agg(votes.head, votes.tail: _*)
       .select($"doc_id", fp.cast("long").as("simhash"))
-      .orderBy($"doc_id")
+  }
+
+  /** Bands and radius for the SimHash near-dup route: 4 bands of 8 bits
+    * over the 32-bit fingerprint. PIGEONHOLE RECALL GUARANTEE: a pair at
+    * Hamming distance ≤ 3 flips bits in at most 3 of the 4 bands, so at
+    * least one band matches exactly and the pair meets in that band's
+    * bucket — banded candidate generation finds EVERY pair the
+    * brute-force ≤ 3 filter accepts, which is why the q61 oracle can be
+    * the brute force itself (exact equality, not approximation). */
+  val SIMHASH_BANDS = 4
+  val SIMHASH_HAMMING_MAX = 3
+
+  /** Executable sizing rule for the fingerprint width (the planesFor
+    * pattern): band count is pinned by the radius (pigeonhole needs
+    * bands > radius), so scaling lives in the band KEY WIDTH — with b
+    * bits per band a band has 2^b buckets, and expected occupancy
+    * n / 2^b must stay near `targetBucket` or every bucket goes hot and
+    * the candidate join turns quadratic. bits = BANDS × max(8,
+    * ceil(log2(n / targetBucket))): the fixture corpus (≈6 k docs)
+    * yields exactly the 32-bit width q26/q61 use; a 10⁹-doc corpus
+    * yields 72 → round up to a 128-bit simhash (two longs), same
+    * per-token aggregate, same pigeonhole guarantee. */
+  def simhashBitsFor(n: Long, targetBucket: Int = 4096): Int = {
+    val perBand = math.max(8.0,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)))
+    SIMHASH_BANDS * perBand.toInt
+  }
+
+  /** q61: SimHash near-duplicates — the third dedup route (exact md5,
+    * shingle/MinHash Jaccard, and bit-level fingerprint adjacency each
+    * catch different edits; SimHash is cheapest per doc and catches
+    * small scattered edits on long docs). Candidates from Hamming-band
+    * buckets (see [[SIMHASH_BANDS]]), verified with an exact
+    * `bit_count(xor)` distance.
+    *
+    * Scale shape: fingerprints are one 32-bit value per doc from ONE
+    * token-keyed aggregate; the band join shuffles (band, key) pairs —
+    * 4 rows per doc, never tokens. Bucket fan-out: random fingerprints
+    * spread over the band's key space, and [[simhashBitsFor]] is the
+    * rule that keeps that space tracking corpus size (32 bits IS its
+    * output at fixture scale; 10⁹ docs want a 128-bit fingerprint —
+    * width is a constant swap, the aggregate and guarantee are
+    * unchanged). Within a right-sized key space a genuinely hot bucket
+    * is a real duplicate cluster (identical fingerprints → Hamming 0),
+    * whose pair set is the required OUTPUT — the same acceptance class
+    * as the MinHash bands. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = simhashFingerprints(spark, dir)
+    val bandStructs = (0 until SIMHASH_BANDS).map { i =>
+      struct(lit(i).as("band"),
+        expr(s"shiftright(simhash, ${i * 8}) & 255").as("key"))
+    }
+    val bands = fp.select($"doc_id", $"simhash",
+      explode(array(bandStructs: _*)).as("b"))
+      .select($"doc_id", $"simhash", $"b.band", $"b.key")
+    bands.select($"doc_id".as("doc_a"), $"simhash".as("fp_a"), $"band", $"key")
+      .join(
+        bands.select($"doc_id".as("doc_b"), $"simhash".as("fp_b"),
+          $"band", $"key"),
+        Seq("band", "key"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        bit_count($"fp_a".bitwiseXOR($"fp_b")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= SIMHASH_HAMMING_MAX)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // def, not val: simhashOracle is declared later in the object body and a
+  // val here would capture it uninitialized
+  private def simhashNearDupOracle = {
+    s"""WITH s AS (
+       |${simhashOracle.replace(" ORDER BY doc_id", "")}
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SIMHASH_HAMMING_MAX
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   private val simhashOracle = {
@@ -1077,6 +1163,9 @@ object TextPipeline {
     Query("q26_simhash",
       "32-bit SimHash fingerprints via md5 token hashes (one hash agg)",
       simhash, Some(simhashOracle), headline = false),
+    Query("q61_simhash_neardup",
+      "SimHash near-dup pairs: Hamming-band buckets, exact bit_count verify (pigeonhole-complete ≤ 3)",
+      simhashNearDup, Some(simhashNearDupOracle), headline = false),
     Query("q27_neardup_shingle",
       "3-shingle Jaccard ≥ 0.8 near-dup pairs via inverted-index join",
       (s, d) => shingleNearDup(s, d), Some(bruteForceNearDupSql(NEARDUP_THRESHOLD)),

@@ -107,6 +107,42 @@ class TextPipelineSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("simhash near-dup ≡ brute-force Hamming ≤ 3 (pigeonhole recall)") {
+    // Identical texts → Hamming 0 (must pair); the word-salad docs differ
+    // in most bits (must not). The real pin: the banded route returns
+    // EXACTLY the brute-force ≤3 pair set over the same fingerprints —
+    // the pigeonhole guarantee as an executable property, not a comment.
+    val d = fixtureDir("documents" -> (Seq(
+      Doc(1, "alpha beta gamma delta epsilon"),
+      Doc(2, "alpha beta gamma delta epsilon"), // identical → Hamming 0
+      Doc(3, "totally different words entirely here")
+    ) ++ (10 to 30).map(i =>
+      Doc(i, s"filler$i text${i * 7} salad${i * 13} words${i * 3} here$i"))
+    ).toDF())
+    val banded = TextPipeline.simhashNearDup(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fps = TextPipeline.simhashFingerprints(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h <= TextPipeline.SIMHASH_HAMMING_MAX
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute, s"banded=$banded brute=$brute")
+    assert(banded.contains((1L, 2L, 0L)))
+  }
+
+  test("simhash sizing rule: fixture width is the rule's output, scales with n") {
+    // the 32-bit width in use IS simhashBitsFor at fixture scale
+    assert(TextPipeline.simhashBitsFor(6000) == 32)
+    // a billion docs want wider fingerprints, not more bands (pigeonhole
+    // pins bands at radius+1); occupancy stays near the target
+    val bits = TextPipeline.simhashBitsFor(1000000000L)
+    assert(bits == 4 * 18)
+    val perBandKeys = math.pow(2.0, bits / 4.0)
+    assert(1000000000L / perBandKeys <= 4096)
+  }
+
   test("shingle near-dup finds exactly the planted pairs with exact Jaccard") {
     val pairs = TextPipeline.shingleNearDup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -52,6 +52,50 @@ class SinksSpec extends SparkSpec {
       s"expected the two closed days pruned, read $filesRead/$layoutFiles")
   }
 
+  test("overwriteInPlace swap recovery: every crash window rolls to a full report") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def write(df: org.apache.spark.sql.DataFrame, p: String): Unit =
+      df.write.mode("overwrite").parquet(p)
+    val v1 = Seq((1L, "old")).toDF("id", "v")
+    val v2 = Seq((2L, "new")).toDF("id", "v")
+
+    // crash AFTER rename-aside, BEFORE swap-in: path missing, staging
+    // complete → recovery must roll FORWARD to the new report
+    val p1 = tmp() + "/report"
+    write(v2, p1 + ".staging")
+    write(v1, p1 + ".old")
+    Sinks.recoverSwap(fs, p1)
+    assert(spark.read.parquet(p1).collect().map(_.getString(1)).toSeq == Seq("new"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p1 + ".old")))
+
+    // crash MID-STAGING-WRITE after an earlier aside: no _SUCCESS marker
+    // → the half-written staging must NOT be promoted; roll BACK to old
+    val p2 = tmp() + "/report"
+    write(v2, p2 + ".staging")
+    fs.delete(new org.apache.hadoop.fs.Path(p2 + ".staging/_SUCCESS"), false)
+    write(v1, p2 + ".old")
+    Sinks.recoverSwap(fs, p2)
+    assert(spark.read.parquet(p2).collect().map(_.getString(1)).toSeq == Seq("old"))
+
+    // healthy path + leftover .old: cleanup only
+    val p3 = tmp() + "/report"
+    write(v2, p3)
+    write(v1, p3 + ".old")
+    Sinks.recoverSwap(fs, p3)
+    assert(spark.read.parquet(p3).collect().map(_.getString(1)).toSeq == Seq("new"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p3 + ".old")))
+
+    // and the writer itself: a normal overwriteInPlace leaves no debris
+    val p4 = tmp() + "/report"
+    write(v1, p4)
+    Sinks.overwriteInPlace(spark.read.parquet(p4)
+      .withColumn("v", org.apache.spark.sql.functions.lit("new")), p4)
+    assert(spark.read.parquet(p4).collect().map(_.getString(1)).toSeq == Seq("new"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p4 + ".staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p4 + ".old")))
+  }
+
   test("parquet and CSV sinks round-trip the report") {
     val report = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "k", "v")
     val p = tmp() + "/report_parquet"

@@ -216,6 +216,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("mergeBatchInto survives empty and batch-seeded stored reports") {
+    // (a) a zero-row stored report WITH the marker column (an empty first
+    // micro-batch wrote it): max(_merged_through) is NULL → baseline -1,
+    // the next batch merges instead of NPE-wedging the stream
+    val dir = java.nio.file.Files.createTempDirectory("graft-seed").toString
+    val emptyPath = dir + "/empty_report"
+    Seq.empty[(java.sql.Timestamp, Long, Double, Long)]
+      .toDF("bucket", "n_events", "total_value", "_merged_through")
+      .write.parquet(emptyPath)
+    val b1 = Seq(Ev(1, ts("2024-01-01 08:00:00"), 1, "purchase", 10.0, "{}"))
+      .toDF().select($"ts", $"value")
+    assert(StreamingLedger.mergeBatchInto(b1, 0L, emptyPath))
+    val merged = spark.read.parquet(emptyPath)
+    assert(merged.count() == 1)
+
+    // (b) a report seeded by the BATCH pipeline — no _merged_through
+    // column at all — reads as an un-merged baseline, not an
+    // AnalysisException, and its values fold into the merge
+    val seededPath = dir + "/seeded_report"
+    graft.ops.Movement.trendOfEvents(
+      Seq(Ev(2, ts("2024-01-01 09:00:00"), 1, "purchase", 5.0, "{}"))
+        .toDF().select($"ts", $"value"), "day", "1 day")
+      .write.parquet(seededPath)
+    val b2 = Seq(Ev(3, ts("2024-01-01 10:00:00"), 1, "purchase", 7.0, "{}"))
+      .toDF().select($"ts", $"value")
+    assert(StreamingLedger.mergeBatchInto(b2, 0L, seededPath))
+    val row = spark.read.parquet(seededPath)
+      .select($"n_events", $"total_value").head
+    assert(row.getLong(0) == 2L && row.getDouble(1) == 12.0)
+  }
+
   test("decimal trend persistence: merges stay exact beyond double precision") {
     // A stored bucket at 1e10 + 1e-6 — a value no double represents (the
     // old double round-trip silently lost the microunit; the persisted

@@ -164,24 +164,29 @@ object TextPipeline {
       .orderBy($"lang", $"predicted")
   }
 
-  private val langIdOracle = {
+  /** DuckDB twin of [[langPredict]] as a CASE fragment (shared by the
+    * q24 confusion oracle and the q62 curation-verdict oracle). */
+  private def langPredictSql: String = {
     def sqlScore(lang: String): String = {
       val list = STOPWORDS.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
       s"len(list_filter(list_distinct(string_split(text, ' ')), x -> list_contains([$list], x)))"
     }
     val Seq(en, es, de, fr) = Seq("en", "es", "de", "fr").map(sqlScore)
-    s"""WITH p AS (
-       |  SELECT lang,
-       |         CASE WHEN regexp_matches(text, '$CJK') THEN 'zh'
+    s"""CASE WHEN regexp_matches(text, '$CJK') THEN 'zh'
        |              WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
        |              WHEN $es >= $de AND $es >= $fr AND $es > 0 THEN 'es'
        |              WHEN $de >= $fr AND $de > 0 THEN 'de'
        |              WHEN $fr > 0 THEN 'fr'
-       |              ELSE 'unknown' END AS predicted
+       |              ELSE 'unknown' END""".stripMargin
+  }
+
+  private val langIdOracle =
+    s"""WITH p AS (
+       |  SELECT lang,
+       |         $langPredictSql AS predicted
        |  FROM documents)
        |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q25
 
@@ -570,6 +575,60 @@ object TextPipeline {
       .filter($"hamming" <= SIMHASH_HAMMING_MAX)
       .orderBy($"doc_a", $"doc_b")
   }
+
+  // ---------------------------------------------------------------- q62
+
+  /** The end-to-end CURATION verdict — the artifact a training-data run
+    * ships after all filter stages: a document survives iff it
+    * (1) survives dedup (the q57 greedy keep list: exact md5 groups ∪
+    * near-dup pair drops), (2) classes 'ok' on the q25 quality
+    * thresholds (length + type-token-ratio), and (3) gets a recognized
+    * language from the q24 heuristic ('unknown' dropped). Output carries
+    * the verdict evidence (predicted language, token count, TTR) so a
+    * downstream consumer can re-bucket without recomputing.
+    *
+    * Scale shape: the dedup keep set joins as an id-sized LEFT SEMI;
+    * quality and language are computed in ONE text projection, so the
+    * whole filter stage adds a single corpus scan (no shuffle — the
+    * signals are scan-stage codegen) to the dedup composition's plan. */
+  def curationVerdict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kept = dedupKeepList(spark, dir).select($"doc_id")
+    docs(spark, dir)
+      .join(kept, Seq("doc_id"), "left_semi")
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(split($"text", " "))).cast("double")
+          / size(split($"text", " ")).cast("double"))
+      .withColumn("lang_pred", langPredict)
+      .filter($"n_tokens" >= 16 && $"ttr" >= 0.35 &&
+        $"lang_pred" =!= "unknown")
+      .select($"doc_id", $"source", $"lang_pred", $"n_tokens", $"ttr")
+  }
+
+  private def curationVerdictOracle =
+    s"""WITH exact_drop AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+       |                                      ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn > 1
+       |), near AS (${bruteForceNearDupSql(NEARDUP_THRESHOLD)
+         .replace("ORDER BY doc_a, doc_b", "")}
+       |), drops AS (
+       |  SELECT doc_id FROM exact_drop
+       |  UNION SELECT doc_b AS doc_id FROM near
+       |), q AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS ttr,
+       |         $langPredictSql AS lang_pred
+       |  FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |)
+       |SELECT doc_id, source, lang_pred, n_tokens, ttr FROM q
+       |WHERE n_tokens >= 16 AND ttr >= 0.35 AND lang_pred <> 'unknown'
+       |ORDER BY doc_id""".stripMargin
 
   // def, not val: simhashOracle is declared later in the object body and a
   // val here would capture it uninitialized
@@ -1143,6 +1202,13 @@ object TextPipeline {
       (s, d) => dedupKeepListMultimodal(s, d).orderBy("doc_id"),
       Some(dedupKeepMultimodalOracle), headline = false,
       benchFn = Some(dedupKeepListMultimodal)),
+    Query("q62_curation_verdict",
+      "end-to-end curation verdict: dedup keep ∩ quality 'ok' ∩ recognized language, with evidence columns",
+      // compare-only orderBy (the q42 precedent): a global sort over the
+      // projection re-executes the language scoring for range sampling
+      (s, d) => curationVerdict(s, d).orderBy("doc_id"),
+      Some(curationVerdictOracle), headline = false,
+      benchFn = Some(curationVerdict)),
     Query("q60_dedup_components",
       "connected-components keep list: evidence as equivalence, min doc_id per component kept",
       (s, d) => dedupComponents(s, d).orderBy("doc_id"),

@@ -202,6 +202,12 @@ object TextPipeline {
     * materialize before sorting — shuffles the full row payload twice and
     * is no cheaper; a pipeline consumer should simply not sort per-doc
     * projections. */
+  /** q25 quality thresholds, shared with the q62 curation verdict (one
+    * tuning site; the class boundary and the verdict filter can never
+    * desync). */
+  val QUALITY_MIN_TOKENS = 16
+  val QUALITY_MIN_TTR = 0.35
+
   def docQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir)
@@ -211,8 +217,8 @@ object TextPipeline {
       .withColumn("ttr",
         $"n_distinct_tokens".cast("double") / $"n_tokens".cast("double"))
       .withColumn("quality_class",
-        when($"n_tokens" < 16, "too_short")
-          .when($"ttr" < 0.35, "low_diversity")
+        when($"n_tokens" < QUALITY_MIN_TOKENS, "too_short")
+          .when($"ttr" < QUALITY_MIN_TTR, "low_diversity")
           .otherwise("ok"))
       .select($"doc_id", $"n_tokens", $"n_distinct_tokens", $"ttr",
         $"quality_class")
@@ -220,14 +226,14 @@ object TextPipeline {
   }
 
   private val docQualityOracle =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
       |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
       |         / len(string_split(text, ' ')) AS ttr,
-      |       CASE WHEN len(string_split(text, ' ')) < 16 THEN 'too_short'
+      |       CASE WHEN len(string_split(text, ' ')) < $QUALITY_MIN_TOKENS THEN 'too_short'
       |            WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |                   / len(string_split(text, ' ')) < 0.35 THEN 'low_diversity'
+      |                   / len(string_split(text, ' ')) < $QUALITY_MIN_TTR THEN 'low_diversity'
       |            ELSE 'ok' END AS quality_class
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -571,8 +577,11 @@ object TextPipeline {
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b",
         bit_count($"fp_a".bitwiseXOR($"fp_b")).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: far pairs (the vast majority of band
+      // collisions) die in scan-stage codegen; only near-dups — the
+      // output — reach the dedup shuffle
       .filter($"hamming" <= SIMHASH_HAMMING_MAX)
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -601,7 +610,7 @@ object TextPipeline {
         size(array_distinct(split($"text", " "))).cast("double")
           / size(split($"text", " ")).cast("double"))
       .withColumn("lang_pred", langPredict)
-      .filter($"n_tokens" >= 16 && $"ttr" >= 0.35 &&
+      .filter($"n_tokens" >= QUALITY_MIN_TOKENS && $"ttr" >= QUALITY_MIN_TTR &&
         $"lang_pred" =!= "unknown")
       .select($"doc_id", $"source", $"lang_pred", $"n_tokens", $"ttr")
   }
@@ -627,7 +636,7 @@ object TextPipeline {
        |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)
        |)
        |SELECT doc_id, source, lang_pred, n_tokens, ttr FROM q
-       |WHERE n_tokens >= 16 AND ttr >= 0.35 AND lang_pred <> 'unknown'
+       |WHERE n_tokens >= $QUALITY_MIN_TOKENS AND ttr >= $QUALITY_MIN_TTR AND lang_pred <> 'unknown'
        |ORDER BY doc_id""".stripMargin
 
   // def, not val: simhashOracle is declared later in the object body and a
@@ -673,16 +682,8 @@ object TextPipeline {
     * inverted-index near-dup and the MinHash rerank. */
   def shingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    shinglesFrom(docs(spark, dir)
-      .select($"doc_id", split($"text", " ").as("ws")))
-  }
-
-  /** Shingle explosion over an already-projected (doc_id, ws) frame —
-    * lets the dedup-verdict compositions feed the near-dup pipeline from
-    * their shared base projection instead of re-scanning documents. */
-  def shinglesFrom(projected: DataFrame): DataFrame = {
-    import projected.sparkSession.implicits._
-    projected
+    docs(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
       // explicit key isnotnull (doc ids are non-null by schema contract):
       // downstream joins on doc_a/doc_b infer it on THEIR branches, and a
       // subtree that differs only by an inferred filter breaks exchange
@@ -799,16 +800,9 @@ object TextPipeline {
     * no rare shingle by construction (they would be in the rare index
     * otherwise), and the hot top-up completes the intersection. */
   def shingleNearDup(spark: SparkSession, dir: String,
-      maxDf: Int = MAX_SHINGLE_DF): DataFrame =
-    shingleNearDupFrom(shingles(spark, dir), maxDf)
-
-  /** [[shingleNearDup]] over an injected shingle frame (see class doc —
-    * the verdict compositions pass shingles derived from their shared,
-    * cached base projection). */
-  def shingleNearDupFrom(sh: DataFrame,
       maxDf: Int = MAX_SHINGLE_DF): DataFrame = {
-    val spark = sh.sparkSession
     import spark.implicits._
+    val sh = shingles(spark, dir)
     // ONE window over ONE shuffle tags every posting with its shingle's
     // document frequency. The round-6 shape (groupBy(sh) agg joined back
     // onto sh) referenced the shingle subtree twice with different column
@@ -1066,7 +1060,10 @@ object TextPipeline {
       .localCheckpoint()
     var iters = 0
     var changed = 1L
-    while (changed > 0 && iters < COMPONENT_MAX_ITERS) {
+    // <= not <: observing convergence costs one round AFTER the last
+    // change, so a chain using all COMPONENT_MAX_ITERS moves still gets
+    // its zero-change observation round instead of a spurious abort
+    while (changed > 0 && iters <= COMPONENT_MAX_ITERS) {
       val nbrComp = edges
         .join(comp.select($"node".as("nbr"), $"comp"), Seq("nbr"))
         .select($"node", $"comp")

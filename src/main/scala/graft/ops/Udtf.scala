@@ -179,7 +179,9 @@ object Udtf {
     * EXCEPTION): value the on-hand stock of every (part, warehouse) cell
     * from its receipt layers, then roll up per part.
     *
-    * Semantics (standard perpetual-inventory layer costing):
+    * Semantics — PERIODIC layer costing (the allocation runs at
+    * valuation time over the period's aggregate on-hand, the method a
+    * batch analytics engine naturally computes):
     *  - the ledger is the 'A' (IN) / 'R' (OUT) movement set (the
     *    Warehouse-module convention; warehouse := supplier);
     *  - on_hand(cell) = Σ(+A, −R) quantities;
@@ -193,6 +195,16 @@ object Udtf {
     *    window sort);
     *  - layer value = retained qty × per-receipt unit cost
     *    (extendedprice/quantity rounded to cents, Dx.round2).
+    *
+    * Periodic vs perpetual: FIFO's remaining stock is the newest-receipts
+    * suffix regardless of WHEN issues occurred (as long as on-hand never
+    * dips negative), so periodic FIFO ≡ perpetual FIFO. LIFO differs: an
+    * issue interleaved between receipts can, under PERPETUAL LIFO, only
+    * consume layers existing at issue time (receipt 10@10, issue 5,
+    * receipt 10@20 → perpetual 250, periodic 200 — the later receipt
+    * shields the early layer only in the perpetual view). This function
+    * computes the periodic method; IngestSpec pins that interleaving
+    * case so the choice is explicit, not accidental.
     *
     * Exactness: every cumulative/clamp runs in DECIMAL(18,6) (order-
     * independent, so the window tie-break only has to be deterministic up

@@ -95,8 +95,17 @@ object Sinks {
     if (!fs.exists(p)) {
       val complete = fs.exists(
         new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
-      if (complete) { fs.rename(staging, p): Unit }
-      else if (fs.exists(old)) { fs.rename(old, p): Unit }
+      // a failed recovery rename must fail LOUDLY: returning normally
+      // with `path` still missing would make the streaming merge read an
+      // empty baseline and silently reset its accumulated history — the
+      // failure class this recovery exists to close
+      if (complete) {
+        if (!fs.rename(staging, p))
+          throw new java.io.IOException(s"swap recovery (roll-forward) failed for $path")
+      } else if (fs.exists(old)) {
+        if (!fs.rename(old, p))
+          throw new java.io.IOException(s"swap recovery (roll-back) failed for $path")
+      }
     }
     if (fs.exists(p)) {
       fs.delete(old, true): Unit

@@ -75,6 +75,34 @@ class IngestSpec extends SparkSpec {
     assert(lifo.getAs[Double]("total_value") == 200.0)
   }
 
+  test("LIFO is the PERIODIC method: an interleaved issue consumes the latest receipt") {
+    // receipt 10@10 (Jan), issue 5 (Jan 15), receipt 10@20 (Feb).
+    // Periodic LIFO allocates at valuation time: remaining 15 = the
+    // OLDEST prefix = 10@10 + 5@20 = 200. (Perpetual LIFO would shield
+    // the early layer — 10@10 + 10@20 − 5@10 = 250 — and is documented
+    // as the explicit non-goal; FIFO is identical under both methods.)
+    val vDir = fixtureDir(
+      "lineitem" -> Seq(
+        Li(l_orderkey = 1, l_partkey = 3, l_suppkey = 1, l_quantity = 10,
+          l_extendedprice = 100.0, l_discount = 0, l_tax = 0,
+          l_returnflag = "A", l_linestatus = "O",
+          l_shipdate = ts("2001-01-01 00:00:00")),
+        Li(l_orderkey = 2, l_partkey = 3, l_suppkey = 1, l_quantity = 5,
+          l_extendedprice = 50.0, l_discount = 0, l_tax = 0,
+          l_returnflag = "R", l_linestatus = "O",
+          l_shipdate = ts("2001-01-15 00:00:00")),
+        Li(l_orderkey = 3, l_partkey = 3, l_suppkey = 1, l_quantity = 10,
+          l_extendedprice = 200.0, l_discount = 0, l_tax = 0,
+          l_returnflag = "A", l_linestatus = "O",
+          l_shipdate = ts("2001-02-01 00:00:00"))
+      ).toDF(),
+      "part" -> Seq((3L, "part three")).toDF("p_partkey", "p_name"))
+    val r = Udtf.stockValuationLayers(spark, vDir).collect().head
+    assert(r.getAs[Double]("total_quantity") == 15.0)
+    assert(r.getAs[Double]("lifo_value") == 200.0) // periodic, by design
+    assert(r.getAs[Double]("fifo_value") == 250.0) // method-independent
+  }
+
   test("FIFO/LIFO converge to cost×qty when nothing was issued, 0 when oversold") {
     val vDir = fixtureDir(
       "lineitem" -> Seq(

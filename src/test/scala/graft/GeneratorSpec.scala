@@ -46,6 +46,18 @@ class GeneratorSpec extends SparkSpec {
     assert(mean > 2.7 && mean < 3.7, s"mean lines/order = $mean")
   }
 
+  test("fixture lineitem: (l_orderkey, l_linenumber) is a total order key") {
+    // q59's FIFO/LIFO window tie-break sorts on (shipdate, orderkey,
+    // linenumber); the allocation is deterministic only if that key is
+    // total. Order lines get line_no within their po; transfer legs get
+    // 1 (OUT) / 2 (IN) under their offset orderkey — no collisions.
+    import org.apache.spark.sql.functions.count
+    val dups = Generator.fixtureLineitem(spark, 500)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(count("*").as("n")).filter("n > 1")
+    assert(dups.isEmpty, dups.collect().take(5).mkString(", "))
+  }
+
   test("generated ledger replays to a consistent snapshot at any scale (A14)") {
     // the scale-parameterized fixture path: generated transfer legs feed
     // the SAME replay aggregation the ingest API uses, and conservation

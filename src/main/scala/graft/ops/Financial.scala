@@ -183,7 +183,8 @@ object Financial {
       .orderBy($"part_id", $"supplier_id")
   }
 
-  private val stockValueSql =
+  // shared with functions.Format's q63 oracle (the formatted twin)
+  private[graft] val stockValueSql =
     s"""WITH cost AS (
        |  SELECT l_partkey AS part_id,
        |         CASE WHEN ${Dx.sqlDsum("l_quantity")} = 0.0 THEN 0.0

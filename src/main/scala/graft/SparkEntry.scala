@@ -17,7 +17,8 @@ object SparkEntry {
       ops.Warehouse.all ++ ops.Quality.all ++ ops.TextPipeline.all ++
       ops.Ann.all ++ ops.Udtf.all ++ ops.Ingest.all ++
       ops.Incremental.all ++ ops.Generator.all ++ ops.Multimodal.all ++
-      functions.Format.all
+      functions.Format.all ++ ops.Terms.all ++ ops.Sampling.all ++
+      ops.Events.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

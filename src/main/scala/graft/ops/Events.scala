@@ -1,0 +1,155 @@
+package graft.ops
+
+import graft.{Dx, Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table: gap-based
+  * sessionization and an as-of (attribution) join. The reference's closest
+  * surface is its incremental ledger scan (SURVEY §2.9 T1) — neither
+  * operator exists there; both are staples of large-scale behavioral /
+  * training-telemetry pipelines, so the engine carries them first-class
+  * with full DuckDB oracles.
+  *
+  * 100 TB design notes:
+  *  - Both operators shuffle ONCE, keyed by user_id, then do all work
+  *    inside per-user sorted windows — the classic "sessionize in one
+  *    exchange" shape. No global window, no self-join.
+  *  - The as-of join is the union+last_value formulation: tag both sides,
+  *    one window pass computes "most recent touch at or before each
+  *    target" — O(n log n) per user vs the O(n·m) range self-join naive
+  *    shape; no range explosion, no broadcast requirement on either side.
+  *  - Timestamps compare as epoch MICROS (long) — exact integer math,
+  *    bit-identical in both engines (the parquet nanos are already
+  *    micro-truncated by [[graft.Tables]]).
+  */
+object Events {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+
+  /** Session gap: a new session starts after 30 idle minutes. */
+  val SESSION_GAP_US: Long = 1800L * 1000000L
+
+  // ---------------------------------------------------------------- q66
+
+  /** Gap-based sessionization: per user, events ordered by (ts, event_id)
+    * — the id tiebreak pinned so both engines assign identical session
+    * boundaries when timestamps collide — split where the gap to the
+    * previous event exceeds [[SESSION_GAP_US]]; session index is the
+    * running count of boundary flags. Emits one row per session with
+    * exact-decimal value totals ([[Dx.dsum]]). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val order = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value",
+        (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(order))
+          .as("gap_us"))
+      .withColumn("session_idx",
+        sum(when($"gap_us".isNull || $"gap_us" > SESSION_GAP_US, 1)
+          .otherwise(0)).over(run).cast("long"))
+      .groupBy($"user_id", $"session_idx")
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).cast("long").as("n_events"),
+        Dx.dsum($"value").as("total_value"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  private val sessionizeOracle =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         epoch_us(ts) - LAG(epoch_us(ts)) OVER
+       |           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+       |  FROM events
+       |), s AS (
+       |  SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > $SESSION_GAP_US
+       |                          THEN 1 ELSE 0 END)
+       |             OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS session_idx
+       |  FROM e
+       |)
+       |SELECT user_id, session_idx,
+       |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |       CAST(COUNT(*) AS BIGINT) AS n_events,
+       |       ${Dx.sqlDsum("value")} AS total_value
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+
+  /** As-of attribution join: each `purchase` is attributed to the user's
+    * most recent `view`/`click` at or before the purchase instant.
+    *
+    * Formulation: ONE scan tags rows (touch=0 / target=1), a single
+    * per-user window ordered by (ts, tag, event_id) carries the last
+    * non-null touch forward (`last(_, ignoreNulls)`), then targets are
+    * filtered out. Tag ordering makes a same-instant touch visible to its
+    * purchase (≤ semantics); event_id breaks residual ties — both pinned
+    * in the oracle's ORDER BY so attribution is deterministic.
+    * Purchases with no prior touch keep NULL attribution (left semantics).
+    * DuckDB could state this as `ASOF JOIN`, but the window formulation is
+    * used on both sides so tie-breaks match exactly. */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"tag", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_type" === "purchase", 1).otherwise(0).as("tag"),
+        when($"event_type" =!= "purchase", $"event_id").as("touch_id"),
+        when($"event_type" =!= "purchase", $"ts").as("touch_ts"),
+        when($"event_type" =!= "purchase", $"event_type").as("touch_type"))
+      .select($"user_id", $"ts", $"event_id", $"tag",
+        last($"touch_id", ignoreNulls = true).over(w).as("last_touch_id"),
+        last($"touch_ts", ignoreNulls = true).over(w).as("last_touch_ts"),
+        last($"touch_type", ignoreNulls = true).over(w).as("last_touch_type"))
+      .filter($"tag" === 1)
+      .select($"event_id", $"user_id", $"ts",
+        $"last_touch_id", $"last_touch_ts", $"last_touch_type",
+        (unix_micros($"ts") - unix_micros($"last_touch_ts"))
+          .as("touch_gap_us"))
+      .orderBy($"event_id")
+  }
+
+  private val asofOracle =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag,
+      |         CASE WHEN event_type <> 'purchase' THEN event_id END AS touch_id,
+      |         CASE WHEN event_type <> 'purchase' THEN ts END AS touch_ts,
+      |         CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_type
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      |), w AS (
+      |  SELECT *,
+      |    LAST_VALUE(touch_id IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts, tag, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch_id,
+      |    LAST_VALUE(touch_ts IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts, tag, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch_ts,
+      |    LAST_VALUE(touch_type IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts, tag, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch_type
+      |  FROM tagged
+      |)
+      |SELECT event_id, user_id, ts, last_touch_id, last_touch_ts,
+      |       last_touch_type,
+      |       CAST(epoch_us(ts) - epoch_us(last_touch_ts) AS BIGINT)
+      |         AS touch_gap_us
+      |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin
+
+  val all: Seq[Query] = Seq(
+    Query("q66_sessionization",
+      "gap-based sessions per user (30 min), one shuffle + per-user windows",
+      sessionize, Some(sessionizeOracle), headline = false),
+    Query("q67_asof_attribution",
+      "as-of join: purchases attributed to the latest prior view/click via union+window",
+      asofAttribution, Some(asofOracle), headline = false))
+}

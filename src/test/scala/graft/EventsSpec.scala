@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.Events
+
+class EventsSpec extends SparkSpec {
+
+  private def ev(id: Long, t: String, user: Long, typ: String,
+      value: Double = 1.0): Ev =
+    Ev(id, ts(t), user, typ, value, "{}")
+
+  test("sessionize: 30-min gap splits sessions; totals exact") {
+    import spark.implicits._
+    val dir = fixtureDir("events" -> Seq(
+      ev(1, "2024-01-01 10:00:00", 7, "view", 1.5),
+      ev(2, "2024-01-01 10:29:00", 7, "click", 2.5), // 29 min → same session
+      ev(3, "2024-01-01 11:00:00", 7, "view", 4.0), // 31 min → new session
+      ev(4, "2024-01-01 10:00:00", 8, "view", 1.0) // other user independent
+    ).toDF)
+    val r = Events.sessionize(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(4), x.getDouble(5)))
+    assert(r.toSeq == Seq((7L, 1L, 2L, 4.0), (7L, 2L, 1L, 4.0),
+      (8L, 1L, 1L, 1.0)))
+  }
+
+  test("sessionize: exactly-30-min gap stays in session (strict > splits)") {
+    import spark.implicits._
+    val dir = fixtureDir("events" -> Seq(
+      ev(1, "2024-01-01 10:00:00", 7, "view"),
+      ev(2, "2024-01-01 10:30:00", 7, "view")).toDF)
+    val r = Events.sessionize(spark, dir).collect()
+    assert(r.length == 1 && r.head.getLong(4) == 2L)
+  }
+
+  test("asof attribution: latest prior touch wins; same-instant touch counts") {
+    import spark.implicits._
+    val dir = fixtureDir("events" -> Seq(
+      ev(1, "2024-01-01 09:00:00", 7, "view"),
+      ev(2, "2024-01-01 09:30:00", 7, "click"),
+      ev(3, "2024-01-01 10:00:00", 7, "purchase"), // → click (id 2)
+      ev(4, "2024-01-01 11:00:00", 7, "view"),
+      ev(5, "2024-01-01 11:00:00", 7, "purchase"), // same instant → view (id 4)
+      ev(6, "2024-01-01 08:00:00", 8, "purchase"), // no touch → null
+      ev(7, "2024-01-01 09:00:00", 8, "error") // non-touch type ignored
+    ).toDF)
+    val r = Events.asofAttribution(spark, dir).collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(byId(3L).getLong(3) == 2L)
+    assert(byId(3L).getAs[Long]("touch_gap_us") == 1800L * 1000000L)
+    assert(byId(5L).getLong(3) == 4L)
+    assert(byId(5L).getAs[Long]("touch_gap_us") == 0L)
+    assert(byId(6L).isNullAt(3))
+  }
+
+  test("both operators shuffle once, keyed by user") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case s: ShuffleExchangeLike => 1 + s.children.map(shuffles).sum
+      case other => other.children.map(shuffles).sum
+    }
+    import spark.implicits._
+    val dir = fixtureDir("events" -> Seq(
+      ev(1, "2024-01-01 09:00:00", 7, "view"),
+      ev(2, "2024-01-01 10:00:00", 7, "purchase")).toDF)
+    val asof = Events.asofAttribution(spark, dir)
+    asof.collect()
+    // asof: one exchange for the user window + the presentation sort.
+    assert(shuffles(asof.queryExecution.executedPlan) <= 2,
+      asof.queryExecution.executedPlan.toString)
+    val sess = Events.sessionize(spark, dir)
+    sess.collect()
+    // sessionize: window exchange; the groupBy reuses the partitioning
+    // only when keys align — allow it plus the presentation sort.
+    assert(shuffles(sess.queryExecution.executedPlan) <= 3,
+      sess.queryExecution.executedPlan.toString)
+  }
+}

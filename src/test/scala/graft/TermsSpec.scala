@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.Terms
+
+class TermsSpec extends SparkSpec {
+
+  test("repetition signals: hand-computed fractions on a crafted doc") {
+    import spark.implicits._
+    // "x y x y x y" — 6 tokens, 2 distinct → dup 4/6; top bigram "x y"
+    // appears 3× (overlapping windows "y x" appear 2×), len 3; top
+    // trigram "x y x" 2× vs "y x y" 2× → tie broken ascending = "x y x".
+    val text = "x y x y x y" // n_chars = 11
+    val dir = fixtureDir("documents" -> Seq(Doc(1L, text)).toDF)
+    val r = Terms.repetitionSignals(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_tokens") == 6L)
+    assert(row.getAs[Double]("dup_token_frac") == 4.0 / 6.0)
+    assert(row.getAs[String]("top_bigram") == "x y")
+    assert(row.getAs[Double]("top_bigram_frac") == 3.0 * 3 / 11)
+    assert(row.getAs[String]("top_trigram") == "x y x")
+    assert(row.getAs[Double]("top_trigram_frac") == 2.0 * 5 / 11)
+    assert(!row.getAs[Boolean]("repetition_ok")) // dup 0.67 > 0.5
+  }
+
+  test("repetition signals: single-token doc has null grams, zero fractions") {
+    import spark.implicits._
+    val dir = fixtureDir("documents" -> Seq(Doc(1L, "solo")).toDF)
+    val row = Terms.repetitionSignals(spark, dir).collect().head
+    assert(row.getAs[Long]("n_tokens") == 1L)
+    assert(row.getAs[Double]("dup_token_frac") == 0.0)
+    assert(row.isNullAt(row.fieldIndex("top_bigram")))
+    assert(row.getAs[Double]("top_bigram_frac") == 0.0)
+    assert(row.getAs[Boolean]("repetition_ok"))
+  }
+
+  test("distinctive terms: tf desc, df asc, term asc rank order") {
+    import spark.implicits._
+    // doc 1: "a a b c"; doc 2: "b d". df: a=1 b=2 c=1 d=1.
+    // doc 1 rank: a (tf 2), then tf-1 ties c (df 1) before b (df 2).
+    val dir = fixtureDir("documents" ->
+      Seq(Doc(1L, "a a b c"), Doc(2L, "b d")).toDF)
+    val r = Terms.distinctiveTerms(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.toSeq == Seq((1L, 1L, "a"), (1L, 2L, "c"), (1L, 3L, "b"),
+      (2L, 1L, "d"), (2L, 2L, "b")))
+  }
+}

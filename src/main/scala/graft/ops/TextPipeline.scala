@@ -1110,6 +1110,87 @@ object TextPipeline {
        |WHERE doc_id NOT IN (SELECT node FROM comp WHERE comp < node)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+
+  /** Incremental dedup verdict — T1 for curation: the corpus (doc_id <
+    * split) is already curated; a NEW BATCH (doc_id ≥ split) arrives and
+    * every new document gets a keep/drop verdict with a reason, WITHOUT
+    * re-deciding the corpus. Both q57 evidence rules are monotone in
+    * doc_id (exact: drop everything above the md5 group's minimum;
+    * near-dup: drop the larger id of each pair), so new arrivals can
+    * never flip a corpus verdict, and the incremental verdict equals the
+    * FULL q57 recompute restricted to the new batch — which is exactly
+    * what the oracle states. No approximation is introduced by going
+    * incremental.
+    *
+    * Scale shape:
+    *  - exact evidence probes an (md5 → min doc_id) CORPUS INDEX — the
+    *    digest-sized artifact a production pipeline persists and appends
+    *    per increment — plus a batch-local min; the corpus TEXT is never
+    *    rehashed per increment (here the index derives from the same
+    *    table because the testdata has no side store).
+    *  - near-dup evidence is the [[shingleNearDup]] pair stream filtered
+    *    to new drop-side docs: corpus×corpus pairs are never consumed,
+    *    and with a constant checkpoint boundary the filter prunes the
+    *    drop-side posting scan to the batch (a production increment
+    *    inlines its checkpoint id; here the boundary is data-derived —
+    *    max·4/5 via a 1-row broadcast — so the query runs at any sf).
+    *  - the verdict join is id-keyed and batch-sized end to end. */
+  def dedupIncrement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = dedupBase(spark, dir)
+    val split = base.agg(expr("max(doc_id) * 4 div 5").as("split_id"))
+    val withSplit = base.crossJoin(broadcast(split))
+    val newDocs = withSplit.filter($"doc_id" >= $"split_id")
+    // (md5 → min doc_id) over the curated corpus: the persisted index
+    val corpusIdx = withSplit.filter($"doc_id" < $"split_id")
+      .groupBy($"content_hash").agg(min($"doc_id").as("corpus_min"))
+    // batch-local minimum per hash: first-in-batch wins among new dups
+    val newMin = newDocs.groupBy($"content_hash")
+      .agg(min($"doc_id").as("new_min"))
+    val nearDrops = shingleNearDup(spark, dir)
+      .crossJoin(broadcast(split))
+      .filter($"doc_b" >= $"split_id")
+      .select($"doc_b".as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    newDocs
+      .join(corpusIdx, Seq("content_hash"), "left")
+      .join(newMin, Seq("content_hash"))
+      .withColumn("exact_dup",
+        $"corpus_min".isNotNull || $"doc_id" > $"new_min")
+      .join(nearDrops, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        when($"exact_dup", "exact_dup")
+          .when(coalesce($"near_dup", lit(false)), "near_dup")
+          .as("drop_reason"),
+        (!$"exact_dup" && !coalesce($"near_dup", lit(false))).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle for q70: the FULL recompute (q57's evidence) restricted to
+    * the new batch — incremental ≡ full is the contract, not a test
+    * convenience. */
+  private def dedupIncrementOracle =
+    s"""WITH split AS (SELECT MAX(doc_id) * 4 // 5 AS split_id FROM documents),
+       |exact_drop AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+       |                                      ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn > 1
+       |), near AS (${bruteForceNearDupSql(NEARDUP_THRESHOLD)
+         .replace("ORDER BY doc_a, doc_b", "")}
+       |)
+       |SELECT doc_id, lang, source, n_chars,
+       |       CASE WHEN is_exact THEN 'exact_dup'
+       |            WHEN is_near THEN 'near_dup' END AS drop_reason,
+       |       NOT (is_exact OR is_near) AS keep
+       |FROM (
+       |  SELECT d.*,
+       |         d.doc_id IN (SELECT doc_id FROM exact_drop) AS is_exact,
+       |         d.doc_id IN (SELECT doc_b FROM near) AS is_near
+       |  FROM documents d, split s WHERE d.doc_id >= s.split_id)
+       |ORDER BY doc_id""".stripMargin
+
   private def bruteForceNearDupSql(threshold: Double): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |s AS (SELECT DISTINCT doc_id, sh FROM (
@@ -1211,6 +1292,9 @@ object TextPipeline {
       (s, d) => dedupComponents(s, d).orderBy("doc_id"),
       Some(dedupComponentsOracle), headline = false,
       benchFn = Some(dedupComponents)),
+    Query("q70_dedup_increment",
+      "incremental dedup verdict: new batch probed against the corpus md5 index + near-dup evidence, ≡ full recompute on the batch",
+      dedupIncrement, Some(dedupIncrementOracle), headline = false),
     Query("q22_text_stats",
       "corpus char/token statistics per (lang, source)",
       textStats, Some(textStatsOracle), headline = false),

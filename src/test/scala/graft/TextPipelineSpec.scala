@@ -336,4 +336,52 @@ class TextPipelineSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(1) == r.getString(0),
       s"text for ${r.getString(0)} predicted ${r.getString(1)}"))
   }
+
+  test("incremental dedup verdict ≡ full recompute on the new batch") {
+    // ids 0..9: split = 9*4 div 5 = 7 → corpus {0..6}, batch {7,8,9}.
+    // 7 = exact dup of corpus 0; 8 = near-dup of corpus 4 (one-token
+    // tail change); 9 = fresh.
+    val incDir = fixtureDir(
+      "documents" -> Seq(
+        Doc(0, "alpha beta gamma delta"),
+        Doc(1, "epsilon zeta eta theta"),
+        Doc(2, "iota kappa lambda mu"),
+        Doc(3, "nu xi omicron pi"),
+        Doc(4, t20.mkString(" ")),
+        Doc(5, "rho sigma tau upsilon"),
+        Doc(6, "phi chi psi omega"),
+        Doc(7, "alpha beta gamma delta"),
+        Doc(8, (t20.init :+ "OTHER").mkString(" ")),
+        Doc(9, "fresh words never seen")
+      ).toDF())
+    val inc = TextPipeline.dedupIncrement(spark, incDir).collect()
+    val byId = inc.map(r => r.getLong(0) -> r).toMap
+    assert(byId.keySet == Set(7L, 8L, 9L), "verdicts cover exactly the batch")
+    assert(byId(7L).getString(4) == "exact_dup" && !byId(7L).getBoolean(5))
+    assert(byId(8L).getString(4) == "near_dup" && !byId(8L).getBoolean(5))
+    assert(byId(9L).isNullAt(4) && byId(9L).getBoolean(5))
+    // the contract itself: kept batch ids == full-recompute keep list
+    // restricted to the batch
+    val fullKept = TextPipeline.dedupKeepList(spark, incDir)
+      .collect().map(_.getLong(0)).filter(_ >= 7L).toSet
+    val incKept = inc.filter(_.getBoolean(5)).map(_.getLong(0)).toSet
+    assert(incKept == fullKept)
+  }
+
+  test("incremental dedup: first-in-batch wins a batch-local dup group") {
+    // ids 0..4: split = 4*4 div 5 = 3 → corpus {0,1,2}, batch {3,4};
+    // 3 and 4 duplicate EACH OTHER (no corpus partner): 3 keeps, 4 drops.
+    val incDir = fixtureDir(
+      "documents" -> Seq(
+        Doc(0, "alpha beta gamma delta"),
+        Doc(1, "epsilon zeta eta theta"),
+        Doc(2, "iota kappa lambda mu"),
+        Doc(3, "new content arriving twice"),
+        Doc(4, "new content arriving twice")
+      ).toDF())
+    val inc = TextPipeline.dedupIncrement(spark, incDir).collect()
+    val byId = inc.map(r => r.getLong(0) -> r).toMap
+    assert(byId(3L).getBoolean(5) && byId(3L).isNullAt(4))
+    assert(byId(4L).getString(4) == "exact_dup" && !byId(4L).getBoolean(5))
+  }
 }

@@ -132,11 +132,79 @@ object Sampling {
        |FROM pos GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q71
+
+  /** Target mix shares in percent — the training-mix recipe (sums ≤ 100;
+    * the remainder is the budget's slack). Integer percents keep every
+    * allocation in exact integer arithmetic. */
+  val MIX_TARGETS: Seq[(String, Long)] =
+    Seq("en" -> 30L, "de" -> 20L, "es" -> 20L, "fr" -> 15L, "zh" -> 15L)
+
+  /** Token-budget mix allocation: given per-language available tokens
+    * (whitespace tokens, as q22 counts them) and target mix shares,
+    * allocate a token budget of 2/5 of the corpus per stratum, capped by
+    * availability — the one-pass scheduling step between corpus stats and
+    * [[stratifiedSample]] (alloc/avail IS the stratum's sampling rate).
+    * All allocation math is integer (floor division), so the only double
+    * is the final rate — one exact division. Languages without a target
+    * get 0 (never silently flood the mix); water-filling the leftover is
+    * a second identical pass with the residual budget, not done here.
+    *
+    * Scale shape: one partial+final agg to stratum grain (stratum count ≪
+    * corpus), a broadcast join against the literal target dimension, and
+    * a 1-row broadcast budget — nothing after the first agg touches
+    * corpus-sized data. */
+  def mixAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val avail = docs(spark, dir)
+      .select($"lang", size(split($"text", " ")).cast("long").as("n_tok"))
+      .groupBy($"lang")
+      .agg(sum($"n_tok").as("avail_tokens"))
+    val budget = avail.agg(expr("sum(avail_tokens) * 2 div 5").as("budget_tokens"))
+    val targets = MIX_TARGETS.toDF("lang", "target_pct")
+    avail
+      .join(broadcast(targets), Seq("lang"), "left")
+      .withColumn("target_pct", coalesce($"target_pct", lit(0L)))
+      .crossJoin(broadcast(budget))
+      .withColumn("alloc_tokens",
+        least($"avail_tokens", expr("budget_tokens * target_pct div 100")))
+      .withColumn("sample_rate",
+        $"alloc_tokens".cast("double") / $"avail_tokens")
+      .select($"lang", $"avail_tokens", $"target_pct", $"budget_tokens",
+        $"alloc_tokens", $"sample_rate")
+      .orderBy($"lang")
+  }
+
+  private val mixAllocationOracle = {
+    val values = MIX_TARGETS.map { case (l, p) => s"('$l', $p)" }.mkString(", ")
+    s"""WITH avail AS (
+       |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+       |           AS avail_tokens
+       |  FROM documents GROUP BY 1
+       |), budget AS (
+       |  SELECT SUM(avail_tokens) * 2 // 5 AS budget_tokens FROM avail
+       |), t(lang, target_pct) AS (VALUES $values)
+       |SELECT a.lang, a.avail_tokens,
+       |       CAST(COALESCE(t.target_pct, 0) AS BIGINT) AS target_pct,
+       |       CAST(b.budget_tokens AS BIGINT) AS budget_tokens,
+       |       CAST(LEAST(a.avail_tokens,
+       |                  b.budget_tokens * COALESCE(t.target_pct, 0) // 100)
+       |            AS BIGINT) AS alloc_tokens,
+       |       CAST(LEAST(a.avail_tokens,
+       |                  b.budget_tokens * COALESCE(t.target_pct, 0) // 100)
+       |            AS DOUBLE) / a.avail_tokens AS sample_rate
+       |FROM avail a LEFT JOIN t ON a.lang = t.lang, budget b
+       |ORDER BY a.lang""".stripMargin
+  }
+
   val all: Seq[Query] = Seq(
     Query("q65_stratified_sample",
       "deterministic md5-threshold stratified sample per language stratum",
       stratifiedSample, Some(stratifiedOracle), headline = false),
     Query("q69_length_quantiles",
       "exact type-7 interpolated n_chars quantiles per language (pinned rank arithmetic)",
-      lengthQuantiles, Some(quantilesOracle), headline = false))
+      lengthQuantiles, Some(quantilesOracle), headline = false),
+    Query("q71_mix_allocation",
+      "token-budget mix allocation per language: capped integer shares + exact sampling rates",
+      mixAllocation, Some(mixAllocationOracle), headline = false))
 }

@@ -40,6 +40,24 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(r(0.9) - 37.0) < 1e-12)
   }
 
+  test("mix allocation: availability cap, untargeted stratum gets zero") {
+    import spark.implicits._
+    // en: 100 tokens, zh: 2, xx: 10 → total 112, budget 112*2 div 5 = 44.
+    // en 30% → 13 (≤ 100, rate 0.13); zh 15% → 6 capped at 2 (rate 1.0);
+    // xx untargeted → 0.
+    val tenTok = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docsDf = ((0L until 10L).map(i => Doc(i, tenTok)) :+
+      Doc(10L, "ni hao", lang = "zh") :+
+      Doc(11L, tenTok, lang = "xx")).toDF
+    val dir = fixtureDir("documents" -> docsDf)
+    val r = Sampling.mixAllocation(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("en").getLong(3) == 44L) // budget on every row
+    assert(r("en").getLong(4) == 13L && r("en").getDouble(5) == 0.13)
+    assert(r("zh").getLong(4) == 2L && r("zh").getDouble(5) == 1.0)
+    assert(r("xx").getLong(2) == 0L && r("xx").getLong(4) == 0L)
+  }
+
   test("length quantiles: single-value stratum returns that value at all p") {
     import spark.implicits._
     val dir = fixtureDir("documents" -> Seq(Doc(1L, "e" * 7)).toDF)

@@ -282,4 +282,51 @@ class StreamingSpec extends SparkSpec {
     assert(valid.count() == 1)
     assert(valid.select("quantity").head().getDouble(0) == 5.0)
   }
+
+  test("streaming dedup: first-seen wins within and across micro-batches") {
+    import graft.streaming.{StreamDoc, StreamingDedup}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val query = StreamingDedup.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamDoc(1, "alpha beta", ts("2024-01-01 10:00:00")),
+        StreamDoc(2, "alpha beta", ts("2024-01-01 10:00:01")), // in-batch dup
+        StreamDoc(3, "gamma delta", ts("2024-01-01 10:00:02")))
+      query.processAllAvailable()
+      input.addData(
+        StreamDoc(4, "alpha beta", ts("2024-01-01 11:00:00")), // cross-batch dup
+        StreamDoc(5, "epsilon", ts("2024-01-01 11:00:01")))
+      query.processAllAvailable()
+      val out = spark.table("dedup_out").collect().map(_.getAs[Long]("doc_id"))
+      assert(out.toSet == Set(1L, 3L, 5L))
+    } finally query.stop()
+  }
+
+  test("streaming dedup: watermark eviction re-admits after the window") {
+    import graft.streaming.{StreamDoc, StreamingDedup}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val query = StreamingDedup.dedupStreamWithin(input.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamDoc(1, "alpha beta", ts("2024-01-01 10:00:00")),
+        StreamDoc(2, "alpha beta", ts("2024-01-01 10:10:00"))) // within window
+      query.processAllAvailable()
+      // advance the watermark well past 10:00 + 30 min
+      input.addData(StreamDoc(3, "gamma delta", ts("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      // doc 1's digest state is evicted → the same content is ADMITTED
+      // again: the bounded-state trade, pinned
+      input.addData(StreamDoc(4, "alpha beta", ts("2024-01-01 12:01:00")))
+      query.processAllAvailable()
+      val out = spark.table("dedup_wm_out").collect()
+        .map(_.getAs[Long]("doc_id"))
+      assert(out.toSet == Set(1L, 3L, 4L))
+    } finally query.stop()
+  }
 }

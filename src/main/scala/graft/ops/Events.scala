@@ -145,11 +145,55 @@ object Events {
       |         AS touch_gap_us
       |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+
+  /** Semi-structured extraction: pull the numeric `k` field out of the
+    * JSON `props` payload and aggregate per event type — the C16
+    * (json_build) surface run in reverse. Extraction happens in the
+    * scan's projection so only (event_type, k) reaches the aggregate;
+    * at 100 TB the JSON string never crosses an exchange. Missing or
+    * malformed payloads extract NULL and are counted separately rather
+    * than silently skewing the sums. */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        count(when($"k".isNull, lit(1))).cast("long").as("n_missing"),
+        sum($"k").as("total_k"),
+        (sum($"k").cast("double") / count($"k")).as("avg_k"))
+      .orderBy($"event_type")
+  }
+
+  /** DuckDB's json_extract_string THROWS on malformed JSON where Spark's
+    * get_json_object returns NULL — the json_valid guard restores the
+    * null-on-malformed semantics the Spark side (and any robust 100 TB
+    * ingest) has. */
+  private val propsExtractOracle =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CASE WHEN json_valid(props)
+      |              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |         END AS k
+      |  FROM events)
+      |SELECT event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(COUNT(*) FILTER (k IS NULL) AS BIGINT) AS n_missing,
+      |       CAST(SUM(k) AS BIGINT) AS total_k,
+      |       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q66_sessionization",
       "gap-based sessions per user (30 min), one shuffle + per-user windows",
       sessionize, Some(sessionizeOracle), headline = false),
     Query("q67_asof_attribution",
       "as-of join: purchases attributed to the latest prior view/click via union+window",
-      asofAttribution, Some(asofOracle), headline = false))
+      asofAttribution, Some(asofOracle), headline = false),
+    Query("q73_props_extract",
+      "JSON props field extraction + per-type aggregates (scan-stage projection)",
+      propsExtract, Some(propsExtractOracle), headline = false))
 }

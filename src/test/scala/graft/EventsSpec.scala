@@ -51,6 +51,50 @@ class EventsSpec extends SparkSpec {
     assert(byId(6L).isNullAt(3))
   }
 
+  test("asof attribution ≡ brute-force max-prior-touch on random streams") {
+    import spark.implicits._
+    // adversarial check of the union+window trick against the obvious
+    // O(n·m) formulation on a pseudo-random fixture (fixed seed)
+    val rnd = new scala.util.Random(42)
+    val types = Seq("view", "click", "purchase", "error")
+    val evs = (1L to 300L).map { id =>
+      ev(id, f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00",
+        rnd.nextInt(5).toLong, types(rnd.nextInt(types.size)))
+    }
+    val dir = fixtureDir("events" -> evs.toDF)
+    val got = graft.ops.Events.asofAttribution(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // brute force: per purchase, the max (ts, tag=0<1 at equal ts, id)
+    // touch at or before it
+    val touches = evs.filter(e => e.event_type != "purchase" &&
+      e.event_type != "error")
+    val want = evs.filter(_.event_type == "purchase").map { p =>
+      val prior = touches.filter(t => t.user_id == p.user_id &&
+        !t.ts.after(p.ts))
+      p.event_id -> (if (prior.isEmpty) -1L
+      else prior.maxBy(t => (t.ts.getTime, t.event_id)).event_id)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("props extraction: aggregates and missing-payload accounting") {
+    import spark.implicits._
+    val dir = fixtureDir("events" -> Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0, """{"k": 10}"""),
+      Ev(2, ts("2024-01-01 10:01:00"), 7, "view", 1.0, """{"k": 32}"""),
+      Ev(3, ts("2024-01-01 10:02:00"), 7, "view", 1.0, """{"other": 1}"""),
+      Ev(4, ts("2024-01-01 10:03:00"), 7, "click", 1.0, "not json")).toDF)
+    val r = graft.ops.Events.propsExtract(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("view").getAs[Long]("n_events") == 3L)
+    assert(r("view").getAs[Long]("n_missing") == 1L)
+    assert(r("view").getAs[Long]("total_k") == 42L)
+    assert(r("view").getAs[Double]("avg_k") == 21.0)
+    assert(r("click").getAs[Long]("n_missing") == 1L)
+    assert(r("click").isNullAt(r("click").fieldIndex("total_k")))
+  }
+
   test("both operators shuffle once, keyed by user") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

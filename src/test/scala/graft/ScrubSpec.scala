@@ -1,0 +1,40 @@
+package graft
+
+import graft.ops.Scrub
+
+/** Planted-PII semantics for q72: the driver corpus is PII-free (its
+  * oracle proves identity), so the actual redaction behavior is pinned
+  * here, the same pattern as the language-ID suite. */
+class ScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted email, phone and IP are redacted with correct counts") {
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(1, "reach bob.smith+x@mail.example.org or +1 555-123-4567 now"),
+      Doc(2, "server 10.0.0.1 and 192.168.254.3 up"),
+      Doc(3, "clean text with no identifiers at all")).toDF)
+    val r = Scrub.piiScrub(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[String]("text_clean") ==
+      "reach <EMAIL> or <PHONE> now")
+    assert(r(1L).getAs[Long]("n_emails") == 1L)
+    assert(r(1L).getAs[Long]("n_phones") == 1L)
+    assert(!r(1L).getAs[Boolean]("pii_free"))
+    assert(r(2L).getAs[String]("text_clean") == "server <IP> and <IP> up")
+    assert(r(2L).getAs[Long]("n_ips") == 2L)
+    assert(r(3L).getAs[String]("text_clean") ==
+      "clean text with no identifiers at all")
+    assert(r(3L).getAs[Boolean]("pii_free"))
+  }
+
+  test("an IPv4 is not half-eaten by the phone pattern") {
+    // "10.0.0.1" is too short for PHONE_RE's {7,} interior, so the IP
+    // pass sees it intact; a longer dotted-digit run WOULD be a phone
+    // (dialect ambiguity resolved by the fixed email→phone→ip order).
+    val dir = fixtureDir("documents" ->
+      Seq(Doc(1, "host 10.0.0.1 rest")).toDF)
+    val row = Scrub.piiScrub(spark, dir).collect().head
+    assert(row.getAs[String]("text_clean") == "host <IP> rest")
+    assert(row.getAs[Long]("n_phones") == 0L)
+  }
+}

@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
   *    exists anywhere in the plan.
   *  - The n-gram streams for n=1,2,3 ride ONE explode over one scan (array
   *    of (n, gram) structs), not three scans of the corpus.
-  *  - df in [[distinctiveTerms]] is an aggregate over (term) — vocab-sized,
-  *    Zipf-bounded; the tf⋈df join is keyed by term and collapses before
-  *    the per-doc rank window.
+  *  - df in [[distinctiveTerms]] is a count window over ONE term-keyed
+  *    shuffle of the (doc, term) stream — never an aggregate joined back
+  *    (that shape re-reads the corpus; see the method note).
   */
 object Terms {
 
@@ -162,13 +162,17 @@ object Terms {
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).cast("long").as("tf"))
-    // df: documents containing the term — an aggregate over the tf stream
-    // (already one row per (doc, term)), so no second corpus scan.
-    val df = tf.groupBy($"term")
-      .agg(count(lit(1)).cast("long").as("df"))
+    // df: documents containing the term — a count(*) WINDOW over the tf
+    // stream (one row per (doc, term)), not an aggregate joined back:
+    // the agg+self-join shape references the tf subtree twice and was
+    // measured to scan the corpus twice (exchange reuse does not fire
+    // across the differing consumers); the window keys ONE term shuffle
+    // and every consumer branches above it — the q27 df lesson applied.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy($"term")).cast("long"))
     val w = Window.partitionBy($"doc_id")
       .orderBy($"tf".desc, $"df".asc, $"term".asc)
-    tf.join(df, Seq("term"))
+    withDf
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= 5)
       .select($"doc_id", $"rnk", $"term", $"tf", $"df")

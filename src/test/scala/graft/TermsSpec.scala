@@ -34,6 +34,27 @@ class TermsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("repetition_ok"))
   }
 
+  test("distinctive terms: one corpus scan feeds tf, df and the rank") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    import spark.implicits._
+    val dir = fixtureDir("documents" ->
+      Seq(Doc(1L, "a a b c"), Doc(2L, "b d")).toDF)
+    val df = Terms.distinctiveTerms(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val executed = scans(df.queryExecution.executedPlan)
+      .groupBy(System.identityHashCode(_)).values.map(_.head)
+    // the df-as-window shape: the agg+join-back alternative executed TWO
+    // corpus scans (measured); the window keys one shuffle instead
+    assert(executed.size == 1, df.queryExecution.executedPlan.toString)
+  }
+
   test("distinctive terms: tf desc, df asc, term asc rank order") {
     import spark.implicits._
     // doc 1: "a a b c"; doc 2: "b d". df: a=1 b=2 c=1 d=1.

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sinks
+
+/** The curation analog of [[Pipeline]] — one call runs the full
+  * training-data flow a 100 TB corpus run ships:
+  *
+  *   1. CURATE: the q62 verdict (dedup keep ∩ quality thresholds ∩
+  *      recognized language) selects the documents worth training on;
+  *   2. SAMPLE: the deterministic md5-threshold mix ([[ops.Sampling]])
+  *      downsamples each predicted-language stratum to its target rate;
+  *   3. SHARD: survivors' full rows land in `shards/shard=K/` by a
+  *      deterministic id hash ([[Sinks.writeShards]]) for round-robin
+  *      loader consumption;
+  *   4. MANIFEST: a one-row summary (S7 dict-lift shape) records the
+  *      stage counts, so a run is auditable without re-scanning shards.
+  *
+  * Every stage is a pure function of the input corpus — re-running the
+  * pipeline reproduces byte-identical shard membership (the property the
+  * q65 oracle pins for the sampler and SinksSpec pins for the writer).
+  * The driver-side actions are the manifest counts only (1-row
+  * aggregates, the Pipeline.run precedent); documents stream scan→shard
+  * without collecting. */
+object CurationPipeline {
+
+  /** Runs curate → sample → shard under `outDir`; returns the manifest
+    * (also written to `<outDir>/manifest`). */
+  def run(
+      spark: SparkSession, dir: String, outDir: String,
+      nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val verdict = ops.TextPipeline.curationVerdict(spark, dir)
+    val sampled = ops.Sampling.sampleFilter(verdict, "lang_pred")
+    // shards carry the FULL document row (the loader wants text, not
+    // verdict metadata): id-keyed left-semi against the sample survivors
+    val shardInput = Tables(spark, dir, "documents")
+      .join(sampled.select($"doc_id"), Seq("doc_id"), "left_semi")
+    Sinks.writeShards(shardInput, s"$outDir/shards", "doc_id", nShards)
+    // counts AFTER the write: n_sharded reads back what the loader will
+    // see, so the manifest can never overstate the shipped artifact
+    val nCorpus = Tables(spark, dir, "documents").count()
+    val nCurated = verdict.count()
+    val nSharded = spark.read.parquet(s"$outDir/shards").count()
+    val manifest = Seq(
+      (nCorpus, nCurated, nSharded, nShards.toLong)
+    ).toDF("n_corpus", "n_curated", "n_sampled", "n_shards")
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/manifest")
+    manifest
+  }
+}

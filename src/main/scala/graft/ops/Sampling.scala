@@ -47,17 +47,24 @@ object Sampling {
     * (doc_id, lang) — stable under re-runs, incremental loads, and
     * cluster re-partitioning. Unknown strata default to rate 0 (dropped):
     * an unconfigured language never silently floods the mix. */
+  /** The reusable core: tag any (doc_id, stratum) frame with its sample
+    * key and keep rows under their stratum's threshold. Pure projection —
+    * composes onto a curation verdict as cheaply as onto the raw corpus
+    * ([[graft.CurationPipeline]] applies it to q62's survivors, sampling
+    * on the PREDICTED language). */
+  def sampleFilter(df: DataFrame, stratumCol: String): DataFrame = {
+    val key = conv(
+      substring(md5(concat(lit(SAMPLE_SALT), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    val threshold: Column = RATES.foldLeft(lit(0L)) { case (acc, (l, r)) =>
+      when(col(stratumCol) === l, lit((r * HASH_SPACE).toLong)).otherwise(acc)
+    }
+    df.withColumn("sample_key", key).filter(col("sample_key") < threshold)
+  }
+
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val key = conv(
-      substring(md5(concat(lit(SAMPLE_SALT), $"doc_id".cast("string"))), 1, 8),
-      16, 10).cast("long")
-    val threshold: Column = RATES.foldLeft(lit(0L)) { case (acc, (l, r)) =>
-      when($"lang" === l, lit((r * HASH_SPACE).toLong)).otherwise(acc)
-    }
-    docs(spark, dir)
-      .withColumn("sample_key", key)
-      .filter($"sample_key" < threshold)
+    sampleFilter(docs(spark, dir), "lang")
       .select($"doc_id", $"lang", $"source", $"n_chars", $"sample_key")
   }
 

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, current_timestamp, to_date}
+import org.apache.spark.sql.functions.{col, current_timestamp, lit, pmod, to_date, xxhash64}
 import org.apache.spark.sql.types._
 
 /** Output surface — the reference's load stage re-expressed as Spark
@@ -127,6 +127,24 @@ object Sinks {
       .withColumn("event_date", to_date(col("ts")))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("event_date").parquet(path)
+
+  /** Training-shard writer: rows land in `shard=K/` directories by a
+    * DETERMINISTIC hash of their id — the layout a training loader reads
+    * round-robin. Assignment is a pure function of the row (xxhash64 of
+    * the id, mod n), so re-runs, backfills and incremental appends place
+    * every document in the same shard forever — no RNG, no global sort,
+    * no coordination. The repartition keys the ONE shuffle by the shard
+    * value itself, so each shard's rows coalesce into a single task and
+    * each directory holds exactly one file (uniform shard sizes come
+    * free from the hash). At petabyte scale raise `nShards` to the
+    * loader's file-count target; balance and determinism are unchanged. */
+  def writeShards(
+      df: DataFrame, path: String, idCol: String, nShards: Int): Unit =
+    df
+      .withColumn("shard", pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(path)
 
   /** S8: bulk export capped at `rowsPerFile` rows per output file —
     * the reference's 5 000-row INSERT chunks, executed writer-side. */

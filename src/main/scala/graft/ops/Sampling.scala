@@ -203,6 +203,40 @@ object Sampling {
        |ORDER BY a.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q74
+
+  /** Corpus stats at every grain in one pass: ROLLUP(lang, source) emits
+    * (lang, source), per-lang subtotals and the grand total from a
+    * single aggregation — the operator family (grouping sets) nothing in
+    * the reference exercises. `lvl` states the grain explicitly from
+    * NULLness (0=leaf, 1=per-lang, 3=grand total; the corpus has no null
+    * lang/source, so NULL is unambiguous here — data with nullable keys
+    * would read grouping_id() instead, which DuckDB cannot replay
+    * bit-compatibly). Spark plans rollup as ONE expand+aggregate:
+    * subtotals cost an expand factor, not extra scans. */
+  def statsRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .rollup($"lang", $"source")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"))
+      .withColumn("lvl",
+        ($"lang".isNull.cast("long") * 2 +
+          $"source".isNull.cast("long")).cast("long"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+  }
+
+  private val statsRollupOracle =
+    """SELECT lang, source,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(CASE WHEN lang IS NULL THEN 2 ELSE 0 END
+      |            + CASE WHEN source IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |         AS lvl
+      |FROM documents GROUP BY ROLLUP (lang, source)
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q65_stratified_sample",
       "deterministic md5-threshold stratified sample per language stratum",
@@ -217,5 +251,8 @@ object Sampling {
       lengthQuantiles, Some(quantilesOracle), headline = false),
     Query("q71_mix_allocation",
       "token-budget mix allocation per language: capped integer shares + exact sampling rates",
-      mixAllocation, Some(mixAllocationOracle), headline = false))
+      mixAllocation, Some(mixAllocationOracle), headline = false),
+    Query("q74_stats_rollup",
+      "ROLLUP(lang, source) corpus stats: leaf + subtotal + grand total in one expand-aggregate",
+      statsRollup, Some(statsRollupOracle), headline = false))
 }

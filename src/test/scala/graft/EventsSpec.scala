@@ -78,6 +78,36 @@ class EventsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sessionize ≡ sequential per-user fold on random streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val evs = (1L to 400L).map { id =>
+      // minute-granularity times cluster gaps around the 30-min boundary
+      ev(id, f"2024-01-01 ${rnd.nextInt(48) / 2}%02d:${rnd.nextInt(60)}%02d:00",
+        rnd.nextInt(6).toLong, "view", value = rnd.nextInt(10).toDouble)
+    }
+    val dir = fixtureDir("events" -> evs.toDF)
+    val got = graft.ops.Events.sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(4), r.getDouble(5)))
+      .toMap
+    // reference model: walk each user's (ts, id)-sorted events, cut where
+    // the gap exceeds the threshold, fold counts and sums
+    val want = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+      val sessions = sorted.foldLeft(List.empty[List[Ev]]) {
+        case (Nil, e) => List(List(e))
+        case (cur :: done, e) =>
+          val gapUs = (e.ts.getTime - cur.head.ts.getTime) * 1000L
+          if (gapUs > graft.ops.Events.SESSION_GAP_US) List(e) :: cur :: done
+          else (e :: cur) :: done
+      }.reverse.map(_.reverse)
+      sessions.zipWithIndex.map { case (s, i) =>
+        (u, (i + 1).toLong) -> (s.size.toLong, s.map(_.value).sum)
+      }
+    }
+    assert(got == want)
+  }
+
   test("props extraction: aggregates and missing-payload accounting") {
     import spark.implicits._
     val dir = fixtureDir("events" -> Seq(

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Dx
+
+/** Streaming sessionization — the streaming twin of the q66 batch
+  * operator ([[graft.ops.Events.sessionize]]): per-user gap sessions
+  * computed continuously with Spark's native `session_window` aggregate,
+  * so state management (merge-on-overlap, watermark finalization) is the
+  * engine's, not hand-rolled `flatMapGroupsWithState`.
+  *
+  * Semantics vs batch: a session WINDOW spans [first event, last event +
+  * gap); append mode emits a session only once the watermark passes its
+  * end — i.e. only sessions that can no longer grow. Boundary note: the
+  * batch sessionizer keeps an exactly-gap successor in-session (strict >
+  * splits) while session_window starts a new window at start+gap (≥
+  * splits); a production deployment picks one convention — the
+  * equivalence test pins both engines' agreement away from the exact
+  * boundary, where every event stream in practice lives.
+  *
+  * 100 TB design: state is one (user, open-window) row bounded by the
+  * watermark delay — idle users' sessions finalize and leave state; the
+  * same RocksDB/eviction knobs as the ledger suite apply. Output is
+  * exactly the per-session aggregate the batch report computes, with the
+  * same exact-decimal value totals ([[Dx.dsum]]). */
+object StreamingSessions {
+
+  /** Closed sessions per user: (user_id, session_start, session_end,
+    * n_events, total_value); `session_end` is the LAST EVENT time (the
+    * batch q66 convention), not the window end (last + gap). */
+  def sessionStream(
+      events: DataFrame, gap: String = "30 minutes",
+      delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).cast("long").as("n_events"),
+        Dx.dsum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+}

@@ -283,6 +283,40 @@ class StreamingSpec extends SparkSpec {
     assert(valid.select("quantity").head().getDouble(0) == 5.0)
   }
 
+  test("streaming sessions ≡ batch sessionize for closed sessions") {
+    import graft.streaming.StreamingSessions
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = StreamingSessions.sessionStream(input.toDF())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    def e(id: Long, t: String, u: Long, v: Double) =
+      Ev(id, ts(t), u, "view", v, "{}")
+    val evs = Seq(
+      e(1, "2024-01-01 10:00:00", 7, 1.5),
+      e(2, "2024-01-01 10:20:00", 7, 2.5), // same session
+      e(3, "2024-01-01 11:00:00", 7, 4.0), // 40 min gap → new session
+      e(4, "2024-01-01 10:05:00", 8, 1.0))
+    try {
+      input.addData(evs: _*)
+      query.processAllAvailable()
+      // advance the watermark far past every session end + delay
+      input.addData(e(99, "2024-01-02 08:00:00", 9, 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("sessions_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3),
+          r.getDouble(4))).toSet
+      // batch twin over the same closed data (excluding the watermark
+      // driver row, whose own session is still open)
+      val dir = fixtureDir("events" -> evs.toDF)
+      val batch = graft.ops.Events.sessionize(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(4),
+          r.getDouble(5))).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 3)
+    } finally query.stop()
+  }
+
   test("streaming dedup: first-seen wins within and across micro-batches") {
     import graft.streaming.{StreamDoc, StreamingDedup}
     implicit val sqlCtx = spark.sqlContext

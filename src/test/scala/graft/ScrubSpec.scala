@@ -27,6 +27,28 @@ class ScrubSpec extends SparkSpec {
     assert(r(3L).getAs[Boolean]("pii_free"))
   }
 
+  test("decontamination: shared shingle with an eval doc flags the train doc") {
+    def isEval(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((Scrub.EVAL_SALT + id.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) < Scrub.EVAL_THRESHOLD
+    }
+    val evalId = (0L until 1000L).find(isEval).get
+    val Seq(dirty, clean) = (0L until 1000L).filterNot(isEval).take(2)
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(evalId, "secret eval answer tokens here"),
+      Doc(dirty, "prefix words secret eval answer suffix"), // shares a shingle
+      Doc(clean, "wholly unrelated training content")).toDF)
+    val r = Scrub.decontaminate(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(dirty, clean), "eval docs never appear in output")
+    assert(r(dirty).getAs[Long]("n_eval_hits") >= 1L)
+    assert(!r(dirty).getAs[Boolean]("clean"))
+    assert(r(clean).getAs[Long]("n_eval_hits") == 0L)
+    assert(r(clean).getAs[Boolean]("clean"))
+  }
+
   test("an IPv4 is not half-eaten by the phone pattern") {
     // "10.0.0.1" is too short for PHONE_RE's {7,} interior, so the IP
     // pass sees it intact; a longer dotted-digit run WOULD be a phone

@@ -196,11 +196,64 @@ object Terms {
       |  FROM tf JOIN df USING (term))
       |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+
+  /** Context-window size and stride (tokens): 32-token chunks every 24
+    * tokens ⇒ 8 tokens of overlap, the standard train-prep shape scaled
+    * to the fixture corpus (a SOTA run uses e.g. 8192/7680 — same code,
+    * different literals). */
+  val CHUNK_TOKENS = 32
+  val CHUNK_STRIDE = 24
+
+  /** Context-length chunking — the training-prep step between curation
+    * and sharding: each document becomes overlapping token windows with
+    * DETERMINISTIC (doc_id, chunk_idx) identity, so chunk membership
+    * survives re-runs and incremental loads the way the sampler's hash
+    * membership does. A chunk starts at every stride multiple below the
+    * token count (trailing short chunks are kept — they carry the
+    * document tail; a sub-stride document yields exactly one chunk).
+    *
+    * 100 TB shape: pure projection + posexplode — chunking happens in
+    * the scan stage, no shuffle; output rows carry (ids, text slice),
+    * ready for [[graft.sources.Sinks.writeShards]]. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", $"lang", split($"text", " ").as("l"))
+      .select($"doc_id", $"lang", posexplode(expr(
+        s"""transform(sequence(0, size(l) - 1, $CHUNK_STRIDE),
+           |  s -> concat_ws(' ', slice(l, s + 1, $CHUNK_TOKENS)))"""
+          .stripMargin)))
+      .select($"doc_id", $"lang",
+        $"pos".cast("long").as("chunk_idx"),
+        $"col".as("chunk_text"),
+        (size(split($"col", " "))).cast("long").as("chunk_tokens"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  private val chunkOracle =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+       |           FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang,
+       |         CAST(s // $CHUNK_STRIDE AS BIGINT) AS chunk_idx,
+       |         array_to_string(l[s + 1 : s + $CHUNK_TOKENS], ' ')
+       |           AS chunk_text
+       |  FROM t, unnest(range(0, len(l), $CHUNK_STRIDE)) AS u(s)
+       |)
+       |SELECT doc_id, lang, chunk_idx, chunk_text,
+       |       CAST(len(string_split(chunk_text, ' ')) AS BIGINT)
+       |         AS chunk_tokens
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q64_repetition_signals",
       "Gopher-style repetition filters: duplicate-token and top n-gram char fractions per doc",
       repetitionSignals, Some(repetitionOracle), headline = false),
     Query("q68_distinctive_terms",
       "top-5 distinctive terms per doc, exact-rank TF-IDF (tf desc, df asc)",
-      distinctiveTerms, Some(distinctiveOracle), headline = false))
+      distinctiveTerms, Some(distinctiveOracle), headline = false),
+    Query("q76_context_chunks",
+      "context-length chunking: 32-token windows at stride 24 with deterministic (doc, idx) identity",
+      chunkDocs, Some(chunkOracle), headline = false))
 }

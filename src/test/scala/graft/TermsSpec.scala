@@ -55,6 +55,26 @@ class TermsSpec extends SparkSpec {
     assert(executed.size == 1, df.queryExecution.executedPlan.toString)
   }
 
+  test("chunking: stride windows, overlap, short tail, sub-stride doc") {
+    import spark.implicits._
+    // 40 tokens → starts 0, 24: chunk0 = t1..t32, chunk1 = t25..t40 (16)
+    val t40 = (1 to 40).map(i => s"t$i")
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(1L, t40.mkString(" ")),
+      Doc(2L, "tiny doc")).toDF)
+    val r = Terms.chunkDocs(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(2)) -> x).toMap
+    assert(r.keySet == Set((1L, 0L), (1L, 1L), (2L, 0L)))
+    assert(r((1L, 0L)).getAs[Long]("chunk_tokens") == 32L)
+    assert(r((1L, 0L)).getAs[String]("chunk_text").startsWith("t1 t2 "))
+    assert(r((1L, 1L)).getAs[Long]("chunk_tokens") == 16L)
+    assert(r((1L, 1L)).getAs[String]("chunk_text") ==
+      (25 to 40).map(i => s"t$i").mkString(" "))
+    // overlap: tokens 25..32 appear in both chunks
+    assert(r((1L, 0L)).getAs[String]("chunk_text").endsWith("t32"))
+    assert(r((2L, 0L)).getAs[String]("chunk_text") == "tiny doc")
+  }
+
   test("distinctive terms: tf desc, df asc, term asc rank order") {
     import spark.implicits._
     // doc 1: "a a b c"; doc 2: "b d". df: a=1 b=2 c=1 d=1.

@@ -145,6 +145,55 @@ object Events {
       |         AS touch_gap_us
       |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+
+  /** Anchor for the integer day axis (any fixed date works; pinned so
+    * both engines compute identical offsets). */
+  private val DAY_EPOCH = "1970-01-01"
+
+  /** 7-day trailing moving average of daily event counts — the smoothing
+    * pass every ops dashboard runs. The frame is a RANGE over an integer
+    * day offset (days since epoch), so the window is CALENDAR-correct
+    * even when days are missing from the data: a gap day simply
+    * contributes nothing, and the average divides by the frame's actual
+    * row count on both engines (explicit sum/count, not the builtin avg,
+    * so the arithmetic is pinned). Daily grain first (one agg collapses
+    * the events), then an unpartitioned-but-tiny window over ≤ a few
+    * thousand day rows — date-grain data, never event-grain, crosses the
+    * window. */
+  def dailyMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // TIMESTAMP bucket (date_trunc), matching the trend reports' type —
+    // a DATE-typed output column desyncs the comparator's pandas dtypes
+    val daily = events(spark, dir)
+      .select(date_trunc("day", $"ts").as("day"))
+      .groupBy($"day")
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .withColumn("day_off",
+        datediff($"day".cast("date"), lit(DAY_EPOCH).cast("date")))
+    val w = Window.orderBy($"day_off").rangeBetween(-6, 0)
+    daily
+      .select($"day", $"n_events",
+        (sum($"n_events").over(w).cast("double") /
+          count(lit(1)).over(w)).as("ma7"))
+      .orderBy($"day")
+  }
+
+  private val dailyMovingAvgOracle =
+    s"""WITH daily AS (
+       |  SELECT date_trunc('day', ts) AS day,
+       |         CAST(COUNT(*) AS BIGINT) AS n_events,
+       |         CAST(date_trunc('day', ts) AS DATE) - DATE '$DAY_EPOCH'
+       |           AS day_off
+       |  FROM events GROUP BY 1, 3)
+       |SELECT day, n_events,
+       |       CAST(SUM(n_events) OVER w AS DOUBLE)
+       |         / COUNT(*) OVER w AS ma7
+       |FROM daily
+       |WINDOW w AS (ORDER BY day_off RANGE BETWEEN 6 PRECEDING
+       |             AND CURRENT ROW)
+       |ORDER BY day""".stripMargin
+
   // ---------------------------------------------------------------- q73
 
   /** Semi-structured extraction: pull the numeric `k` field out of the
@@ -195,5 +244,8 @@ object Events {
       asofAttribution, Some(asofOracle), headline = false),
     Query("q73_props_extract",
       "JSON props field extraction + per-type aggregates (scan-stage projection)",
-      propsExtract, Some(propsExtractOracle), headline = false))
+      propsExtract, Some(propsExtractOracle), headline = false),
+    Query("q78_daily_moving_avg",
+      "7-day trailing moving average via a calendar-correct integer RANGE frame",
+      dailyMovingAvg, Some(dailyMovingAvgOracle), headline = false))
 }

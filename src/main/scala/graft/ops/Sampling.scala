@@ -203,6 +203,42 @@ object Sampling {
        |ORDER BY a.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q77
+
+  /** Length quartiles as NTILE(4) per language — the tier assignment a
+    * curation run uses to stratify by document size (tier 1 = shortest
+    * quarter). Ordering ties are pinned by doc_id so both engines place
+    * equal-length docs in the same tier; NTILE's uneven-division rule
+    * (larger groups first) is SQL-standard in both. One shuffle keyed by
+    * lang; the tier aggregate collapses before output. */
+  def lengthQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    docs(spark, dir)
+      .select($"lang", $"doc_id", $"n_chars",
+        ntile(4).over(w).cast("long").as("tier"))
+      .groupBy($"lang", $"tier")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        min($"n_chars").cast("long").as("min_chars"),
+        max($"n_chars").cast("long").as("max_chars"),
+        (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy($"lang", $"tier")
+  }
+
+  private val quartilesOracle =
+    """SELECT lang, tier,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+      |FROM (SELECT lang, n_chars,
+      |             CAST(NTILE(4) OVER (PARTITION BY lang
+      |                                 ORDER BY n_chars, doc_id) AS BIGINT)
+      |               AS tier
+      |      FROM documents)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- q74
 
   /** Corpus stats at every grain in one pass: ROLLUP(lang, source) emits
@@ -254,5 +290,8 @@ object Sampling {
       mixAllocation, Some(mixAllocationOracle), headline = false),
     Query("q74_stats_rollup",
       "ROLLUP(lang, source) corpus stats: leaf + subtotal + grand total in one expand-aggregate",
-      statsRollup, Some(statsRollupOracle), headline = false))
+      statsRollup, Some(statsRollupOracle), headline = false),
+    Query("q77_length_quartiles",
+      "NTILE(4) size tiers per language with pinned tie order, per-tier stats",
+      lengthQuartiles, Some(quartilesOracle), headline = false))
 }

@@ -125,6 +125,26 @@ class EventsSpec extends SparkSpec {
     assert(r("click").isNullAt(r("click").fieldIndex("total_k")))
   }
 
+  test("moving average: RANGE frame spans calendar days across a gap") {
+    import spark.implicits._
+    // Jan 1: 2 events, Jan 2: 4, Jan 10: 6 — Jan 10's 7-day frame
+    // [Jan 4..Jan 10] contains ONLY Jan 10 (the gap days contribute
+    // nothing and the divisor is the frame's real row count)
+    val dir = fixtureDir("events" -> Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view"),
+      ev(2, "2024-01-01 11:00:00", 1, "view"),
+      ev(3, "2024-01-02 10:00:00", 1, "view"),
+      ev(4, "2024-01-02 11:00:00", 2, "view"),
+      ev(5, "2024-01-02 12:00:00", 2, "view"),
+      ev(6, "2024-01-02 13:00:00", 2, "view"),
+      ev(7, "2024-01-10 10:00:00", 3, "view")).toDF)
+    val r = graft.ops.Events.dailyMovingAvg(spark, dir).collect()
+      .map(x => x.getTimestamp(0).toString.substring(0, 10) -> x.getDouble(2)).toMap
+    assert(r("2024-01-01") == 2.0)
+    assert(r("2024-01-02") == 3.0) // (2+4)/2
+    assert(r("2024-01-10") == 1.0) // frame excludes Jan 1-2 → only itself
+  }
+
   test("both operators shuffle once, keyed by user") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

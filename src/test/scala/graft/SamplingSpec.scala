@@ -58,6 +58,23 @@ class SamplingSpec extends SparkSpec {
     assert(r("xx").getLong(2) == 0L && r("xx").getLong(4) == 0L)
   }
 
+  test("length quartiles: ntile division and tie placement are pinned") {
+    import spark.implicits._
+    // 6 docs, lengths 10,10,20,30,40,50 → NTILE(4) groups sizes 2,2,1,1:
+    // tier1 = {10,10}, tier2 = {20,30}, tier3 = {40}, tier4 = {50}
+    val docsDf = Seq(
+      Doc(1L, "a" * 10), Doc(2L, "b" * 10), Doc(3L, "c" * 20),
+      Doc(4L, "d" * 30), Doc(5L, "e" * 40), Doc(6L, "f" * 50)).toDF
+    val dir = fixtureDir("documents" -> docsDf)
+    val r = Sampling.lengthQuartiles(spark, dir).collect()
+      .map(x => x.getLong(1) -> (x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toMap
+    assert(r(1L) == ((2L, 10L, 10L)))
+    assert(r(2L) == ((2L, 20L, 30L)))
+    assert(r(3L) == ((1L, 40L, 40L)))
+    assert(r(4L) == ((1L, 50L, 50L)))
+  }
+
   test("length quantiles: single-value stratum returns that value at all p") {
     import spark.implicits._
     val dir = fixtureDir("documents" -> Seq(Doc(1L, "e" * 7)).toDF)

@@ -32,23 +32,36 @@ object CurationPipeline {
       spark: SparkSession, dir: String, outDir: String,
       nShards: Int = 8): DataFrame = {
     import spark.implicits._
-    val verdict = ops.TextPipeline.curationVerdict(spark, dir)
-    val sampled = ops.Sampling.sampleFilter(verdict, "lang_pred")
-    // shards carry the FULL document row (the loader wants text, not
-    // verdict metadata): id-keyed left-semi against the sample survivors
-    val shardInput = Tables(spark, dir, "documents")
-      .join(sampled.select($"doc_id"), Seq("doc_id"), "left_semi")
-    Sinks.writeShards(shardInput, s"$outDir/shards", "doc_id", nShards)
-    // counts AFTER the write: n_sharded reads back what the loader will
-    // see, so the manifest can never overstate the shipped artifact
-    val nCorpus = Tables(spark, dir, "documents").count()
-    val nCurated = verdict.count()
-    val nSharded = spark.read.parquet(s"$outDir/shards").count()
-    val manifest = Seq(
-      (nCorpus, nCurated, nSharded, nShards.toLong)
-    ).toDF("n_corpus", "n_curated", "n_sampled", "n_shards")
-    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/manifest")
-    manifest
+    // the verdict is the pipeline's dominant plan (the q62 dedup
+    // composition) and is consumed twice — by the shard write and by the
+    // manifest count — so persist it for the run's duration; id-and-
+    // metadata-sized, never the text
+    val verdict = ops.TextPipeline.curationVerdict(spark, dir).persist()
+    try {
+      val sampled = ops.Sampling.sampleFilter(verdict, "lang_pred")
+      // shards carry the FULL document row (the loader wants text, not
+      // verdict metadata): id-keyed left-semi against the sample survivors
+      val shardInput = Tables(spark, dir, "documents")
+        .join(sampled.select($"doc_id"), Seq("doc_id"), "left_semi")
+      Sinks.writeShards(shardInput, s"$outDir/shards", "doc_id", nShards)
+      // counts AFTER the write: n_sharded reads back what the loader will
+      // see, so the manifest can never overstate the shipped artifact
+      val nCorpus = Tables(spark, dir, "documents").count()
+      val nCurated = verdict.count()
+      val nSharded = spark.read.parquet(s"$outDir/shards").count()
+      val manifest = Seq(
+        (nCorpus, nCurated, nSharded, nShards.toLong)
+      ).toDF("n_corpus", "n_curated", "n_sampled", "n_shards")
+      manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/manifest")
+      manifest
+    } finally {
+      verdict.unpersist()
+      // the verdict's dedup stage pins its own (id, digest) projection
+      // (TextPipeline.dedupBase) whose handle is module-private; this is
+      // a top-level entry point like Verify/Bench, so it honors the same
+      // contract — no caches outlive the run
+      spark.catalog.clearCache()
+    }
   }
 }

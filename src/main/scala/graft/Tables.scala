@@ -108,6 +108,16 @@ object Dx {
     s"CAST(SUM(CAST((floor(($e)*100.0 + 0.5)/100.0) AS DECIMAL(30,6))) AS DOUBLE)"
   def sqlRound2(e: String): String = s"(floor(($e)*100.0 + 0.5)/100.0)"
 
+  /** Deterministic hash-membership key: the first 8 hex chars of
+    * md5(salt ‖ id) as a long in [0, 2³²) — the device behind stratified
+    * sampling and the eval-set carve (membership is a pure function of
+    * the row, stable under re-runs and re-partitioning). Shared here so
+    * every consumer keys the SAME 32-bit prefix; the DuckDB twin is
+    * [[sqlHex2Long]] over the same md5 expression. */
+  def hashKey(salt: String, id: Column): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
   /** DuckDB-side parse of the first `n` hex chars of expression `h` (a hex
     * string, e.g. md5 output) into a BIGINT — DuckDB has no conv(); Spark
     * side uses conv(substring(h,1,n),16,10). Generated as a positional

@@ -53,13 +53,11 @@ object Sampling {
     * ([[graft.CurationPipeline]] applies it to q62's survivors, sampling
     * on the PREDICTED language). */
   def sampleFilter(df: DataFrame, stratumCol: String): DataFrame = {
-    val key = conv(
-      substring(md5(concat(lit(SAMPLE_SALT), col("doc_id").cast("string"))),
-        1, 8), 16, 10).cast("long")
     val threshold: Column = RATES.foldLeft(lit(0L)) { case (acc, (l, r)) =>
       when(col(stratumCol) === l, lit((r * HASH_SPACE).toLong)).otherwise(acc)
     }
-    df.withColumn("sample_key", key).filter(col("sample_key") < threshold)
+    df.withColumn("sample_key", Dx.hashKey(SAMPLE_SALT, col("doc_id")))
+      .filter(col("sample_key") < threshold)
   }
 
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {

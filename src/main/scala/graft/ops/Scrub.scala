@@ -41,36 +41,42 @@ object Scrub {
 
   /** Redact emails → phones → IPv4 (fixed order, so overlapping spans
     * resolve identically everywhere) and report per-doc match counts and
-    * a `pii_free` verdict. */
+    * a `pii_free` verdict. Each count is taken on the text AS THAT PASS
+    * SEES IT (phones counted after email redaction, IPs after phone
+    * redaction), so a digit run inside an already-redacted email can
+    * never inflate n_phones — the evidence columns report exactly the
+    * replacements their pass performed. */
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir)
+      .withColumn("t1", regexp_replace($"text", EMAIL_RE, "<EMAIL>"))
+      .withColumn("t2", regexp_replace($"t1", PHONE_RE, "<PHONE>"))
       .select($"doc_id",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace($"text", EMAIL_RE, "<EMAIL>"),
-            PHONE_RE, "<PHONE>"),
-          IPV4_RE, "<IP>").as("text_clean"),
+        regexp_replace($"t2", IPV4_RE, "<IP>").as("text_clean"),
         regexp_count($"text", lit(EMAIL_RE)).cast("long").as("n_emails"),
-        regexp_count($"text", lit(PHONE_RE)).cast("long").as("n_phones"),
-        regexp_count($"text", lit(IPV4_RE)).cast("long").as("n_ips"))
+        regexp_count($"t1", lit(PHONE_RE)).cast("long").as("n_phones"),
+        regexp_count($"t2", lit(IPV4_RE)).cast("long").as("n_ips"))
       .withColumn("pii_free",
         $"n_emails" + $"n_phones" + $"n_ips" === 0)
   }
 
   private val piiScrubOracle =
-    s"""SELECT doc_id,
-       |  regexp_replace(regexp_replace(regexp_replace(text,
-       |    '$EMAIL_RE', '<EMAIL>', 'g'),
-       |    '$PHONE_RE', '<PHONE>', 'g'),
-       |    '$IPV4_RE', '<IP>', 'g') AS text_clean,
+    s"""WITH p AS (
+       |  SELECT doc_id, text,
+       |         regexp_replace(text, '$EMAIL_RE', '<EMAIL>', 'g') AS t1
+       |  FROM documents
+       |), q AS (
+       |  SELECT *, regexp_replace(t1, '$PHONE_RE', '<PHONE>', 'g') AS t2
+       |  FROM p)
+       |SELECT doc_id,
+       |  regexp_replace(t2, '$IPV4_RE', '<IP>', 'g') AS text_clean,
        |  CAST(len(regexp_extract_all(text, '$EMAIL_RE')) AS BIGINT) AS n_emails,
-       |  CAST(len(regexp_extract_all(text, '$PHONE_RE')) AS BIGINT) AS n_phones,
-       |  CAST(len(regexp_extract_all(text, '$IPV4_RE')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(t1, '$PHONE_RE')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t2, '$IPV4_RE')) AS BIGINT) AS n_ips,
        |  (len(regexp_extract_all(text, '$EMAIL_RE'))
-       |   + len(regexp_extract_all(text, '$PHONE_RE'))
-       |   + len(regexp_extract_all(text, '$IPV4_RE'))) = 0 AS pii_free
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |   + len(regexp_extract_all(t1, '$PHONE_RE'))
+       |   + len(regexp_extract_all(t2, '$IPV4_RE'))) = 0 AS pii_free
+       |FROM q ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q75
 
@@ -103,9 +109,8 @@ object Scrub {
     * without re-reading text. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def evalTag = (conv(
-      substring(md5(concat(lit(EVAL_SALT), $"doc_id".cast("string"))), 1, 8),
-      16, 10).cast("long") < EVAL_THRESHOLD).cast("int")
+    def evalTag =
+      (Dx.hashKey(EVAL_SALT, $"doc_id") < EVAL_THRESHOLD).cast("int")
     val sh = TextPipeline.shingles(spark, dir)
       .withColumn("is_eval", evalTag)
     val hits = sh

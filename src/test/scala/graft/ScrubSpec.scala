@@ -27,6 +27,17 @@ class ScrubSpec extends SparkSpec {
     assert(r(3L).getAs[Boolean]("pii_free"))
   }
 
+  test("a digit-run inside a redacted email never counts as a phone") {
+    // evidence is taken per PASS (phones counted after email redaction),
+    // so the 12-digit local part below yields n_emails=1, n_phones=0
+    val dir = fixtureDir("documents" ->
+      Seq(Doc(1, "contact 123456789012@corp.com now")).toDF)
+    val row = Scrub.piiScrub(spark, dir).collect().head
+    assert(row.getAs[String]("text_clean") == "contact <EMAIL> now")
+    assert(row.getAs[Long]("n_emails") == 1L)
+    assert(row.getAs[Long]("n_phones") == 0L)
+  }
+
   test("decontamination: shared shingle with an eval doc flags the train doc") {
     def isEval(id: Long): Boolean = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -133,7 +133,12 @@ object Bench {
     // Durable artifact FIRST (round-5 verdict item 4: a tail-captured
     // stdout window truncated the total once aux grew) — the file is the
     // self-contained record regardless of how stdout is captured.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // A focused BENCH_ONLY run lands in its own file: the committed
+    // BENCH_LAST.json is the FULL-registry record, and a perf-iteration
+    // subset overwriting it once shipped a 0.0-total artifact.
+    val defaultOut =
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LAST.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

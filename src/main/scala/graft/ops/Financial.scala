@@ -314,6 +314,32 @@ object Financial {
     s"""SELECT l_partkey AS part_id, ${Dx.sqlDsum(REV)} AS revenue
        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q79: revenue per supplier nation through the SALTED shuffle join
+    * ([[Scale.saltedJoin]]) — the JOIN-side skew treatment, completing
+    * q51's aggregation-side twin. The supplier dim plays the
+    * "too-big-to-broadcast, hot-key" role (s_suppkey is the fixture's
+    * warehouse id, and warehouse-keyed facts are exactly where one busy
+    * warehouse goes hot); the oracle is the PLAIN join+agg, so the driver
+    * proves salted ≡ direct row-for-row. Decimal revenue sums make the
+    * reduce order irrelevant, same as q51. */
+  def saltedJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fact = Tables(spark, dir, "lineitem")
+      .select($"l_suppkey", $"l_orderkey",
+        expr(REV).cast(DecimalType(30, 6)).as("rev_dec"))
+    val dim = Tables(spark, dir, "supplier")
+      .select($"s_suppkey".as("l_suppkey"), $"s_nationkey".as("nation_id"))
+    Scale.saltedJoin(fact, dim, Seq("l_suppkey"), $"l_orderkey")
+      .groupBy($"nation_id")
+      .agg(sum($"rev_dec").cast("double").as("revenue"))
+      .orderBy($"nation_id")
+  }
+
+  private val saltedJoinRevenueOracle =
+    s"""SELECT s_nationkey AS nation_id, ${Dx.sqlDsum(REV)} AS revenue
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q01_pricing_summary",
       "TPC-H-Q1-style scan→hash-agg pricing summary over lineitem",
@@ -341,5 +367,8 @@ object Financial {
       runningRevenue, Some(runningRevenueOracle)),
     Query("q51_salted_revenue",
       "revenue per part via two-stage salted aggregation ≡ direct agg (skew tool)",
-      saltedRevenue, Some(saltedRevenueOracle), headline = false))
+      saltedRevenue, Some(saltedRevenueOracle), headline = false),
+    Query("q79_salted_join_revenue",
+      "nation revenue via salted shuffle join ≡ plain join (join-side skew tool)",
+      saltedJoinRevenue, Some(saltedJoinRevenueOracle), headline = false))
 }

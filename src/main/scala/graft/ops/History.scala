@@ -1,0 +1,147 @@
+package graft.ops
+
+import graft.{Dx, Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time stock history — an SCD-2 (type-2 slowly-changing
+  * dimension) view of the movement ledger.
+  *
+  * The reference keeps only CURRENT state: `stock.quantity_on_hand`
+  * (`database/schema.sql:95-98`) is overwritten by the movement trigger
+  * (`database_function/triggers.sql`), so "what was on hand on date D" is
+  * answerable only by re-scanning `stock_movements`. This module
+  * materializes that answer once: per (product, warehouse) cell, the
+  * ledger replays into balance INTERVALS `[valid_from, valid_to)` — one
+  * row per balance CHANGE, open-ended (`valid_to` null) for the current
+  * value — so any as-of probe is an interval predicate, not a replay.
+  * The audit/CDC diff (P5, q38) answers "what changed between two
+  * snapshots"; this answers "what was true at any instant" — the two
+  * temporal queries a warehouse audit needs.
+  *
+  * Shape (one scan, two cell-partitioned windows):
+  *  1. partial+final hash agg → daily net movement per cell-day;
+  *  2. running decimal sum over the cell's days — the window partitions
+  *     by cell, so no task ever holds more than one cell's history (the
+  *     global-window trap [[Scale.prefixSum]] exists for does not arise);
+  *  3. gaps-and-islands collapse: a day whose net change is zero leaves
+  *     the balance unchanged — `lag` drops it, `lead` over the SURVIVORS
+  *     closes each interval at the next genuine change.
+  *
+  * Exactness: balances accumulate as DECIMAL(30,6) sub-sums (associative,
+  * order-free) and cast to double only at the edge, so the q82 driver
+  * entry can prove interval-probe ≡ direct ledger replay BIT-EXACTLY —
+  * the invariant that makes the history table a safe substitute for
+  * replay at 100 TB (replay scans the fact; the probe scans an
+  * interval-filtered, cell-keyed dimension).
+  *
+  * Fixture mapping (FIXTURES.md §3): cell = (l_partkey, l_suppkey), day =
+  * l_shipdate::date, signed quantity = the transfer-leg sign convention
+  * ('R' legs negate, [[Warehouse.transfersOut]]).
+  */
+object History {
+
+  /** Signed movement quantity — the OUT-leg negation (C11). */
+  private val SIGNED =
+    "CASE WHEN l_returnflag = 'R' THEN -l_quantity ELSE l_quantity END"
+
+  /** Pinned as-of instant for the q82 probe (C2 discipline: a pinned
+    * default keeps the oracle reproducible; callers pass any date). */
+  val AS_OF_PROBE = "1998-06-15"
+
+  /** Daily net movement per (part, warehouse, day) — one hash agg. */
+  private def dailyNet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      // day-truncated TIMESTAMP, not DATE: both engines type date_trunc
+      // identically (the q11 bucket convention), keeping the hash compare
+      // type-exact
+      .groupBy(
+        $"l_partkey".as("part_id"),
+        $"l_suppkey".as("warehouse_id"),
+        date_trunc("day", $"l_shipdate").as("valid_from"))
+      .agg(Dx.decSum(expr(SIGNED)).as("net_dec"))
+  }
+
+  /** q80: the SCD-2 stock history — one row per balance change per cell,
+    * `[valid_from, valid_to)` half-open, `valid_to` null on the current
+    * interval, exact-decimal balance surfaced as double. */
+  def stockHistory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byDay = Window
+      .partitionBy($"part_id", $"warehouse_id")
+      .orderBy($"valid_from")
+    val bal = dailyNet(spark, dir)
+      .withColumn("bal_dec",
+        sum($"net_dec").over(
+          byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_dec", lag($"bal_dec", 1).over(byDay))
+    // gaps-and-islands: keep only genuine changes, then close intervals
+    // over the surviving rows (lead AFTER the filter — the next row in
+    // the filtered frame is the next CHANGE, not the next ledger day).
+    bal
+      .filter($"prev_dec".isNull || $"bal_dec" =!= $"prev_dec")
+      .withColumn("valid_to", lead($"valid_from", 1).over(byDay))
+      .select($"part_id", $"warehouse_id", $"valid_from", $"valid_to",
+        $"bal_dec".cast("double").as("stock_level"))
+  }
+
+  private val stockHistoryOracle =
+    s"""WITH daily AS (
+       |  SELECT l_partkey AS part_id, l_suppkey AS warehouse_id,
+       |         date_trunc('day', l_shipdate) AS valid_from,
+       |         SUM(CAST(($SIGNED) AS DECIMAL(30,6))) AS net_dec
+       |  FROM lineitem GROUP BY 1, 2, 3
+       |), bal AS (
+       |  SELECT part_id, warehouse_id, valid_from,
+       |         SUM(net_dec) OVER w AS bal_dec
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY part_id, warehouse_id ORDER BY valid_from
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), ch AS (
+       |  SELECT *, LAG(bal_dec) OVER (PARTITION BY part_id, warehouse_id
+       |                               ORDER BY valid_from) AS prev_dec
+       |  FROM bal
+       |)
+       |SELECT part_id, warehouse_id, valid_from,
+       |       LEAD(valid_from) OVER (PARTITION BY part_id, warehouse_id
+       |                              ORDER BY valid_from) AS valid_to,
+       |       CAST(bal_dec AS DOUBLE) AS stock_level
+       |FROM ch WHERE prev_dec IS NULL OR bal_dec <> prev_dec
+       |ORDER BY part_id, warehouse_id, valid_from""".stripMargin
+
+  /** q82: point-in-time probe of the history — stock per cell at `asOf`
+    * as a pure interval predicate over [[stockHistory]]. The ORACLE is
+    * the DIRECT LEDGER REPLAY at the same instant (not a re-derivation of
+    * the intervals), so the driver proves the history table answers
+    * as-of questions exactly as a full fact re-scan would. */
+  def stockAsOf(spark: SparkSession, dir: String,
+      asOf: Column = lit(AS_OF_PROBE)): DataFrame = {
+    import spark.implicits._
+    val d = to_date(asOf).cast("timestamp") // midnight of the probe day
+    stockHistory(spark, dir)
+      .filter($"valid_from" <= d && ($"valid_to".isNull || $"valid_to" > d))
+      .select($"part_id", $"warehouse_id", $"stock_level")
+  }
+
+  private val stockAsOfOracle =
+    s"""SELECT l_partkey AS part_id, l_suppkey AS warehouse_id,
+       |       ${Dx.sqlDsum(SIGNED)} AS stock_level
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) <= DATE '$AS_OF_PROBE'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val all: Seq[Query] = Seq(
+    Query("q80_stock_history_scd2",
+      "SCD-2 stock history: ledger → balance-change intervals per cell (gaps-and-islands)",
+      (s, d) => stockHistory(s, d)
+        .orderBy("part_id", "warehouse_id", "valid_from"),
+      Some(stockHistoryOracle), headline = false,
+      benchFn = Some(stockHistory)),
+    Query("q82_stock_asof",
+      "point-in-time stock via interval probe ≡ direct ledger replay at the pinned instant",
+      (s, d) => stockAsOf(s, d).orderBy("part_id", "warehouse_id"),
+      Some(stockAsOfOracle), headline = false,
+      benchFn = Some((s: SparkSession, d: String) => stockAsOf(s, d))))
+}

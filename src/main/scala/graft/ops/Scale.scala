@@ -107,6 +107,41 @@ object Scale {
       .drop("__pid", "__off", "__tot")
   }
 
+  /** SALTED shuffle join — the skew treatment for a fact⋈dim join whose
+    * key distribution is pathological AND whose dim side is too large to
+    * broadcast (the broadcast join is always the first resort; AQE's
+    * skew-join split handles moderate skew between those two). The fact
+    * side gets a deterministic salt in [0, nSalts) derived by hashing a
+    * caller-chosen high-cardinality column (NOT a random number — retries
+    * and speculative tasks must salt identically); the dim side is
+    * replicated once per salt value via a single `explode` (dim×nSalts
+    * rows — the memory price of the device, which is why nSalts stays
+    * small). Joining on key ⧺ salt spreads one hot key's fact rows over
+    * `nSalts` reducers while every fact row still meets exactly one
+    * replica of its dim match — so salted ≡ plain inner join, row for
+    * row, for ANY key distribution (the q79 driver entry proves it
+    * against the plain-join DuckDB oracle).
+    *
+    * The join carries a `shuffle_hash` hint: at demo scale Spark would
+    * broadcast the exploded dim (defeating the device being exercised);
+    * at deploy scale a shuffled hash join is the plan this device exists
+    * for — the replicated dim partitions stay build-side-sized, and the
+    * salt bounds the largest fact partition at hot_key_rows / nSalts. */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      spread: Column,
+      nSalts: Int = 16): DataFrame = {
+    val salts = array((0 until nSalts).map(lit): _*)
+    fact
+      .withColumn("__salt", pmod(hash(spread), lit(nSalts)))
+      .join(
+        dim.withColumn("__salt", explode(salts)).hint("shuffle_hash"),
+        keys :+ "__salt")
+      .drop("__salt")
+  }
+
   /** Two-stage SALTED aggregation — the skew treatment for a hash agg
     * whose key distribution is pathological (one hot key receiving a
     * large share of a 100 TB fact: its single reduce task dominates the

@@ -157,6 +157,61 @@ object Scrub {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q81
+
+  /** Caller-declared eval-shingle capacity for the q81 bloom (plan-time
+    * constant — a production eval suite's size is config, not a runtime
+    * probe; overflow only degrades the prescreen's selectivity). */
+  val EVAL_SHINGLE_CAPACITY: Long = 1L << 20
+
+  /** q81: [[decontaminate]] with a BLOOM-FILTER PRESCREEN — the 100 TB
+    * deploy shape the q75 scaladoc names. The eval shingle set aggregates
+    * into Spark's own `BloomFilterAggregate` (via [[graft.functions.Bloom]])
+    * and rides to the probe side as a SCALAR SUBQUERY — executed once,
+    * shipped to executors like a broadcast, no driver-side action — so
+    * training postings are screened MAP-SIDE, before any shuffle: only
+    * bloom-surviving postings (true hits + the fpp sliver) reach the
+    * exact confirm semi-join. Blooms have no false negatives at any
+    * sizing and the confirm join removes every false positive, so q81 ≡
+    * q75 EXACTLY — the driver proves it against the very same oracle, and
+    * ScrubSpec pins the saturated-filter case. Regime note: when the eval
+    * set fits a broadcast, the plain broadcast semi-join already screens
+    * map-side and the bloom is redundant; the bloom earns its keep when
+    * eval shingles outgrow the broadcast threshold but their ~1.2 bytes/
+    * key bloom still fits — millions of eval shingles vs a GB-scale
+    * broadcast table.
+    *
+    * Cache contract (same as `Scale.prefixSum`): the eval shingle set is
+    * persisted because TWO consumers read it (the bloom-building subquery
+    * and the confirm join) — without it each would re-derive the carve
+    * with its own text scan. The harness mains clear the cache per query;
+    * long-lived sessions unpersist after materializing. */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+      capacity: Long = EVAL_SHINGLE_CAPACITY,
+      fpp: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    def evalTag =
+      (Dx.hashKey(EVAL_SALT, $"doc_id") < EVAL_THRESHOLD).cast("int")
+    val sh = TextPipeline.shingles(spark, dir)
+      .withColumn("is_eval", evalTag)
+    val evalSh = sh.filter($"is_eval" === 1).select($"sh").distinct().persist()
+    val bloom = evalSh.agg(
+      graft.functions.Bloom.filterAgg($"sh", capacity, fpp).as("bf"))
+    val hits = sh
+      .filter($"is_eval" === 0)
+      .filter(graft.functions.Bloom.mightContain(bloom.scalar(), $"sh"))
+      .join(evalSh, Seq("sh"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_eval_hits"))
+    docs(spark, dir)
+      .withColumn("is_eval", evalTag)
+      .filter($"is_eval" === 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang", $"source",
+        coalesce($"n_eval_hits", lit(0L)).as("n_eval_hits"),
+        ($"n_eval_hits".isNull).as("clean"))
+  }
+
   val all: Seq[Query] = Seq(
     Query("q75_decontamination",
       "eval-set n-gram overlap screen: training docs flagged on any shared shingle, one-scan window shape",
@@ -164,6 +219,11 @@ object Scrub {
       (s, d) => decontaminate(s, d).orderBy("doc_id"),
       Some(decontaminateOracle), headline = false,
       benchFn = Some(decontaminate)),
+    Query("q81_decontamination_bloom",
+      "bloom-prescreened decontamination ≡ q75 exactly (scalar-subquery bloom, map-side screen)",
+      (s, d) => decontaminateBloom(s, d).orderBy("doc_id"),
+      Some(decontaminateOracle), headline = false,
+      benchFn = Some((s: SparkSession, d: String) => decontaminateBloom(s, d))),
     Query("q72_pii_scrub",
       "PII redaction (email/phone/IPv4) with per-doc evidence counts, dialect-intersection regexes",
       // orderBy is compare-presentation (q42 precedent): the bench times

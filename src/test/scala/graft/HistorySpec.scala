@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.History
+import org.apache.spark.sql.functions._
+
+/** Pins q80/q82 semantics on a planted ledger: the gaps-and-islands
+  * collapse (a zero-net day must NOT open a new interval), interval
+  * closing over the filtered frame, and the central invariant — the
+  * interval probe equals a direct ledger replay at EVERY instant, not
+  * just the pinned one the driver oracle checks. */
+class HistorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = fixtureDir("lineitem" -> Seq(
+    // cell (1,1): +10 on day 1; +5/-5 on day 3 (net zero — must collapse);
+    // -4 on day 5 → balance 6
+    Li(1L, 1L, 1L, 1, 10.0, 1.0, 0.0, 0.0, "N", "O", ts("2020-01-01 00:00:00")),
+    Li(2L, 1L, 1L, 1, 5.0, 1.0, 0.0, 0.0, "A", "O", ts("2020-01-03 00:00:00")),
+    Li(3L, 1L, 1L, 1, 5.0, 1.0, 0.0, 0.0, "R", "O", ts("2020-01-03 00:00:00")),
+    Li(4L, 1L, 1L, 1, 4.0, 1.0, 0.0, 0.0, "R", "O", ts("2020-01-05 00:00:00")),
+    // cell (2,1): a single receipt
+    Li(5L, 2L, 1L, 1, 7.0, 1.0, 0.0, 0.0, "A", "O", ts("2020-01-02 00:00:00"))
+  ).toDF)
+
+  test("zero-net day collapses; intervals close at the next genuine change") {
+    val dir = fixture
+    val rows = History.stockHistory(spark, dir)
+      .orderBy("part_id", "warehouse_id", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toLocalDateTime.toLocalDate.toString,
+        Option(r.getTimestamp(3)).map(_.toLocalDateTime.toLocalDate.toString).orNull,
+        r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      // 2020-01-03 netted to zero: no interval opens there, and the day-1
+      // interval closes at the NEXT CHANGE (day 5), not the next ledger day
+      (1L, 1L, "2020-01-01", "2020-01-05", 10.0),
+      (1L, 1L, "2020-01-05", null, 6.0),
+      (2L, 1L, "2020-01-02", null, 7.0)))
+  }
+
+  test("as-of interval probe ≡ direct ledger replay at every probe instant") {
+    val dir = fixture
+    val li = Tables(spark, dir, "lineitem")
+    val probes = Seq("2019-12-31", "2020-01-01", "2020-01-02", "2020-01-03",
+      "2020-01-04", "2020-01-05", "2020-01-09")
+    for (d <- probes) {
+      val probe = History.stockAsOf(spark, dir, lit(d))
+        .orderBy("part_id", "warehouse_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val replay = li
+        .filter(to_date($"l_shipdate") <= to_date(lit(d)))
+        .groupBy($"l_partkey".as("part_id"), $"l_suppkey".as("warehouse_id"))
+        .agg(Dx.decSum(expr(
+          "CASE WHEN l_returnflag = 'R' THEN -l_quantity ELSE l_quantity END"))
+          .cast("double").as("stock_level"))
+        .orderBy("part_id", "warehouse_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(probe == replay, s"probe/replay diverge at asOf=$d")
+    }
+  }
+}

@@ -45,6 +45,47 @@ class ScaleSpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("saltedJoin ≡ plain inner join for arbitrary key distributions") {
+    // keys drawn from a tiny domain so generated facts go HOT on some key
+    // (the case the device exists for); dim keys cover a superset so some
+    // fact rows also MISS (inner-join drop must match exactly)
+    val gen = for {
+      facts <- Gen.listOf(Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(-99L, 99L)))
+      nSalts <- Gen.chooseNum(1, 5)
+    } yield (facts, nSalts)
+
+    val prop = Prop.forAll(gen) { case (facts, nSalts) =>
+      val fact = facts.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "id")
+      val dim = (0L to 3L).map(k => (k, s"payload$k")).toDF("k", "p")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select($"k", $"v", $"id", $"p")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).sorted.toSeq
+      rows(Scale.saltedJoin(fact, dim, Seq("k"), $"id", nSalts)) ==
+        rows(fact.join(dim, Seq("k")))
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("saltedJoin plans a shuffled hash join, not a broadcast") {
+    // the device exists for the non-broadcastable-dim regime; the hint
+    // must survive planning or the demo silently degenerates to the plan
+    // it is meant to replace
+    val fact = (0L until 100L).map(i => (i % 3, i)).toDF("k", "id")
+    val dim = (0L to 3L).map(k => (k, s"p$k")).toDF("k", "p")
+    val out = Scale.saltedJoin(fact, dim, Seq("k"), $"id", 4)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected ShuffledHashJoin in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "salted dim must not be broadcast")
+  }
+
   test("prefixSum respects a descending order with tiebreaker") {
     val df = Seq((1L, BigDecimal(10)), (2L, BigDecimal(10)), (3L, BigDecimal(5)))
       .toDF("k", "v")

@@ -60,6 +60,34 @@ class ScrubSpec extends SparkSpec {
     assert(r(clean).getAs[Boolean]("clean"))
   }
 
+  test("bloom prescreen ≡ exact decontamination, even saturated") {
+    // a corpus big enough that eval docs exist and shingles collide
+    def isEval(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((Scrub.EVAL_SALT + id.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) < Scrub.EVAL_THRESHOLD
+    }
+    val docs = (0L until 400L).map { id =>
+      val fam = id % 7
+      Doc(id, s"family $fam shared boilerplate line plus unique token u$id tail")
+    }
+    assert(docs.exists(d => isEval(d.doc_id)), "fixture must contain eval docs")
+    val dir = fixtureDir("documents" -> docs.toDF)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+      .sorted.toSeq
+    val exact = rows(Scrub.decontaminate(spark, dir))
+    // well-sized filter AND a deliberately saturated one (capacity 1 →
+    // 2 bits: essentially every probe comes back "maybe"): no false
+    // negatives at any sizing + the exact confirm join ⇒ identical output
+    for ((cap, fpp) <- Seq((Scrub.EVAL_SHINGLE_CAPACITY, 0.01), (1L, 0.5))) {
+      assert(rows(Scrub.decontaminateBloom(spark, dir, cap, fpp)) == exact,
+        s"bloom variant diverged at capacity=$cap fpp=$fpp")
+      spark.catalog.clearCache() // decontaminateBloom cache contract
+    }
+  }
+
   test("an IPv4 is not half-eaten by the phone pattern") {
     // "10.0.0.1" is too short for PHONE_RE's {7,} interior, so the IP
     // pass sees it intact; a longer dotted-digit run WOULD be a phone

@@ -527,6 +527,148 @@ object Ann {
        |  FROM cos)
        |WHERE rnk <= $TOPK ORDER BY query_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+
+  /** Lloyd iterations for q83 — fixed (the oracle expands each round as
+    * plain SQL; real trainers iterate to a movement tolerance, which only
+    * adds rounds of the same step). */
+  val KMEANS_ITERS = 2
+
+  /** Fixed-point decimal lift of one element (same 1e12 device as
+    * [[dotDec]] — round-half-up is engine-portable, see class doc). */
+  private def valDec(x: Column): Column =
+    (floor(x.cast("double") * 1e12 + 0.5) / 1e12)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 15))
+
+  /** One Lloyd iteration: assign every vector to its nearest centroid,
+    * then recompute each centroid as the elementwise mean of its cell.
+    *
+    * Assignment metric: argmin over `‖c‖² − 2·v·c` — squared euclidean
+    * with the per-vector `‖v‖²` dropped (constant within a vector's
+    * argmin, the same norm-drop as [[ivfTopK]]'s affinity). Both terms
+    * are fixed-point decimals, so the argmin (tie → lowest cent_id, via
+    * `min_by` over a (metric, id) struct) is order-free and engine-exact.
+    *
+    * Shape: centroids broadcast (k rows); the argmin is a map-side-
+    * combining `min_by` hash agg keyed by vec_id — one row per vector
+    * reaches the exchange, never the k-fanout (the q48 lesson). The mean
+    * is a second hash agg over the posexploded cell members keyed by
+    * (cent_id, pos): k·dim output rows, partials combine map-side, so
+    * the explode's N·dim rows never shuffle raw. Empty cells drop (the
+    * standard Lloyd edge; both engines agree by construction).
+    *
+    * Exactness: elements lift through [[valDec]] before the mean's sum,
+    * division by the cell count happens in double after an exact decimal
+    * sum — deterministic at any parallelism, which is what lets q83's
+    * oracle replay BOTH rounds bit-for-bit. */
+  def kmeansStep(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    import vectors.sparkSession.implicits._
+    // Operands are bounded to DECIMAL(24,15) BEFORE the arithmetic: at
+    // (38,15) inputs Spark's result-type capping would shrink the scale
+    // below the 1e-12 quantum and silently round the metric; at (24,15)
+    // the 2·dot product types as (35,15) and the subtraction as (36,15) —
+    // no cap, every step exact (all values are 1e-12 multiples ≪ 10⁹).
+    val d24 = org.apache.spark.sql.types.DecimalType(24, 15)
+    val metric = vectors.join(broadcast(cents))
+      .withColumn("m_dec",
+        ($"c_nrm_dec".cast(d24) - lit(2) * dotDec("embedding", "c_emb").cast(d24))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+    val assigned = metric.groupBy($"vec_id")
+      .agg(first($"embedding").as("embedding"),
+        min_by($"cent_id", struct($"m_dec", $"cent_id")).as("cent_id"))
+    assigned
+      .select($"cent_id", posexplode($"embedding"))
+      .groupBy($"cent_id", $"pos")
+      .agg(
+        (sum(valDec($"col")).cast("double") / count(lit(1))).as("c_val"),
+        count(lit(1)).cast("long").as("n_assigned"))
+  }
+
+  /** Flat (cent_id, pos, c_val) rows → centroid arrays + their norm. */
+  private def centsFromFlat(flat: DataFrame): DataFrame = {
+    import flat.sparkSession.implicits._
+    flat.groupBy($"cent_id")
+      .agg(transform(
+        array_sort(collect_list(struct($"pos", $"c_val"))),
+        s => s.getField("c_val")).as("c_emb"))
+      .withColumn("c_nrm_dec", dotDec("c_emb", "c_emb"))
+  }
+
+  /** q83: TRAIN the IVF coarse quantizer q48 serves — [[KMEANS_ITERS]]
+    * Lloyd rounds from the same fixed seeds (the 16 vectors q48 uses as
+    * its cells), emitting the trained centroids flat as (cent_id, pos,
+    * c_val) plus cell occupancy. The oracle replays both rounds in ANSI
+    * SQL (window argmin, decimal sums), so "approximate" index TRAINING
+    * gets the same exact cross-engine proof as index serving.
+    *
+    * The embedding projection is persisted: every round re-reads it (and
+    * lineage would otherwise re-scan parquet per round) — same cache
+    * contract as `Scale.prefixSum`; with many rounds add a
+    * localCheckpoint per round (the q60 iteration device). */
+  def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      .persist()
+    var cents = vecs
+      .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + IVF_NCENTROIDS)
+      .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"))
+      .withColumn("c_nrm_dec", dotDec("c_emb", "c_emb"))
+    var flat: DataFrame = null
+    for (_ <- 1 to KMEANS_ITERS) {
+      flat = kmeansStep(vecs, cents)
+      cents = centsFromFlat(flat)
+    }
+    flat
+      .select($"cent_id", $"pos".cast("long").as("pos"),
+        $"c_val", $"n_assigned")
+      .orderBy($"cent_id", $"pos")
+  }
+
+  /** DuckDB replay of [[ivfKmeans]]: both Lloyd rounds expanded — window
+    * argmin over the same decimal metric, decimal-sum means. 1-based
+    * `generate_subscripts` surfaces as 0-based `pos` to match Spark's
+    * `posexplode`. */
+  private def kmeansOracle: String = {
+    val xDec = "CAST(floor(CAST(%s AS DOUBLE) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,15))"
+    def round(n: Int, prevCel: String): String =
+      s"""cnrm$n AS (
+         |  SELECT cent_id, SUM(${prodDec.format("x", "x")}) AS nrm
+         |  FROM $prevCel GROUP BY 1),
+         |metric$n AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         CAST(n.nrm - 2 * SUM(${prodDec.format("e.x", "c.x")})
+         |              AS DECIMAL(38,15)) AS m
+         |  FROM el e
+         |  JOIN $prevCel c ON c.i = e.i
+         |  JOIN cnrm$n n USING (cent_id)
+         |  GROUP BY e.vec_id, c.cent_id, n.nrm),
+         |asn$n AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY m, cent_id) AS rn
+         |    FROM metric$n) WHERE rn = 1),
+         |cel${n + 1} AS (
+         |  SELECT a.cent_id, e.i,
+         |         CAST(SUM(${xDec.format("e.x")}) AS DOUBLE) / COUNT(*) AS x,
+         |         COUNT(*) AS n_assigned
+         |  FROM asn$n a JOIN el e USING (vec_id)
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH el AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |cel0 AS (
+       |  SELECT vec_id AS cent_id, i, x FROM el
+       |  WHERE vec_id >= $NQUERIES AND vec_id < ${NQUERIES + IVF_NCENTROIDS}),
+       |${round(0, "cel0")},
+       |${round(1, "cel1")}
+       |SELECT cent_id, CAST(i - 1 AS BIGINT) AS pos, x AS c_val,
+       |       CAST(n_assigned AS BIGINT) AS n_assigned
+       |FROM cel2 ORDER BY cent_id, pos""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Seq[Query] = Seq(
@@ -542,5 +684,8 @@ object Ann {
       Some(nearDupOracle(FIXTURE_NEARDUP_COS, EMBED_DIM)), headline = false),
     Query("q48_ann_ivf",
       "IVF-style ANN: centroid argmax assignment, nprobe cells, candidate rerank",
-      ivfTopK, Some(ivfOracle(EMBED_DIM)), headline = false))
+      ivfTopK, Some(ivfOracle(EMBED_DIM)), headline = false),
+    Query("q83_ivf_kmeans",
+      "k-means training of the IVF quantizer: 2 Lloyd rounds, decimal-exact, full oracle replay",
+      ivfKmeans, Some(kmeansOracle), headline = false))
 }

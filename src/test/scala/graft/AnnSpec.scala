@@ -153,4 +153,29 @@ class AnnSpec extends SparkSpec {
       }
     }
   }
+
+  test("kmeansStep: nearest-centroid assignment, exact means, empty cell drops") {
+    import org.apache.spark.sql.functions._
+    // 2-D points in two obvious clusters; three seeds — the far seed at
+    // (100,100) must capture nothing and vanish from the output
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.0, 2.0)),      // cluster at x≈0
+      (2L, Seq(10.0, 0.0)), (3L, Seq(10.0, 2.0))     // cluster at x≈10
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Seq(0.0, 1.0)), (1L, Seq(10.0, 1.0)), (2L, Seq(100.0, 100.0))
+    ).toDF("cent_id", "c_emb")
+      .withColumn("c_nrm_dec", expr(
+        """aggregate(zip_with(c_emb, c_emb, (x, y) ->
+          |  CAST(floor(x * y * 1e12 + 0.5) / 1e12 AS DECIMAL(38,15))),
+          |CAST(0 AS DECIMAL(38,15)),
+          |(acc, z) -> CAST(acc + z AS DECIMAL(38,15)))""".stripMargin))
+    val flat = graft.ops.Ann.kmeansStep(vecs, cents)
+      .orderBy("cent_id", "pos")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(flat.toSeq == Seq(
+      (0L, 0, 0.0, 2L), (0L, 1, 1.0, 2L),   // mean of (0,0),(0,2)
+      (1L, 0, 10.0, 2L), (1L, 1, 1.0, 2L))) // mean of (10,0),(10,2)
+  }
 }

@@ -50,6 +50,16 @@ object Tables {
       else df
     }
 
+  /** Register every warehouse table as a temp view, giving users the full
+    * `spark.sql` surface over the same sources the Column-API operators
+    * read — `registerViews(spark, dir); spark.sql("SELECT ... FROM
+    * lineitem JOIN part ...")`. Views are lazy (no scan happens here) and
+    * carry the same pushdown/pruning as the DataFrame path; combined with
+    * [[graft.GraftExtensions]] the native expressions are callable from
+    * that SQL too. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
   /** Range-partitioned JDBC extract — the scale path for S1: `n` executor
     * tasks each issue a bounded `WHERE partCol BETWEEN …` slice, so a
     * 10⁹-row warehouse table extracts with cluster parallelism instead of

@@ -1,0 +1,49 @@
+package graft
+
+/** The SQL front door: [[GraftExtensions]] (native expressions callable
+  * from `spark.sql`) + [[Tables.registerViews]] (warehouse tables as
+  * views). Together a reference user's plain-SQL workflow runs unchanged:
+  * the spec proves SQL results match the Column-API path exactly. */
+class ExtensionsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("dot_product and winnow_fingerprint work from spark.sql") {
+    GraftExtensions.register(spark)
+    Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT dot_product(a, b) AS d FROM vecs")
+      .head.getDouble(0)
+    assert(viaSql == 32.0)
+
+    Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text").createOrReplaceTempView("docs_sql")
+    val viaSqlFp = spark.sql(
+      "SELECT winnow_fingerprint(text, 5, 4, 257, 1000003) AS fp FROM docs_sql")
+      .head.getSeq[Long](0)
+    val viaCol = spark.table("docs_sql")
+      .select(graft.functions.WinnowFingerprint($"text", 5, 4, 257L, 1000003L)
+        .as("fp"))
+      .head.getSeq[Long](0)
+    assert(viaSqlFp.nonEmpty && viaSqlFp == viaCol)
+  }
+
+  test("registerViews exposes the warehouse to plain SQL, pushdown intact") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.registerViews(spark, dir)
+    val sql = spark.sql(
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS q
+        |FROM lineitem WHERE l_partkey <= 100 GROUP BY 1""".stripMargin)
+    val api = Tables(spark, dir, "lineitem")
+      .filter($"l_partkey" <= 100)
+      .groupBy($"l_returnflag")
+      .agg(Dx.dsum($"l_quantity").as("q"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(rows(sql) == rows(api) && rows(sql).nonEmpty)
+    // the view is not a materialization: the filter reaches the scan
+    val plan = sql.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_partkey), LessThanOrEqual(l_partkey,100)]")
+      || plan.contains("LessThanOrEqual(l_partkey,100)"), plan)
+  }
+}

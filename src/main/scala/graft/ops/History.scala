@@ -64,15 +64,16 @@ object History {
       .agg(Dx.decSum(expr(SIGNED)).as("net_dec"))
   }
 
-  /** q80: the SCD-2 stock history — one row per balance change per cell,
-    * `[valid_from, valid_to)` half-open, `valid_to` null on the current
-    * interval, exact-decimal balance surfaced as double. */
-  def stockHistory(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Interval core over a daily-net frame, balances kept DECIMAL — the
+    * exact column [[historyDelta]] merges on (engine-written history
+    * persists it beside the presentation double, the trend-report
+    * discipline). */
+  private def intervalsDec(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
     val byDay = Window
       .partitionBy($"part_id", $"warehouse_id")
       .orderBy($"valid_from")
-    val bal = dailyNet(spark, dir)
+    val bal = daily
       .withColumn("bal_dec",
         sum($"net_dec").over(
           byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -84,7 +85,88 @@ object History {
       .filter($"prev_dec".isNull || $"bal_dec" =!= $"prev_dec")
       .withColumn("valid_to", lead($"valid_from", 1).over(byDay))
       .select($"part_id", $"warehouse_id", $"valid_from", $"valid_to",
-        $"bal_dec".cast("double").as("stock_level"))
+        $"bal_dec")
+  }
+
+  private def presented(intervals: DataFrame): DataFrame = {
+    import intervals.sparkSession.implicits._
+    intervals.select($"part_id", $"warehouse_id", $"valid_from", $"valid_to",
+      $"bal_dec".cast("double").as("stock_level"))
+  }
+
+  /** q80: the SCD-2 stock history — one row per balance change per cell,
+    * `[valid_from, valid_to)` half-open, `valid_to` null on the current
+    * interval, exact-decimal balance surfaced as double. */
+  def stockHistory(spark: SparkSession, dir: String): DataFrame =
+    presented(intervalsDec(dailyNet(spark, dir)))
+
+  /** The history a previous run would have persisted from ledger days ≤
+    * `checkpoint` — the stored side of [[historyDelta]] (decimal kept).
+    * The day predicate sits on the aggregation KEY, so the optimizer
+    * pushes it below the agg; the production layout prunes it at
+    * planning time (date-partitioned ledger, the q37 rule). */
+  def stockHistoryUntil(spark: SparkSession, dir: String,
+      checkpoint: String): DataFrame = {
+    import spark.implicits._
+    intervalsDec(dailyNet(spark, dir)
+      .filter($"valid_from" <= to_timestamp(lit(checkpoint))))
+  }
+
+  /** Pinned q84 checkpoint (mid-ledger; data spans 1995–2001). */
+  val HIST_CHECKPOINT = "1999-01-01"
+
+  /** q84: INCREMENTAL maintenance of the SCD-2 history (T1 for q80, the
+    * q56 design): fold only the post-checkpoint ledger days into a
+    * stored interval table, producing output ≡ the FULL recompute — the
+    * oracle IS q80's full-recompute SQL, so indistinguishability is
+    * hash-proven.
+    *
+    * Mechanics: each stored cell's OPEN interval carries the opening
+    * balance; new daily nets accumulate on top of it (cell-partitioned
+    * window), a row survives only where the balance genuinely changes
+    * (first new row compares against the OPENING — null for brand-new
+    * cells, so their first day always opens an interval, zero balance
+    * included, exactly as the full recompute's null-lag does), and one
+    * `lead` over stored starts ∪ new change days re-closes every
+    * interval — including the stored open one when a new change follows,
+    * while a post-checkpoint day that nets to zero leaves it open.
+    *
+    * Scale: the delta touches new ledger days + the stored table
+    * (interval-sized, not fact-sized); balances merge as decimals with
+    * operands bounded to DECIMAL(27,6) so Spark's result-type capping
+    * never rounds (the q83 discipline).
+    *
+    * Caller contract (q56's): `stored` holds exactly the days ≤
+    * `checkpoint` of an append-only ledger, with `bal_dec` decimal. */
+  def historyDelta(spark: SparkSession, dir: String,
+      checkpoint: String, stored: DataFrame): DataFrame = {
+    import spark.implicits._
+    val d27 = org.apache.spark.sql.types.DecimalType(27, 6)
+    val byDay = Window
+      .partitionBy($"part_id", $"warehouse_id")
+      .orderBy($"valid_from")
+    val opening = stored
+      .filter($"valid_to".isNull)
+      .select($"part_id", $"warehouse_id", $"bal_dec".cast(d27).as("open_bal"))
+    val changes = dailyNet(spark, dir)
+      .filter($"valid_from" > to_timestamp(lit(checkpoint)))
+      .join(opening, Seq("part_id", "warehouse_id"), "left")
+      .withColumn("bal_dec",
+        (coalesce($"open_bal", lit(0).cast(d27)) +
+          sum($"net_dec").over(
+            byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(d27)).cast(d27))
+      .withColumn("prev_dec",
+        coalesce(lag($"bal_dec", 1).over(byDay), $"open_bal"))
+      .filter($"prev_dec".isNull || $"bal_dec" =!= $"prev_dec")
+      .select($"part_id", $"warehouse_id", $"valid_from", $"bal_dec")
+    val merged = stored
+      .select($"part_id", $"warehouse_id", $"valid_from", $"bal_dec")
+      .unionByName(changes)
+      .withColumn("valid_to", lead($"valid_from", 1).over(byDay))
+      .select($"part_id", $"warehouse_id", $"valid_from", $"valid_to",
+        $"bal_dec")
+    presented(merged)
   }
 
   private val stockHistoryOracle =
@@ -143,5 +225,17 @@ object History {
       "point-in-time stock via interval probe ≡ direct ledger replay at the pinned instant",
       (s, d) => stockAsOf(s, d).orderBy("part_id", "warehouse_id"),
       Some(stockAsOfOracle), headline = false,
-      benchFn = Some((s: SparkSession, d: String) => stockAsOf(s, d))))
+      benchFn = Some((s: SparkSession, d: String) => stockAsOf(s, d))),
+    Query("q84_history_delta",
+      "incremental SCD-2 maintenance: stored intervals ⊎ post-checkpoint days ≡ full recompute (T1)",
+      // stored := what a previous run persisted from days ≤ checkpoint;
+      // the oracle is q80's FULL recompute — the delta must be
+      // indistinguishable from it
+      (s, d) => historyDelta(s, d, HIST_CHECKPOINT,
+        stockHistoryUntil(s, d, HIST_CHECKPOINT))
+        .orderBy("part_id", "warehouse_id", "valid_from"),
+      Some(stockHistoryOracle), headline = false,
+      benchFn = Some((s: SparkSession, d: String) =>
+        historyDelta(s, d, HIST_CHECKPOINT,
+          stockHistoryUntil(s, d, HIST_CHECKPOINT)))))
 }

@@ -39,6 +39,29 @@ class HistorySpec extends SparkSpec {
       (2L, 1L, "2020-01-02", null, 7.0)))
   }
 
+  test("history delta ≡ full recompute at every checkpoint") {
+    // fixture edges covered as the checkpoint slides: stored empty (all
+    // days new), first new day nets to ZERO on a stored cell (open
+    // interval must stay open), a brand-new cell appearing after the
+    // checkpoint, and no new days at all
+    val dir = fixture
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("part_id", "warehouse_id", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toString,
+        Option(r.getTimestamp(3)).map(_.toString).orNull,
+        r.getDouble(4))).toSeq
+    val full = rows(History.stockHistory(spark, dir))
+    val checkpoints = Seq("2019-12-31", "2020-01-01", "2020-01-02",
+      "2020-01-03", "2020-01-04", "2020-01-05", "2020-01-09")
+    for (cp <- checkpoints) {
+      val delta = rows(History.historyDelta(spark, dir, cp,
+        History.stockHistoryUntil(spark, dir, cp)))
+      assert(delta == full, s"delta/full diverge at checkpoint=$cp")
+    }
+  }
+
   test("as-of interval probe ≡ direct ledger replay at every probe instant") {
     val dir = fixture
     val li = Tables(spark, dir, "lineitem")

@@ -41,9 +41,11 @@ class ExtensionsSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
     assert(rows(sql) == rows(api) && rows(sql).nonEmpty)
-    // the view is not a materialization: the filter reaches the scan
+    // the view is not a materialization: the filter reaches the scan.
+    // Deliberately loose (substring, not the full PushedFilters list) —
+    // filter order and IsNotNull inference are planner details; the
+    // contract is only that the predicate reached the parquet scan.
     val plan = sql.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(l_partkey), LessThanOrEqual(l_partkey,100)]")
-      || plan.contains("LessThanOrEqual(l_partkey,100)"), plan)
+    assert(plan.contains("LessThanOrEqual(l_partkey,100)"), plan)
   }
 }

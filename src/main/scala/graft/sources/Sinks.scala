@@ -197,6 +197,70 @@ object Sinks {
   /** S7: summary dict → one-row DataFrame (`data_loader.py:44-46`), with
     * the schema derived from the value types. Supported value types:
     * Long/Int, Double, String, Boolean, java.sql.Timestamp. */
+  /** S9 — the HTML report sink (`etl_pipeline/load/report_generator.py:
+    * 146-201`: summary scalars + per-report `to_html` tables rendered into
+    * one document; its charts are matplotlib and its narrative is an
+    * external AI call — both remain out of engine scope, like the
+    * reference's own WeasyPrint-optional PDF).
+    *
+    * Stdlib-only: each section's DataFrame renders as an escaped HTML
+    * table; numeric cells format through the same Indonesian-locale
+    * helpers as q63 (`graft.functions.Format.numberStr`, the reference's
+    * Jinja filters). Presentation layer, so the ONE deliberate
+    * driver-side collect in the sink family: every section is capped
+    * (`limit(maxRows)` BEFORE collect, default 50 — the reference's own
+    * tables are head(10)-sized), so the materialized rows are bounded by
+    * config, not data, at any corpus size. `runDate` is caller-supplied
+    * (C2 discipline — pinned in tests, `now` in production).
+    *
+    * Returns the rendered document (also written to `path` when given) so
+    * tests and callers can assert on content without a filesystem
+    * round-trip. */
+  def writeHtmlReport(
+      sections: Seq[(String, DataFrame)],
+      title: String,
+      runDate: String,
+      path: Option[String] = None,
+      maxRows: Int = 50): String = {
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    def cell(v: Any): String = v match {
+      case null => ""
+      case d: Double => graft.functions.Format.numberStr(d, 2)
+      case other => esc(other.toString)
+    }
+    val body = sections.map { case (name, df) =>
+      val cols = df.columns
+      val rows = df.limit(maxRows).collect()
+      val head = cols.map(c => s"<th>${esc(c)}</th>").mkString
+      val trs = rows.map(r =>
+        "<tr>" + cols.indices.map(i => s"<td>${cell(r.get(i))}</td>")
+          .mkString + "</tr>").mkString("\n")
+      s"""<section><h2>${esc(name)}</h2>
+         |<table class="table table-sm">
+         |<thead><tr>$head</tr></thead>
+         |<tbody>
+         |$trs
+         |</tbody></table></section>""".stripMargin
+    }.mkString("\n")
+    val html =
+      s"""<!DOCTYPE html>
+         |<html><head><meta charset="utf-8"/>
+         |<title>${esc(title)}</title></head>
+         |<body>
+         |<h1>${esc(title)}</h1>
+         |<p>Run date: ${esc(runDate)}</p>
+         |$body
+         |</body></html>
+         |""".stripMargin
+    path.foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    html
+  }
+
   def liftSummary(spark: SparkSession, values: Seq[(String, Any)]): DataFrame = {
     val fields = values.map { case (name, v) =>
       val dt = v match {

@@ -187,4 +187,49 @@ class SinksSpec extends SparkSpec {
     assert(files.length >= 10) // 10k rows / 1k per file
     assert(spark.read.parquet(p).count() == 10000)
   }
+
+  test("HTML report sink renders the reference's table sections (S9)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_html")
+      .resolve("warehouse_report.html").toString
+    // the three to_html sections of report_generator.py:172-174, fed by
+    // the same operators the driver verifies
+    val html = Sinks.writeHtmlReport(
+      sections = Seq(
+        "Peak Day of Week" -> ops.Movement.peakDayOfWeek(spark, dir),
+        "Peak Month" -> ops.Movement.peakMonth(spark, dir),
+        "Transfer Patterns (top 10)" ->
+          ops.Warehouse.transferPatternsTop10(spark, dir)),
+      title = "Warehouse Report",
+      runDate = "2002-01-01 00:00:00",
+      path = Some(out))
+    val onDisk = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8")
+    assert(onDisk == html, "returned document must equal the written file")
+    assert(html.contains("<h2>Peak Day of Week</h2>"))
+    // all seven weekdays rendered
+    for (d <- Seq("Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+        "Saturday", "Sunday"))
+      assert(html.contains(s"<td>$d</td>"), s"missing weekday $d")
+    // doubles go through the q63 locale filter (decimal comma)
+    assert(html.contains(",") && "<td>\\d+,\\d\\d</td>".r
+      .findFirstIn(html).nonEmpty, "locale-formatted numeric cell expected")
+    // top-10 cap: section 3 has at most 10 body rows
+    val section3 = html.split("<h2>Transfer Patterns \\(top 10\\)</h2>")(1)
+    assert(section3.split("<tr>").length - 2 <= 10)
+  }
+
+  test("HTML report sink escapes markup and caps rows") {
+    import spark.implicits._
+    val df = Seq(("<script>alert(1)</script>", 1234567.891),
+      ("b & \"c\"", 2.0), ("d", 3.0)).toDF("name", "value")
+    val html = Sinks.writeHtmlReport(
+      Seq("Sec" -> df), "T & T", "2002-01-01", path = None, maxRows = 2)
+    assert(!html.contains("<script>"))
+    assert(html.contains("&lt;script&gt;alert(1)&lt;/script&gt;"))
+    assert(html.contains("b &amp; &quot;c&quot;"))
+    assert(html.contains("<h1>T &amp; T</h1>"))
+    assert(html.contains("<td>1.234.567,89</td>"), html) // format_rupiah twin
+    assert(!html.contains("<td>d</td>"), "maxRows cap must drop row 3")
+  }
 }

@@ -156,4 +156,32 @@ object Pipeline {
       if (jdbcOut) outDir else s"$outDir/analytics_daily_summary")
     counts
   }
+
+  /** S9: render the reference's HTML report document from the WRITTEN
+    * reports of a previous [[run]] (`report_generator.py:146-201`'s
+    * to_html sections plus the two one-row summaries) — reads report
+    * output (report-sized at any fact scale), never the fact. The
+    * transfer section re-sorts on read: parquet round-trips do not
+    * guarantee row order, and the reference's `head(10)` is of the
+    * SORTED pattern table. `runDate` is caller-supplied (C2). */
+  def htmlReport(spark: SparkSession, outDir: String, runDate: String,
+      path: Option[String] = None): String = {
+    import org.apache.spark.sql.functions.col
+    def written(name: String): DataFrame =
+      if (outDir.startsWith("jdbc:")) Tables(spark, outDir, name)
+      else spark.read.parquet(s"$outDir/$name")
+    Sinks.writeHtmlReport(
+      Seq(
+        "Inventory Summary" -> written("inventory_summary"),
+        "Financial Summary" -> written("financial_summary"),
+        "Peak Day of Week" -> written("peak_day_of_week"),
+        "Peak Month" -> written("peak_month"),
+        "Transfer Patterns (top 10)" -> written("transfer_patterns")
+          .orderBy(col("total_transfers").desc, col("from_warehouse_id"),
+            col("to_warehouse_id"))
+          .limit(10)),
+      title = "Warehouse Report",
+      runDate = runDate,
+      path = path)
+  }
 }

@@ -23,6 +23,16 @@ class PipelineSpec extends SparkSpec {
     // second run appends a second summary row (S6 semantics)
     Pipeline.run(spark, "/root/testdata/sf0.001", out)
     assert(spark.read.parquet(s"$out/analytics_daily_summary").count() == 2)
+    // S9: the HTML document renders from the WRITTEN reports — all five
+    // sections present, top-10 cap on the transfer table
+    val html = Pipeline.htmlReport(spark, out, "2002-01-01 00:00:00",
+      Some(s"$out/warehouse_report.html"))
+    for (sec <- Seq("Inventory Summary", "Financial Summary",
+        "Peak Day of Week", "Peak Month", "Transfer Patterns (top 10)"))
+      assert(html.contains(s"<h2>$sec</h2>"), s"missing section $sec")
+    assert(new java.io.File(s"$out/warehouse_report.html").length() > 0)
+    val transfers = html.split("<h2>Transfer Patterns \\(top 10\\)</h2>")(1)
+    assert(transfers.split("<tr>").length - 2 <= 10)
   }
 
   test("generator → warehouse → pipeline → reports closes the lifecycle loop") {

@@ -561,7 +561,24 @@ object Ann {
     * division by the cell count happens in double after an exact decimal
     * sum — deterministic at any parallelism, which is what lets q83's
     * oracle replay BOTH rounds bit-for-bit. */
-  def kmeansStep(vectors: DataFrame, cents: DataFrame): DataFrame = {
+  /** Plain-double twin of [[dotDec]] — same index-ordered accumulation,
+    * no fixed-point lift. The deploy metric: one IEEE multiply-add per
+    * element instead of decimal arithmetic. */
+  private def dotDbl(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) ->
+       |  CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  CAST(0 AS DOUBLE), (acc, z) -> acc + z)""".stripMargin)
+
+  /** `exactMetric`: true (default) scores the argmin in fixed-point
+    * decimals — engine-exact, what the q83 oracle replays; false scores
+    * in plain double — the deploy knob when training throughput matters
+    * more than cross-engine replay (assignment can differ only on
+    * near-exact metric ties; AnnSpec pins both paths identical on the
+    * fixture corpus). The same flag philosophy as `Scale.prefixSum`'s
+    * smallInput: flipping it at a new scale is a config change, not a
+    * correctness question, because the spec pins the equivalence. */
+  def kmeansStep(vectors: DataFrame, cents: DataFrame,
+      exactMetric: Boolean = true): DataFrame = {
     import vectors.sparkSession.implicits._
     // Operands are bounded to DECIMAL(24,15) BEFORE the arithmetic: at
     // (38,15) inputs Spark's result-type capping would shrink the scale
@@ -569,10 +586,13 @@ object Ann {
     // the 2·dot product types as (35,15) and the subtraction as (36,15) —
     // no cap, every step exact (all values are 1e-12 multiples ≪ 10⁹).
     val d24 = org.apache.spark.sql.types.DecimalType(24, 15)
-    val metric = vectors.join(broadcast(cents))
-      .withColumn("m_dec",
+    val m =
+      if (exactMetric)
         ($"c_nrm_dec".cast(d24) - lit(2) * dotDec("embedding", "c_emb").cast(d24))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 15))
+      else
+        $"c_nrm_dec".cast("double") - lit(2.0) * dotDbl("embedding", "c_emb")
+    val metric = vectors.join(broadcast(cents)).withColumn("m_dec", m)
     val assigned = metric.groupBy($"vec_id")
       .agg(first($"embedding").as("embedding"),
         min_by($"cent_id", struct($"m_dec", $"cent_id")).as("cent_id"))
@@ -605,7 +625,8 @@ object Ann {
     * lineage would otherwise re-scan parquet per round) — same cache
     * contract as `Scale.prefixSum`; with many rounds add a
     * localCheckpoint per round (the q60 iteration device). */
-  def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
+  def ivfKmeans(spark: SparkSession, dir: String,
+      exactMetric: Boolean = true): DataFrame = {
     import spark.implicits._
     val vecs = embeddings(spark, dir)
       .select($"vec_id",
@@ -617,7 +638,7 @@ object Ann {
       .withColumn("c_nrm_dec", dotDec("c_emb", "c_emb"))
     var flat: DataFrame = null
     for (_ <- 1 to KMEANS_ITERS) {
-      flat = kmeansStep(vecs, cents)
+      flat = kmeansStep(vecs, cents, exactMetric)
       cents = centsFromFlat(flat)
     }
     flat
@@ -687,5 +708,5 @@ object Ann {
       ivfTopK, Some(ivfOracle(EMBED_DIM)), headline = false),
     Query("q83_ivf_kmeans",
       "k-means training of the IVF quantizer: 2 Lloyd rounds, decimal-exact, full oracle replay",
-      ivfKmeans, Some(kmeansOracle), headline = false))
+      (s, d) => ivfKmeans(s, d), Some(kmeansOracle), headline = false))
 }

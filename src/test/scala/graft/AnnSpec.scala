@@ -154,6 +154,20 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("kmeans double-metric deploy knob matches the exact metric") {
+    // the argmin can differ only on near-exact metric ties; on the
+    // fixture corpus both paths must train identical centroids — the pin
+    // that makes flipping the flag at scale a config change (the
+    // prefixSum smallInput discipline)
+    val dir = "/root/testdata/sf0.001"
+    def rows(exact: Boolean) = graft.ops.Ann.ivfKmeans(spark, dir, exact)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val (e, d) = (rows(exact = true), rows(exact = false))
+    spark.catalog.clearCache() // ivfKmeans cache contract
+    assert(e == d)
+  }
+
   test("kmeansStep: nearest-centroid assignment, exact means, empty cell drops") {
     import org.apache.spark.sql.functions._
     // 2-D points in two obvious clusters; three seeds — the far seed at

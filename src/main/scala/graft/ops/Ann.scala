@@ -441,9 +441,23 @@ object Ann {
       .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + IVF_NCENTROIDS)
       .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"),
         $"nrm_dec".as("c_nrm"))
+    // float corpus × float seeds: the codegen'd DotProduct scores affinity
+    ivfServe(base, cents, (a, b) => DotProduct(col(a), col(b)))
+  }
+
+  /** The IVF serving core shared by q48 (seed cells) and q85 (trained
+    * cells): affinity argmax assignment, nprobe query cells, decimal
+    * rerank of candidates only. `cents` is (cent_id, c_emb, c_nrm) with
+    * c_nrm the decimal squared norm; `dotFn` scores vector×centroid
+    * affinity (codegen'd DotProduct for float cells, the index-ordered
+    * double HOF for trained double cells — both bit-equal to the
+    * oracle's list_sum replay). */
+  private def ivfServe(base: DataFrame, cents: DataFrame,
+      dotFn: (String, String) => Column): DataFrame = {
+    import base.sparkSession.implicits._
     val aff = base.join(broadcast(cents))
       .withColumn("aff",
-        DotProduct($"embedding", $"c_emb") / sqrt($"c_nrm".cast("double")))
+        dotFn("embedding", "c_emb") / sqrt($"c_nrm".cast("double")))
     // embedding/nrm_dec are constant within a vec_id group (they come from
     // the single pre-join row), so first() is deterministic here.
     val assigned = aff.groupBy($"vec_id")
@@ -651,44 +665,132 @@ object Ann {
     * argmin over the same decimal metric, decimal-sum means. 1-based
     * `generate_subscripts` surfaces as 0-based `pos` to match Spark's
     * `posexplode`. */
-  private def kmeansOracle: String = {
-    val xDec = "CAST(floor(CAST(%s AS DOUBLE) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,15))"
-    def round(n: Int, prevCel: String): String =
-      s"""cnrm$n AS (
-         |  SELECT cent_id, SUM(${prodDec.format("x", "x")}) AS nrm
-         |  FROM $prevCel GROUP BY 1),
-         |metric$n AS (
-         |  SELECT e.vec_id, c.cent_id,
-         |         CAST(n.nrm - 2 * SUM(${prodDec.format("e.x", "c.x")})
-         |              AS DECIMAL(38,15)) AS m
-         |  FROM el e
-         |  JOIN $prevCel c ON c.i = e.i
-         |  JOIN cnrm$n n USING (cent_id)
-         |  GROUP BY e.vec_id, c.cent_id, n.nrm),
-         |asn$n AS (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                                 ORDER BY m, cent_id) AS rn
-         |    FROM metric$n) WHERE rn = 1),
-         |cel${n + 1} AS (
-         |  SELECT a.cent_id, e.i,
-         |         CAST(SUM(${xDec.format("e.x")}) AS DOUBLE) / COUNT(*) AS x,
-         |         COUNT(*) AS n_assigned
-         |  FROM asn$n a JOIN el e USING (vec_id)
-         |  GROUP BY 1, 2)""".stripMargin
-    s"""WITH el AS (
+  private val xDec =
+    "CAST(floor(CAST(%s AS DOUBLE) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,15))"
+
+  /** One Lloyd round as CTEs, `cel$prevCel` → `cel${n+1}` (shared by the
+    * q83 training oracle and q85's train→serve composition). */
+  private def kmeansRoundSql(n: Int, prevCel: String): String =
+    s"""cnrm$n AS (
+       |  SELECT cent_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM $prevCel GROUP BY 1),
+       |metric$n AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         CAST(n.nrm - 2 * SUM(${prodDec.format("e.x", "c.x")})
+       |              AS DECIMAL(38,15)) AS m
+       |  FROM el e
+       |  JOIN $prevCel c ON c.i = e.i
+       |  JOIN cnrm$n n USING (cent_id)
+       |  GROUP BY e.vec_id, c.cent_id, n.nrm),
+       |asn$n AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                                 ORDER BY m, cent_id) AS rn
+       |    FROM metric$n) WHERE rn = 1),
+       |cel${n + 1} AS (
+       |  SELECT a.cent_id, e.i,
+       |         CAST(SUM(${xDec.format("e.x")}) AS DOUBLE) / COUNT(*) AS x,
+       |         COUNT(*) AS n_assigned
+       |  FROM asn$n a JOIN el e USING (vec_id)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared training prefix: element table + seed cells + both rounds. */
+  private def kmeansCtesSql: String =
+    s"""el AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |         CAST(unnest(embedding) AS DOUBLE) AS x
        |  FROM embeddings),
        |cel0 AS (
        |  SELECT vec_id AS cent_id, i, x FROM el
        |  WHERE vec_id >= $NQUERIES AND vec_id < ${NQUERIES + IVF_NCENTROIDS}),
-       |${round(0, "cel0")},
-       |${round(1, "cel1")}
+       |${kmeansRoundSql(0, "cel0")},
+       |${kmeansRoundSql(1, "cel1")}""".stripMargin
+
+  private def kmeansOracle: String =
+    s"""WITH $kmeansCtesSql
        |SELECT cent_id, CAST(i - 1 AS BIGINT) AS pos, x AS c_val,
        |       CAST(n_assigned AS BIGINT) AS n_assigned
        |FROM cel2 ORDER BY cent_id, pos""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+
+  /** q85: the train→serve composition — [[ivfTopK]]'s retrieval plan over
+    * the CENTROIDS [[ivfKmeans]] just trained, instead of the raw seed
+    * vectors. Affinity against the (double) trained cells scores through
+    * the index-ordered double HOF ([[dotDbl]] — bit-equal to the oracle's
+    * `list_sum` replay, the q29/q48 empirical result); the candidate
+    * rerank is the same decimal cosine as every ANN path. The oracle
+    * replays training AND serving end to end, so the full lifecycle an
+    * IVF deployment runs — train the quantizer, partition by assignment,
+    * probe nprobe cells — carries one exact cross-engine proof. */
+  def ivfTopKTrained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      .persist()
+    var cents = vecs
+      .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + IVF_NCENTROIDS)
+      .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"))
+      .withColumn("c_nrm_dec", dotDec("c_emb", "c_emb"))
+    for (_ <- 1 to KMEANS_ITERS)
+      cents = centsFromFlat(kmeansStep(vecs, cents))
+    ivfServe(
+      withNorm(spark, dir),
+      cents.select($"cent_id", $"c_emb", $"c_nrm_dec".as("c_nrm")),
+      dotDbl)
   }
+
+  private def ivfTrainedOracle(dim: Int): String =
+    s"""WITH $kmeansCtesSql,
+       |carr AS (
+       |  SELECT cent_id, list(x ORDER BY i) AS c_emb FROM cel2 GROUP BY 1),
+       |cnrm AS (
+       |  SELECT cent_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM cel2 GROUP BY 1),
+       |norms AS (
+       |  SELECT vec_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM el GROUP BY 1),
+       |aff AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         list_sum(list_transform(range(1, ${dim + 1}),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * c.c_emb[i]))
+       |           / sqrt(CAST(nc.nrm AS DOUBLE)) AS aff
+       |  FROM embeddings e
+       |  CROSS JOIN carr c
+       |  JOIN cnrm nc ON nc.cent_id = c.cent_id),
+       |ranked AS (
+       |  SELECT vec_id, cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |           ORDER BY aff DESC, cent_id) AS arn
+       |  FROM aff),
+       |assigned AS (
+       |  SELECT vec_id, cent_id FROM ranked WHERE arn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id FROM ranked
+       |  WHERE vec_id < $NQUERIES AND arn <= $IVF_NPROBE),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned a USING (cent_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |dots AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         SUM(${prodDec.format("q.x", "e.x")}) AS dot
+       |  FROM cand c
+       |  JOIN el q ON q.vec_id = c.query_id
+       |  JOIN el e ON e.vec_id = c.neighbor_id AND e.i = q.i
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(dot AS DOUBLE)
+       |           / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nn.nrm AS DOUBLE))) AS cosine
+       |  FROM dots JOIN norms nq ON nq.vec_id = query_id
+       |            JOIN norms nn ON nn.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM cos)
+       |WHERE rnk <= $TOPK ORDER BY query_id, rnk""".stripMargin
 
   // ----------------------------------------------------------------
 
@@ -708,5 +810,8 @@ object Ann {
       ivfTopK, Some(ivfOracle(EMBED_DIM)), headline = false),
     Query("q83_ivf_kmeans",
       "k-means training of the IVF quantizer: 2 Lloyd rounds, decimal-exact, full oracle replay",
-      (s, d) => ivfKmeans(s, d), Some(kmeansOracle), headline = false))
+      (s, d) => ivfKmeans(s, d), Some(kmeansOracle), headline = false),
+    Query("q85_ivf_serve_trained",
+      "train→serve: IVF retrieval over the just-trained centroids, end-to-end oracle replay",
+      ivfTopKTrained, Some(ivfTrainedOracle(EMBED_DIM)), headline = false))
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Tracked persist() handles for library entry points.
+  *
+  * Several operators persist an intermediate that MULTIPLE subtrees of
+  * their (lazy) returned plan consume — the dedup digest base, the
+  * k-means embedding projection, the bloom eval-shingle carve, the q84
+  * stored-history fixture. The persist must still be registered when the
+  * CALLER finally materializes the plan, so the operator cannot
+  * `unpersist()` in a `finally` before returning; and `spark.catalog
+  * .clearCache()` (the harness mains' per-query contract) is too blunt
+  * for a long-lived user session — it drops caches the caller owns
+  * (round-7 ADVICE).
+  *
+  * This registry is the middle path: operators `track(tag, df)` their
+  * persisted handles, and a caller releases exactly the caches a module
+  * created — [[release]] by tag, or a module-scoped [[releasePrefix]]
+  * (e.g. `Caches.releasePrefix("ann.")` after an IVF session) — without
+  * touching anything else in the session. Tags embed the source dir so
+  * two dirs' caches never alias. Re-tracking an identical plan is safe:
+  * Spark's CacheManager dedupes cached plans, and the registry keeps the
+  * newest handle. The harness mains keep their `clearCache()` contract
+  * unchanged (it also empties this registry's storage; stale registry
+  * entries then unpersist as no-ops).
+  */
+object Caches {
+  private val reg = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Persist `df` (if not already persisted) and track the handle under
+    * `tag`; returns `df`. */
+  def track(tag: String, df: DataFrame): DataFrame = {
+    if (df.storageLevel == StorageLevel.NONE) df.persist()
+    reg.put(tag, df)
+    df
+  }
+
+  /** Unpersist and forget the handle tracked under `tag` (no-op when
+    * absent or already cleared by the harness's clearCache). */
+  def release(tag: String): Unit =
+    reg.remove(tag).foreach(_.unpersist())
+
+  /** Release every tracked handle whose tag starts with `prefix` — the
+    * module-scoped cleanup (`"textpipeline."`, `"ann."`, …). */
+  def releasePrefix(prefix: String): Unit =
+    reg.keys.filter(_.startsWith(prefix)).foreach(release)
+
+  /** Tags currently tracked (diagnostics/tests). */
+  def tracked: Set[String] = reg.keySet.toSet
+}

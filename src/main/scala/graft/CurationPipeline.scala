@@ -57,11 +57,11 @@ object CurationPipeline {
       manifest
     } finally {
       verdict.unpersist()
-      // the verdict's dedup stage pins its own (id, digest) projection
-      // (TextPipeline.dedupBase) whose handle is module-private; this is
-      // a top-level entry point like Verify/Bench, so it honors the same
-      // contract — no caches outlive the run
-      spark.catalog.clearCache()
+      // the verdict's dedup stage pins its own (id, digest) projection;
+      // release exactly that tracked handle — a library caller's own
+      // caches stay intact (round-7 ADVICE: clearCache here dropped
+      // caches the caller owned)
+      Caches.release(ops.TextPipeline.dedupBaseTag(dir))
     }
   }
 }

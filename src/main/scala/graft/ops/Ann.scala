@@ -548,6 +548,10 @@ object Ann {
     * adds rounds of the same step). */
   val KMEANS_ITERS = 2
 
+  /** [[graft.Caches]] tag of the double-lifted embedding projection the
+    * training/serve paths persist for `dir`. */
+  def vecsTag(dir: String): String = s"ann.vecs:$dir"
+
   /** Fixed-point decimal lift of one element (same 1e12 device as
     * [[dotDec]] — round-half-up is engine-portable, see class doc). */
   private def valDec(x: Column): Column =
@@ -638,14 +642,17 @@ object Ann {
     * The embedding projection is persisted: every round re-reads it (and
     * lineage would otherwise re-scan parquet per round) — same cache
     * contract as `Scale.prefixSum`; with many rounds add a
-    * localCheckpoint per round (the q60 iteration device). */
+    * localCheckpoint per round (the q60 iteration device). The handle is
+    * tracked ([[graft.Caches]], tag [[vecsTag]]) so a long-lived session
+    * releases it with `Caches.release(Ann.vecsTag(dir))` — or all ANN
+    * caches with `Caches.releasePrefix("ann.")` — after the action
+    * completes, instead of clearing the whole session cache. */
   def ivfKmeans(spark: SparkSession, dir: String,
       exactMetric: Boolean = true): DataFrame = {
     import spark.implicits._
-    val vecs = embeddings(spark, dir)
+    val vecs = graft.Caches.track(vecsTag(dir), embeddings(spark, dir)
       .select($"vec_id",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
-      .persist()
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
     var cents = vecs
       .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + IVF_NCENTROIDS)
       .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"))
@@ -725,10 +732,9 @@ object Ann {
     * probe nprobe cells — carries one exact cross-engine proof. */
   def ivfTopKTrained(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = embeddings(spark, dir)
+    val vecs = graft.Caches.track(vecsTag(dir), embeddings(spark, dir)
       .select($"vec_id",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
-      .persist()
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
     var cents = vecs
       .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + IVF_NCENTROIDS)
       .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"))

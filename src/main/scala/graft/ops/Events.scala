@@ -213,7 +213,11 @@ object Events {
         count(lit(1)).cast("long").as("n_events"),
         count(when($"k".isNull, lit(1))).cast("long").as("n_missing"),
         sum($"k").as("total_k"),
-        (sum($"k").cast("double") / count($"k")).as("avg_k"))
+        // explicit zero-denominator guard: an event_type with NO
+        // parseable k must yield NULL under ANSI mode too (bare x/0
+        // null-on-div-by-zero is non-ANSI Spark; DuckDB's NULL/0 is NULL)
+        when(count($"k") > 0, sum($"k").cast("double") / count($"k"))
+          .as("avg_k"))
       .orderBy($"event_type")
   }
 

@@ -242,6 +242,6 @@ object History {
     * re-derive it with its own fact scan. Harness mains clear the cache
     * per query (the `Scale.prefixSum` contract). */
   private def deltaEntry(s: SparkSession, d: String): DataFrame =
-    historyDelta(s, d, HIST_CHECKPOINT,
-      stockHistoryUntil(s, d, HIST_CHECKPOINT).persist())
+    historyDelta(s, d, HIST_CHECKPOINT, graft.Caches.track(
+      s"history.stored:$d", stockHistoryUntil(s, d, HIST_CHECKPOINT)))
 }

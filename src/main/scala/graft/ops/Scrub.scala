@@ -185,7 +185,8 @@ object Scrub {
     * persisted because TWO consumers read it (the bloom-building subquery
     * and the confirm join) — without it each would re-derive the carve
     * with its own text scan. The harness mains clear the cache per query;
-    * long-lived sessions unpersist after materializing. */
+    * long-lived sessions release the tracked handle after materializing
+    * (`Caches.release("scrub.evalShingles:" + dir)`). */
   def decontaminateBloom(spark: SparkSession, dir: String,
       capacity: Long = EVAL_SHINGLE_CAPACITY,
       fpp: Double = 0.01): DataFrame = {
@@ -194,7 +195,8 @@ object Scrub {
       (Dx.hashKey(EVAL_SALT, $"doc_id") < EVAL_THRESHOLD).cast("int")
     val sh = TextPipeline.shingles(spark, dir)
       .withColumn("is_eval", evalTag)
-    val evalSh = sh.filter($"is_eval" === 1).select($"sh").distinct().persist()
+    val evalSh = graft.Caches.track(s"scrub.evalShingles:$dir",
+      sh.filter($"is_eval" === 1).select($"sh").distinct())
     val bloom = evalSh.agg(
       graft.functions.Bloom.filterAgg($"sh", capacity, fpp).as("bf"))
     val hits = sh

@@ -927,11 +927,16 @@ object TextPipeline {
     * contract (Scale.prefixSum): the driver clears the cache per query. */
   private def dedupBase(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, dir)
-      .select($"doc_id", $"lang", $"source", $"n_chars",
-        md5($"text").as("content_hash"))
-      .persist()
+    graft.Caches.track(dedupBaseTag(dir),
+      docs(spark, dir)
+        .select($"doc_id", $"lang", $"source", $"n_chars",
+          md5($"text").as("content_hash")))
   }
+
+  /** [[graft.Caches]] tag of the dedup digest cache for `dir` — library
+    * callers (e.g. [[graft.CurationPipeline]]) release exactly this
+    * handle instead of clearing the whole session cache. */
+  def dedupBaseTag(dir: String): String = s"textpipeline.dedupBase:$dir"
 
   /** Exact-dup drop set over the shared base: every non-minimum doc_id of
     * each md5 group. Projects (doc_id, content_hash) BEFORE the window so

@@ -134,10 +134,16 @@ object Sinks {
     * the id, mod n), so re-runs, backfills and incremental appends place
     * every document in the same shard forever — no RNG, no global sort,
     * no coordination. The repartition keys the ONE shuffle by the shard
-    * value itself, so each shard's rows coalesce into a single task and
-    * each directory holds exactly one file (uniform shard sizes come
-    * free from the hash). At petabyte scale raise `nShards` to the
-    * loader's file-count target; balance and determinism are unchanged. */
+    * value itself; `partitionBy` then guarantees the one-directory-per-
+    * shard LAYOUT regardless of task assignment. Task assignment is
+    * hash(shard) % nShards, which may co-locate two shard values in one
+    * task (leaving another empty) — the directory layout and per-shard
+    * file count still hold because the writer splits by partition value
+    * within the task. `repartitionByRange` would pin one value per task
+    * but costs a second pass over the input (range bounds are sampled),
+    * the wrong trade for a corpus-sized write. At petabyte scale raise
+    * `nShards` to the loader's file-count target; balance and determinism
+    * are unchanged. */
   def writeShards(
       df: DataFrame, path: String, idCol: String, nShards: Int): Unit =
     df

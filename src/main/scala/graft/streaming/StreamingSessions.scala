@@ -29,7 +29,16 @@ object StreamingSessions {
 
   /** Closed sessions per user: (user_id, session_start, session_end,
     * n_events, total_value); `session_end` is the LAST EVENT time (the
-    * batch q66 convention), not the window end (last + gap). */
+    * batch q66 convention), not the window end (last + gap).
+    *
+    * BOUNDARY CAVEAT (public contract, round-7 ADVICE): an event arriving
+    * EXACTLY `gap` after its predecessor starts a NEW session here
+    * (`session_window` windows are half-open, `[start, start+gap)`),
+    * while the batch twin [[graft.ops.Events.sessionize]] keeps it
+    * in-session (its splitter is strict `>`). Streams with sub-gap
+    * timestamp granularity never hit the boundary; a deployment that can
+    * must pick one convention — e.g. pass `gap` one microsecond longer
+    * here, or change the batch splitter to `>=`. */
   def sessionStream(
       events: DataFrame, gap: String = "30 minutes",
       delay: String = "2 hours"): DataFrame =

@@ -28,6 +28,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSqlFp.nonEmpty && viaSqlFp == viaCol)
   }
 
+  test("SQL front-door twins reproduce their API originals row for row") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Seq(
+      "q01s_pricing_summary_sql" -> "q01_pricing_summary",
+      "q02s_abc_analysis_sql" -> "q02_abc_analysis",
+      "q31s_reorder_alerts_sql" -> "q31_reorder_alerts",
+      "q63s_formatted_valuation_sql" -> "q63_formatted_valuation")
+    val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+    pairs.foreach { case (sqlName, apiName) =>
+      val viaSql = byName(sqlName).fn(spark, dir)
+      val viaApi = byName(apiName).fn(spark, dir)
+      assert(viaSql.columns.toSeq == viaApi.columns.toSeq, sqlName)
+      val a = viaSql.collect().map(_.toSeq).toSeq
+      val b = viaApi.collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, s"$sqlName != $apiName")
+    }
+  }
+
   test("registerViews exposes the warehouse to plain SQL, pushdown intact") {
     val dir = "/root/testdata/sf0.001"
     Tables.registerViews(spark, dir)

@@ -62,6 +62,62 @@ class HistorySpec extends SparkSpec {
     }
   }
 
+  test("incremental delta over a date-partitioned ledger prunes closed days " +
+      "at planning time and still equals the full recompute") {
+    val dir = fixture
+    val cp = "2020-01-03"
+    // the production layout: ledger partitioned by ship day (the q37 rule)
+    val part = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    Tables(spark, dir, "lineitem")
+      .withColumn("ship_day", to_date($"l_shipdate"))
+      .write.mode("overwrite").partitionBy("ship_day").parquet(part)
+    val layoutFiles = spark.read.parquet(part).inputFiles.length
+    assert(layoutFiles >= 4, "expected one file per ledger day at minimum")
+
+    // the stored side read from parquet (what a previous run persisted) —
+    // the delta plan must contain exactly ONE ledger scan, and it must be
+    // the pruned one
+    val storedPath = java.nio.file.Files.createTempDirectory("graft-stored").toString
+    graft.sources.Sinks.writeParquet(
+      History.stockHistoryUntil(spark, dir, cp), storedPath)
+    val delta = History.historyDeltaFrom(
+      spark.read.parquet(part)
+        .filter($"ship_day" > java.sql.Date.valueOf(cp)),
+      cp, spark.read.parquet(storedPath))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("part_id", "warehouse_id", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).toString,
+        Option(r.getTimestamp(3)).map(_.toString).orNull,
+        r.getDouble(4))).toSeq
+    assert(rows(delta) == rows(History.stockHistory(spark, dir)),
+      "partitioned delta diverges from the full recompute")
+
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val all = scans(delta.queryExecution.executedPlan)
+    val ledgerScans = all.filter(_.schema.fieldNames.contains("l_quantity"))
+    assert(ledgerScans.length == 1,
+      s"expected exactly one fact scan, found ${ledgerScans.length}")
+    val scan = ledgerScans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "checkpoint predicate did not reach PartitionFilters")
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead < layoutFiles,
+      s"no pruning: read $filesRead of $layoutFiles ledger files")
+    // days ≤ Jan-03 (the stored side's domain) must all be pruned:
+    // only Jan-05 remains post-checkpoint in the fixture
+    assert(filesRead <= layoutFiles - 3,
+      s"expected the closed days pruned, read $filesRead/$layoutFiles")
+  }
+
   test("as-of interval probe ≡ direct ledger replay at every probe instant") {
     val dir = fixture
     val li = Tables(spark, dir, "lineitem")

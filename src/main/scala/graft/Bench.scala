@@ -78,26 +78,44 @@ object Bench {
     } catch { case _: Throwable => () }
 
     var failed = List.empty[String]
-    /** (min, max) seconds over `runs` materializations; -1 on failure.
-      * Times `q.timed` — the operator's API shape; a registered closure's
-      * compare-only orderBy (see [[Query.benchFn]]) is not operator cost. */
-    def time(q: Query): (Double, Double) = {
-      val ts = (1 to runs).map { _ =>
+    /** Total stop-the-world time so far across all collectors (ms). */
+    def gcNow(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
+    /** Per-query measurement: (min s, max s, gc ms at the min run, gc ms
+      * at the max run); -1s on failure. GC deltas ATTRIBUTE drift
+      * (round-7 verdict item 2): a query whose max-run wall time spikes
+      * while its max-run GC spikes with it is an environment stall, not a
+      * plan regression — previously the artifact could not tell the two
+      * apart and a +11% headline drift went unexplained. Times `q.timed`
+      * — the operator's API shape; a registered closure's compare-only
+      * orderBy (see [[Query.benchFn]]) is not operator cost. */
+    def time(q: Query): (Double, Double, Long, Long) = {
+      System.err.println(s"[bench] timing ${q.name}")
+      val samples = (1 to runs).map { _ =>
+        val g0 = gcNow()
         val t0 = System.nanoTime()
         try {
           q.timed(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
+          val gc = gcNow() - g0
           spark.catalog.clearCache()
-          dt
+          (dt, gc)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} FAILED: $e")
             failed ::= q.name
             spark.catalog.clearCache()
-            -1.0
+            (-1.0, 0L)
         }
       }
-      if (ts.exists(_ < 0)) (-1.0, -1.0) else (ts.min, ts.max)
+      if (samples.exists(_._1 < 0)) (-1.0, -1.0, 0L, 0L)
+      else {
+        val mn = samples.minBy(_._1); val mx = samples.maxBy(_._1)
+        (mn._1, mx._1, mn._2, mx._2)
+      }
     }
 
     val results = headline.map(q => q.name -> time(q))
@@ -105,17 +123,21 @@ object Bench {
 
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
-    val qs = jmap(results.map { case (k, (mn, _)) => k -> mn })
-    val qsMax = jmap(results.map { case (k, (_, mx)) => k -> mx })
-    val auxQs = jmap(auxResults.map { case (k, (mn, _)) => k -> mn })
+    val total = results.collect { case (_, (mn, _, _, _)) if mn >= 0 => mn }.sum
+    val qs = jmap(results.map { case (k, (mn, _, _, _)) => k -> mn })
+    val qsMax = jmap(results.map { case (k, (_, mx, _, _)) => k -> mx })
+    val auxQs = jmap(auxResults.map { case (k, (mn, _, _, _)) => k -> mn })
+    // GC attribution: [gc at the min run, gc at the max run] in ms.
+    val gcJson = (results ++ auxResults)
+      .map { case (k, (_, _, gMn, gMx)) => s"\"$k\":[$gMn,$gMx]" }
+      .mkString("{", ",", "}")
     // Stability guard: an environment stall (the r2/r3 GC-spike class of
     // failure) shows up as one run far above the plan's cost. Flag any
     // query whose max exceeds 3× its min by more than a second so a
     // reintroduced stall fails LOUDLY in the artifact instead of silently
     // re-inflating totals.
     val unstable = (results ++ auxResults).collect {
-      case (k, (mn, mx)) if mn >= 0 && mx > 3 * mn && mx - mn > 1.0 => k
+      case (k, (mn, mx, _, _)) if mn >= 0 && mx > 3 * mn && mx - mn > 1.0 => k
     }
     unstable.foreach(k => System.err.println(
       s"[bench] UNSTABLE $k: max > 3x min — environment stall suspected"))
@@ -127,11 +149,13 @@ object Bench {
     val shapeJson = (headline ++ aux).filter(_.benchFn.isDefined)
       .map(q => "\"" + q.name + "\":\"api\"").mkString("{", ",", "}")
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val heapMib = Runtime.getRuntime.maxMemory() / (1 << 20)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_max":$qsMax,"aux_queries":$auxQs,"runs":$runs,""" +
         s""""unstable":$unstableJson,"bench_shape":$shapeJson,""" +
-        s""""bench_skipped":$skippedJson,"sf":"$sfDir"}"""
+        s""""bench_skipped":$skippedJson,"gc_ms":$gcJson,""" +
+        s""""heap_mib":$heapMib,"cpus":$cpus,"sf":"$sfDir"}"""
     // Durable artifact FIRST (round-5 verdict item 4: a tail-captured
     // stdout window truncated the total once aux grew) — the file is the
     // self-contained record regardless of how stdout is captured.

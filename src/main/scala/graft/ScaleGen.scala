@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-proof dataset writer (round-7 verdict item 1): synthesizes a
+  * FIXTURE-SCHEMA dir (`lineitem events documents embeddings` +
+  * `part supplier` dims) at any multiple of the sf0.1 shape using the
+  * deterministic generator (P9) — so the SAME `graft.Bench` run, pointed
+  * at two generated dirs (mult=1 and mult=10), yields an
+  * apples-to-apples two-point scaling curve on identically-distributed
+  * data. `/root/testdata` tops out at sf0.1; this is how the engine's
+  * 100 TB claims get a measured slope instead of plan audits alone.
+  *
+  * Row counts at mult=1 mirror sf0.1: ~200k orders × ~3.05 lines + 2 ×
+  * 15k transfer legs ≈ 640k lineitem rows; 100k events; 5k documents;
+  * 2k embedding vectors. Dimensions (part/supplier domains) stay FIXED
+  * across multiples — the TPC-H discipline: facts scale, dims do not, so
+  * group counts hold constant and the per-query slope isolates fact-side
+  * cost.
+  *
+  * Usage: runMain graft.ScaleGen <outDir> [mult]
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult]")
+    val dir = args(0)
+    val mult = if (args.length > 1) args(1).toDouble else 1.0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nOrders = (200000 * mult).toLong
+    val nTransfers = (15000 * mult).toLong
+    val nEvents = (100000 * mult).toLong
+    val nDocs = (5000 * mult).toLong
+    val nVecs = (2000 * mult).toLong
+
+    import org.apache.spark.sql.functions._
+    // fixed-domain dims sized to the generated fact's key domains
+    // (l_partkey < 5000 from the detail-line draw, l_suppkey < 10)
+    val part = spark.range(5000).select(
+      col("id").as("p_partkey"),
+      expr("concat('Brand#', CAST(id % 50 AS STRING))").as("p_brand"),
+      expr("concat('part-', lpad(CAST(id AS STRING), 6, '0'))").as("p_name"),
+      expr(s"CAST((${"((id * 48271 + 11) % 2147483647)"} % 50) + 1 AS INT)")
+        .as("p_size"))
+    val supplier = spark.range(10).select(
+      col("id").as("s_suppkey"),
+      expr("concat('WH-', CAST(id AS STRING))").as("s_name"))
+
+    val tables = Seq(
+      "lineitem" -> ops.Generator.fixtureLineitem(spark, nOrders, nTransfers),
+      "events" -> ops.Generator.fixtureEvents(spark, nEvents),
+      "documents" -> ops.Generator.fixtureDocuments(spark, nDocs),
+      "embeddings" -> ops.Generator.fixtureEmbeddings(spark, nVecs),
+      "part" -> part,
+      "supplier" -> supplier)
+    val counts = tables.map { case (name, df) =>
+      graft.sources.Sinks.writeParquet(df, s"$dir/$name.parquet")
+      name -> spark.read.parquet(s"$dir/$name.parquet").count()
+    }
+    val json = counts.map { case (k, v) => s""""$k":$v""" }
+      .mkString(s"""{"mult":$mult,""", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}

@@ -288,14 +288,16 @@ object Generator {
     * never pair; the generator's [[transfers]] (built around exactly that
     * P2 pairing) supply them under an offset orderkey space, OUT→'R',
     * IN→'A', linestatus 'O' so legs never enter the completed cost pool. */
-  def fixtureLineitem(spark: SparkSession, n: Long = DEFAULT_ORDERS): DataFrame = {
-    // po ids are 0..n−1; transfer-leg orderkeys start at
-    // TRANSFER_ORDERKEY_BASE. A larger n would silently collide the two
-    // key spaces and the same-(orderkey, partkey) R+A pairing convention
-    // would fabricate false transfer pairs (round-6 advice).
-    require(n <= TRANSFER_ORDERKEY_BASE,
-      s"fixtureLineitem: n=$n would overlap the transfer orderkey space " +
-        s"(base=$TRANSFER_ORDERKEY_BASE)")
+  def fixtureLineitem(spark: SparkSession, n: Long = DEFAULT_ORDERS,
+      nTransfers: Long = DEFAULT_TRANSFERS): DataFrame = {
+    // po ids are 0..n−1; transfer-leg orderkeys start at max(base, n), so
+    // the two key spaces stay disjoint AT ANY SCALE and the
+    // same-(orderkey, partkey) R+A pairing convention can never fabricate
+    // false transfer pairs (round-6 advice; the previous fixed-base
+    // require() capped generation at 1M orders, which the round-7
+    // scale-bench mandate outgrew — at the default n the base, and thus
+    // every orderkey, is bit-identical to before).
+    val base = math.max(TRANSFER_ORDERKEY_BASE, n)
     val k = "(po_id * 8 + line_no)"
     val lz = Mix.z(k); val lw = Mix.w(k)
     val orderLines = orderDetails(spark, n)
@@ -317,8 +319,8 @@ object Generator {
                 |     ELSE 'O' END""".stripMargin).as("l_linestatus"),
         expr("CAST(order_date + CAST(line_no - 1 AS INT) AS TIMESTAMP)")
           .as("l_shipdate"))
-    val legs = transfers(spark).select(
-      (lit(TRANSFER_ORDERKEY_BASE) + col("reference_id")).as("l_orderkey"),
+    val legs = transfers(spark, nTransfers).select(
+      (lit(base) + col("reference_id")).as("l_orderkey"),
       col("product_id").as("l_partkey"),
       col("warehouse_id").as("l_suppkey"),
       when(col("leg") === "OUT", 1).otherwise(2).cast("int")
@@ -337,6 +339,230 @@ object Generator {
     * collide (po ids are 0..n−1). */
   val TRANSFER_ORDERKEY_BASE = 1000000L
 
+  // ------------------------------------------- corpus fixture tables
+  // The LLM-pipeline operators (dedup/ANN/curation) read `documents` and
+  // `embeddings`; for the scale-proof bench (round-7 verdict item 1) the
+  // generator must synthesize BOTH at any size with the same pure-
+  // arithmetic discipline as the warehouse tables — deterministic,
+  // parallel over `spark.range`, and DuckDB-replayable so the
+  // construction itself carries an oracle (q86/q87).
+
+  val DEFAULT_DOCS = 500L
+  val DEFAULT_VECS = 200L
+  val EMBED_DIM = 64 // the testdata embedding width (Ann.EMBED_DIM)
+
+  /** 32-word vocabulary — warehouse-flavored, index-stable. */
+  private val VOCAB = Seq(
+    "stock", "move", "ship", "order", "part", "supply", "count", "audit",
+    "batch", "daily", "level", "value", "cost", "unit", "total", "zone",
+    "rack", "bin", "scan", "pick", "pack", "load", "dock", "route",
+    "cycle", "check", "item", "gross", "net", "open", "hold", "close")
+
+  private def vocabSpark: String =
+    VOCAB.map("'" + _ + "'").mkString("array(", ", ", ")")
+  private def vocabDuck: String =
+    VOCAB.map("'" + _ + "'").mkString("([", ", ", "])")
+
+  /** Duplicate-plant rule shared by both engines: ids ≡ 7 (mod 11) copy a
+    * nearby natural doc's text EXACTLY (exact-dup class, what q21/q57
+    * drop); ids ≡ 8 (mod 11) copy one and append a single word (near-dup
+    * class, what MinHash/SimHash candidates catch). Copy targets are
+    * ≡ 0..6 (mod 11) by construction — never themselves re-seeded, so
+    * copies are true fixpoints, not chains. */
+  private def seedExpr(i: String): String = {
+    val x = Mix.x(i)
+    s"""CASE WHEN $i % 11 = 7 AND $i >= 11 THEN $i - 7 + ($x % 7)
+       |     WHEN $i % 11 = 8 AND $i >= 11 THEN $i - 8 + ($x % 7)
+       |     ELSE $i END""".stripMargin
+  }
+
+  /** The two engines' word-list comprehension openers (Spark `sequence`
+    * is inclusive-stop, DuckDB `range` exclusive-stop — same j domain). */
+  private def rangeLambda(fn: String, nw: String): String = fn match {
+    case "spark" => s"transform(sequence(0, CAST($nw AS INT) - 1)"
+    case _ => s"list_transform(range(0, $nw)"
+  }
+
+  /** Per-(seed, j) token: a vocab word with a numeric suffix — an
+    * effective token space of 32·997 ≈ 32k, i.e. real-corpus shingle
+    * diversity. Two deliberate choices, both scale-load-bearing:
+    *
+    *  - NONLINEAR draw. Every [[Mix]] chain is linear in its input, so
+    *    any chain over `(seed·100003 + j)` steps by a CONSTANT mod the
+    *    vocab size as j advances — the first cut generated docs that were
+    *    rotations of one 32-word cycle: 518 distinct 3-shingles across 5k
+    *    docs, max shingle df 3279, ≈398M inverted-index candidate pairs
+    *    (vs 27k shingles / max df 25 / 1.3M pairs in the testdata corpus
+    *    of the same size), and the shingle/MinHash dedup family measured
+    *    218 s at gen1x. Squaring the Lehmer value mod P makes the draw
+    *    quadratic in j, restoring shingle spread.
+    *  - INDEPENDENT residues. The suffix divides by 64 before its
+    *    modulus so word and suffix share no modular structure (the
+    *    [[Mix.w]] rationale).
+    *
+    * Cross-engine: t < P ≈ 2.15e9 ⇒ t² < 4.7e18 fits BIGINT in both
+    * engines; `DIV`/`//` keep the division integral (a double round-trip
+    * would be exact here but the integer form proves it). */
+  private def tokenExpr(fn: String, seed: String): String = {
+    val t = Mix.x(s"(($seed) * 100003 + j)")
+    val u = s"(($t * $t) % $P)"
+    fn match {
+      case "spark" =>
+        s"concat(element_at($vocabSpark, CAST(1 + ($u % 32) AS INT)), " +
+          s"'-', CAST((($u) DIV 64) % 997 AS STRING))"
+      case _ =>
+        s"($vocabDuck[1 + ($u % 32)] || '-' || " +
+          s"CAST((($u) // 64) % 997 AS VARCHAR))"
+    }
+  }
+
+  /** Generated `documents` in fixture schema (doc_id, text, lang, source,
+    * n_chars): deterministic word-sequence text with planted exact and
+    * near duplicates, 5-language metadata drawn per SEED (copies share
+    * the original's language, as real mirrors do) and 20 sources drawn
+    * per DOC (the same text arriving from different sources — exactly
+    * the situation content-hash dedup exists for). */
+  def fixtureDocuments(spark: SparkSession, n: Long = DEFAULT_DOCS): DataFrame = {
+    val seed = "doc_seed"
+    val body = s"array_join(${rangeLambda("spark", s"(30 + (${Mix.w(seed)} % 70))")}, " +
+      s"j -> ${tokenExpr("spark", seed)}), ' ')"
+    val x = Mix.x("id")
+    val z = Mix.z(seed)
+    val w = Mix.w("id")
+    spark.range(n)
+      .selectExpr("id", s"${seedExpr("id")} AS $seed")
+      .selectExpr(
+        "id AS doc_id",
+        s"""CASE WHEN id % 11 = 8 AND id >= 11
+           |     THEN concat($body, ' ', element_at($vocabSpark,
+           |                 CAST(1 + ($x % 32) AS INT)))
+           |     ELSE $body END AS text""".stripMargin,
+        s"""CASE WHEN $z % 100 < 40 THEN 'en'
+           |     WHEN $z % 100 < 60 THEN 'de'
+           |     WHEN $z % 100 < 75 THEN 'es'
+           |     WHEN $z % 100 < 90 THEN 'fr'
+           |     ELSE 'zh' END AS lang""".stripMargin,
+        s"concat('src', CAST($w % 20 AS STRING)) AS source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+  }
+
+  /** q86: corpus-generator check — per-language doc counts, char totals
+    * and DISTINCT-text counts (the dup plant surfaced as data: distinct <
+    * total exactly where the ≡7/≡8 (mod 11) copies landed). The DuckDB
+    * oracle regenerates every text string from `range(n)` and must agree
+    * byte-for-byte for the distinct counts to match. */
+  def documentSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fixtureDocuments(spark)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        countDistinct($"text").as("n_unique_texts"))
+      .orderBy($"lang")
+  }
+
+  private val documentSummaryOracle = {
+    val seed = "doc_seed"
+    val body = s"array_to_string(${rangeLambda("duck", s"(30 + (${Mix.w(seed)} % 70))")}, " +
+      s"j -> ${tokenExpr("duck", seed)}), ' ')"
+    val x = Mix.x("i")
+    val z = Mix.z(seed)
+    s"""WITH s AS (
+       |  SELECT i, ${seedExpr("i")} AS $seed FROM range($DEFAULT_DOCS) r(i)
+       |), d AS (
+       |  SELECT i,
+       |         CASE WHEN i % 11 = 8 AND i >= 11
+       |              THEN $body || ' ' || $vocabDuck[1 + ($x % 32)]
+       |              ELSE $body END AS text,
+       |         CASE WHEN $z % 100 < 40 THEN 'en'
+       |              WHEN $z % 100 < 60 THEN 'de'
+       |              WHEN $z % 100 < 75 THEN 'es'
+       |              WHEN $z % 100 < 90 THEN 'fr'
+       |              ELSE 'zh' END AS lang
+       |  FROM s
+       |)
+       |SELECT lang,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       |       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Generated `embeddings` in fixture schema (vec_id, embedding
+    * array<float>, label int): 10 labels, each element = a label-keyed
+    * centroid offset plus per-(vector, position) noise — so vectors of a
+    * label genuinely cluster (IVF/k-means training has structure to find)
+    * while every value stays a pure Lehmer function. Elements round
+    * through FLOAT exactly once (the fixture schema's width), identically
+    * in both engines.
+    *
+    * Two deliberate shape constraints, learned from the first cut:
+    *  - centroid offsets are WEAK relative to noise (±0.083 vs ±0.2):
+    *    clusters must be findable by k-means yet must NOT collapse the
+    *    SRP-LSH sign buckets — tightly-clustered vectors all share a
+    *    signature, degenerating the q47/q58 bucket join quadratic
+    *    (measured 24 s at 2k vectors before the reweight);
+    *  - the SAME ≡7/≡8 (mod 11) seed rule as [[fixtureDocuments]] plants
+    *    exact-duplicate vectors (cosine 1) and near-duplicates (a +5e-4
+    *    uniform shift, cosine ≈ 0.9999), so embedding-dedup has true
+    *    positives at every scale instead of relying on background
+    *    cluster overlap. */
+  def fixtureEmbeddings(spark: SparkSession, n: Long = DEFAULT_VECS,
+      dim: Int = EMBED_DIM): DataFrame = {
+    val seed = "vec_seed"
+    val label = s"(${Mix.y(seed)} % 10)"
+    val c = s"((${Mix.x(s"(($label) * $dim + j + 1)")} % 1000) - 500) / 6000.0"
+    val noise = s"((${Mix.z(s"(($seed) * $dim + j + 7)")} % 1000) - 500) / 2500.0"
+    val shift = "(CASE WHEN id % 11 = 8 AND id >= 11 THEN 0.0005 ELSE 0.0 END)"
+    spark.range(n)
+      .selectExpr("id", s"${seedExpr("id")} AS $seed")
+      .selectExpr(
+        "id AS vec_id",
+        s"transform(sequence(0, ${dim - 1}), j -> CAST(($c) + ($noise) + $shift AS FLOAT)) AS embedding",
+        s"CAST($label AS INT) AS label")
+  }
+
+  /** q87: embedding-generator check — per-label vector counts and a
+    * fixed-point decimal sum over every element (1e-6 quantum, the q83
+    * exactness device), proving the float-rounded cluster construction
+    * reproduces bit-identically cross-engine. */
+  def embeddingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fixtureEmbeddings(spark)
+      .select($"vec_id", $"label", explode($"embedding").as("x"))
+      .groupBy($"label")
+      .agg(
+        countDistinct($"vec_id").as("n_vecs"),
+        count(lit(1)).cast("long").as("n_elems"),
+        sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) / 1000000 AS DECIMAL(30,6))"))
+          .cast("double").as("sum_fp"))
+      .orderBy($"label")
+  }
+
+  private val embeddingSummaryOracle = {
+    val seed = "vec_seed"
+    val label = s"(${Mix.y(seed)} % 10)"
+    val c = s"((${Mix.x(s"(($label) * $EMBED_DIM + j + 1)")} % 1000) - 500) / 6000.0"
+    val noise = s"((${Mix.z(s"(($seed) * $EMBED_DIM + j + 7)")} % 1000) - 500) / 2500.0"
+    val shift = "(CASE WHEN i % 11 = 8 AND i >= 11 THEN 0.0005 ELSE 0.0 END)"
+    s"""WITH s AS (
+       |  SELECT i, ${seedExpr("i")} AS $seed FROM range($DEFAULT_VECS) r(i)
+       |), v AS (
+       |  SELECT i AS vec_id, $label AS label,
+       |         unnest(list_transform(range(0, $EMBED_DIM),
+       |           j -> CAST(($c) + ($noise) + $shift AS FLOAT))) AS x
+       |  FROM s
+       |)
+       |SELECT CAST(label AS INT) AS label,
+       |       CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       |       CAST(COUNT(*) AS BIGINT) AS n_elems,
+       |       CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) / 1000000
+       |                AS DECIMAL(30,6))) AS DOUBLE) AS sum_fp
+       |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Write the full generated warehouse to `dir`: the six native
     * warehouse tables (masters + order family + facts) AND the two
     * fixture-schema projections, laid out like an sfDir — so
@@ -354,7 +580,9 @@ object Generator {
       "order_details" -> orderDetails(spark),
       "transfers" -> transfers(spark),
       "lineitem" -> fixtureLineitem(spark),
-      "events" -> fixtureEvents(spark))
+      "events" -> fixtureEvents(spark),
+      "documents" -> fixtureDocuments(spark),
+      "embeddings" -> fixtureEmbeddings(spark))
     tables.map { case (name, df) =>
       graft.sources.Sinks.writeParquet(df, s"$dir/$name.parquet")
       name -> spark.read.parquet(s"$dir/$name.parquet").count()
@@ -664,5 +892,11 @@ object Generator {
       supplierOrders, Some(supplierOrdersOracle), headline = false),
     Query("q55_generated_dq_summary",
       "DQ ladder over generated events: planted noise lands in quarantine (P9→F1/F2 loop)",
-      generatedDqSummary, Some(generatedDqOracle), headline = false))
+      generatedDqSummary, Some(generatedDqOracle), headline = false),
+    Query("q86_generated_documents",
+      "corpus generator: deterministic text with planted exact/near dups, per-lang distinct-text proof (P9)",
+      documentSummary, Some(documentSummaryOracle), headline = false),
+    Query("q87_generated_embeddings",
+      "embedding generator: label-clustered float vectors, fixed-point element-sum proof (P9)",
+      embeddingSummary, Some(embeddingSummaryOracle), headline = false))
 }

@@ -129,4 +129,69 @@ class GeneratorSpec extends SparkSpec {
     assert(math.abs(share("OUT") - 0.35) < 0.02)
     assert(math.abs(share("TRANSFER") - 0.10) < 0.02)
   }
+
+  test("document generator plants true exact-dup fixpoints and near-dups") {
+    val docs = Generator.fixtureDocuments(spark, 550)
+      .select($"doc_id", $"text", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    assert(docs.forall { case (_, t, nc) => nc == t.length.toLong },
+      "n_chars must equal length(text)")
+    // every ≡7 (mod 11) doc's text occurs at least twice (a true copy of
+    // a NATURAL doc, not a chain into another re-seeded id)
+    val counts = docs.groupBy(_._2).map { case (t, g) => t -> g.size }
+    val exactDups = docs.filter(d => d._1 % 11 == 7 && d._1 >= 11)
+    assert(exactDups.nonEmpty)
+    exactDups.foreach { case (id, t, _) =>
+      assert(counts(t) >= 2, s"doc $id is not an exact duplicate")
+    }
+    // every ≡8 (mod 11) doc is a one-word-appended near-dup of a natural
+    val nearDups = docs.filter(d => d._1 % 11 == 8 && d._1 >= 11)
+    assert(nearDups.nonEmpty)
+    nearDups.foreach { case (id, t, _) =>
+      val prefix = t.substring(0, t.lastIndexOf(' '))
+      assert(byId.values.exists(_ == prefix),
+        s"doc $id's text minus its last word matches no natural doc")
+    }
+  }
+
+  test("embedding generator: fixture width, label domain, label clustering") {
+    val vecs = Generator.fixtureEmbeddings(spark, 300)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    assert(vecs.length == 300)
+    assert(vecs.forall(_._2.length == Generator.EMBED_DIM))
+    assert(vecs.map(_._3).distinct.sorted.toSeq == (0 until 10))
+    // clustering: same-label vectors sit closer to their label mean than
+    // to the global mean (the structure IVF training must find)
+    val dim = Generator.EMBED_DIM
+    def mean(vs: Seq[Seq[Float]]): Seq[Double] =
+      (0 until dim).map(j => vs.map(_(j).toDouble).sum / vs.size)
+    def d2(a: Seq[Float], m: Seq[Double]): Double =
+      (0 until dim).map(j => math.pow(a(j) - m(j), 2)).sum
+    val global = mean(vecs.map(_._2).toSeq)
+    val byLabel = vecs.groupBy(_._3).view.mapValues(g => mean(g.map(_._2).toSeq))
+    val (closer, total) = vecs.foldLeft((0, 0)) { case ((c, t), (_, v, l)) =>
+      (c + (if (d2(v, byLabel(l)) < d2(v, global)) 1 else 0), t + 1)
+    }
+    assert(closer.toDouble / total > 0.9,
+      s"label clustering too weak: $closer/$total")
+  }
+
+  test("scaled fixtureLineitem keeps order/transfer key spaces disjoint") {
+    // n above the legacy 1M base must shift the transfer orderkey base to
+    // n — order lines stay strictly below it, legs at or above it, and
+    // every leg orderkey still carries exactly its two paired rows
+    val n = 1200000L
+    val li = Generator.fixtureLineitem(spark, n, 10L)
+    val stats = li.agg(
+      max(when($"l_orderkey" < n, $"l_orderkey")).as("max_order"),
+      min(when($"l_orderkey" >= n, $"l_orderkey")).as("min_leg"),
+      count(when($"l_orderkey" >= n, 1)).as("n_leg_rows")).head
+    assert(stats.getLong(0) < n)
+    assert(stats.getLong(1) == n)
+    assert(stats.getLong(2) == 20L, "10 transfers explode into 20 legs")
+    val badPairs = li.filter($"l_orderkey" >= n)
+      .groupBy("l_orderkey").count().filter($"count" =!= 2).count()
+    assert(badPairs == 0, "every transfer orderkey must carry exactly 2 legs")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{MediaAsset, MediaMeta, Multimodal, StubDecoder}
+import graft.ops.{HeaderDecoder, MediaAsset, MediaMeta, Multimodal, StubDecoder}
 
 /** Pins the multimodal plumbing: schema round-trip, deterministic stub
   * decode, frame shapes, and frame sampling. */
@@ -66,6 +66,49 @@ class MultimodalSpec extends SparkSpec {
     assert((0 to 3).map(f => rows((1L, f))) == Seq(97.5f, 99.5f, 101.5f, 103.5f))
     // doc 2 ("zz", n=2 < FRAMES): size=1 → frames (122),(122),empty,empty
     assert((0 to 3).map(f => rows((2L, f))) == Seq(122f, 122f, 0f, 0f))
+  }
+
+  test("HeaderDecoder parses real PNG/BMP/GIF headers from bytes") {
+    // hand-built minimal containers, laid out per the public specs
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++ be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+      be32(640) ++ be32(480) ++ Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+    val bmp = "BM".getBytes("US-ASCII") ++ le32(146) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(320) ++ le32(-200) ++ // top-down height
+      Array.fill[Byte](100)(0)
+    val gif = "GIF89a".getBytes("US-ASCII") ++ le16(12) ++ le16(34) ++
+      Array.fill[Byte](8)(0)
+    assert(HeaderDecoder.probe(png).contains(("png", 640, 480)))
+    assert(HeaderDecoder.probe(bmp).contains(("bmp", 320, 200)))
+    assert(HeaderDecoder.probe(gif).contains(("gif", 12, 34)))
+    val meta = MediaMeta("image/png", 0, 0, 4)
+    assert(HeaderDecoder.decode(png, meta).toSeq == Seq(640f, 480f))
+    // container payloads decode through the distributed path too
+    val ds = Seq(
+      MediaAsset(1L, png, MediaMeta("image/png", 0, 0, 1)),
+      MediaAsset(2L, "abcdefgh".getBytes("UTF-8"),
+        MediaMeta("text/plain", 8, 1, 4))).toDS()
+    val out = Multimodal.extractFeatures(ds, HeaderDecoder)
+      .collect().map(f => f.asset_id -> f.features.toSeq).toMap
+    assert(out(1L) == Seq(640f, 480f))
+    assert(out(2L) == Seq(97.5f, 99.5f, 101.5f, 103.5f))
+  }
+
+  test("HeaderDecoder fallback is bit-identical to StubDecoder on text") {
+    // the q41/q41b oracle contract: on non-container payloads the REAL
+    // default decoder and the stub must emit the same bytes
+    for (s <- Seq("abcdefgh", "zz", "", "a b c d e f g h i j")) {
+      val bytes = s.getBytes("UTF-8")
+      val meta = MediaMeta("text/plain", s.length, 1, Multimodal.FRAMES)
+      assert(HeaderDecoder.decode(bytes, meta).toSeq ==
+        StubDecoder.decode(bytes, meta).toSeq, s"payload '$s'")
+      assert(HeaderDecoder.probe(bytes).isEmpty, s"payload '$s'")
+    }
   }
 
   test("registered q41 emits only scalar columns with faithful digests") {

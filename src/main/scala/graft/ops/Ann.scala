@@ -152,19 +152,24 @@ object Ann {
   /** Deterministic Rademacher (±1) hyperplanes from a fixed LCG — no RNG
     * state, same planes on every executor and every run (and literal
     * constants in the DuckDB oracle, which replays the bucketing exactly). */
-  private def planeSigns(dim: Int): IndexedSeq[IndexedSeq[Int]] = {
+  private def planeSigns(dim: Int,
+      nplanes: Int = NPLANES): IndexedSeq[IndexedSeq[Int]] = {
     var s = 0x9e3779b97f4a7c15L
     def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
-    IndexedSeq.fill(NPLANES, dim) { if ((next() >>> 40) % 2 == 0) 1 else -1 }
+    // a prefix property holds by construction: planes 0..k of a larger
+    // plane set equal the k-plane set (the LCG stream is consumed
+    // row-major), so raising nplanes REFINES buckets rather than
+    // reshuffling them
+    IndexedSeq.fill(nplanes, dim) { if ((next() >>> 40) % 2 == 0) 1 else -1 }
   }
 
   /** SRP-LSH bucket id for `embedding`: one bit per hyperplane (sign of
     * the projection), each projection a codegen'd
     * [[graft.functions.DotProduct]] against a literal ±1 plane — no
     * explode, no shuffle, no per-element lambda for bucketing. */
-  private def bucketCol(dim: Int): Column = {
-    val planes = planeSigns(dim)
-    (0 until NPLANES).map { p =>
+  private def bucketCol(dim: Int, nplanes: Int = NPLANES): Column = {
+    val planes = planeSigns(dim, nplanes)
+    (0 until nplanes).map { p =>
       val signs = array(planes(p).map(s => lit(s.toFloat)): _*)
       val proj = graft.functions.DotProduct(col("embedding"), signs)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
@@ -315,12 +320,13 @@ object Ann {
     * the top-k path; raising NPLANES keeps buckets task-sized. */
   def embeddingNearDup(
       spark: SparkSession, dir: String,
-      threshold: Double = NEARDUP_COS, dim: Int = EMBED_DIM): DataFrame = {
+      threshold: Double = NEARDUP_COS, dim: Int = EMBED_DIM,
+      nplanes: Int = NPLANES): DataFrame = {
     import spark.implicits._
-    val base = withNorm(spark, dir).withColumn("bucket", bucketCol(dim))
+    val base = withNorm(spark, dir).withColumn("bucket", bucketCol(dim, nplanes))
     val probes = array(
       col("bucket") +:
-        (0 until NPLANES).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+        (0 until nplanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val a = base.select(
       $"vec_id".as("vec_a"), $"embedding".as("emb_a"),
       $"nrm_dec".as("nrm_a"), explode(probes).as("bucket"))
@@ -351,6 +357,30 @@ object Ann {
       .filter($"cosine" >= threshold)
       .select($"vec_a", $"vec_b", $"cosine")
       .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** [[embeddingNearDup]] with the plane count SIZED BY THE SIZING RULE:
+    * `planesFor(n, targetBucket)` from the corpus row count, so bucket
+    * occupancy — and with it the bucket join's O(occupancy²) rerank —
+    * stays bounded as the corpus grows. This is the deploy shape: q47's
+    * fixed [[NPLANES]] pins the sf0.01 oracle contract, and its candidate
+    * cost grows quadratically past the scale the planes were sized for
+    * (the scaling bench measures exactly that divergence). The row count
+    * comes from `count()` over the id column — a metadata-cheap sizing
+    * action (parquet footers; the statistics read any cost-based planner
+    * performs), NOT a data collect; the count is a planning input, so at
+    * 100 TB a cached table-stat serves the same purpose.
+    *
+    * `targetBucket = 8` matches the fixture contract: at the driver's
+    * 500-row correctness scale `planesFor(500, 8) = 6 = NPLANES`, so the
+    * q88 oracle is exactly q47's — identical plans at the proof scale,
+    * diverging (by design) only where the fixed-plane plan degrades. */
+  def embeddingNearDupAuto(
+      spark: SparkSession, dir: String,
+      threshold: Double = NEARDUP_COS, dim: Int = EMBED_DIM,
+      targetBucket: Long = 8): DataFrame = {
+    val n = embeddings(spark, dir).select("vec_id").count()
+    embeddingNearDup(spark, dir, threshold, dim, planesFor(n, targetBucket))
   }
 
   /** DuckDB replay of [[embeddingNearDup]] (same literal planes / XOR
@@ -595,8 +625,14 @@ object Ann {
     * fixture corpus). The same flag philosophy as `Scale.prefixSum`'s
     * smallInput: flipping it at a new scale is a config change, not a
     * correctness question, because the spec pins the equivalence. */
-  def kmeansStep(vectors: DataFrame, cents: DataFrame,
-      exactMetric: Boolean = true): DataFrame = {
+  /** Argmin assignment of every vector to its nearest centroid:
+    * `(vec_id, embedding, cent_id, m_asg)`. `m_asg` is the winning
+    * norm-dropped metric AS DOUBLE plus the vector's own ‖v‖² — i.e. the
+    * TRUE squared distance, comparable ACROSS vectors (the norm-dropped
+    * form is only valid within one vector's argmin); the converged
+    * trainer ranks reseed candidates on it. */
+  private def assignCells(vectors: DataFrame, cents: DataFrame,
+      exactMetric: Boolean): DataFrame = {
     import vectors.sparkSession.implicits._
     // Operands are bounded to DECIMAL(24,15) BEFORE the arithmetic: at
     // (38,15) inputs Spark's result-type capping would shrink the scale
@@ -610,10 +646,34 @@ object Ann {
           .cast(org.apache.spark.sql.types.DecimalType(38, 15))
       else
         $"c_nrm_dec".cast("double") - lit(2.0) * dotDbl("embedding", "c_emb")
-    val metric = vectors.join(broadcast(cents)).withColumn("m_dec", m)
-    val assigned = metric.groupBy($"vec_id")
+    vectors.join(broadcast(cents)).withColumn("m_dec", m)
+      .groupBy($"vec_id")
       .agg(first($"embedding").as("embedding"),
-        min_by($"cent_id", struct($"m_dec", $"cent_id")).as("cent_id"))
+        min_by($"cent_id", struct($"m_dec", $"cent_id")).as("cent_id"),
+        min(struct($"m_dec", $"cent_id")).getField("m_dec").cast("double")
+          .as("m_win"))
+      .withColumn("m_asg", $"m_win" + dotDbl("embedding", "embedding"))
+      .drop("m_win")
+  }
+
+  /** Public assignment surface: nearest trained centroid per vector —
+    * `(vec_id, cent_id)`. Lifts float embeddings to double first (the
+    * training representation), so batch tables and arriving stream
+    * micro-batches assign identically; [[graft.streaming.StreamingAnn]]
+    * runs THIS on every micro-batch and StreamingSpec pins stream ≡
+    * batch. */
+  def assignTo(vectors: DataFrame, cents: DataFrame,
+      exactMetric: Boolean = false): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val lifted = vectors.select($"vec_id",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    assignCells(lifted, cents, exactMetric).select($"vec_id", $"cent_id")
+  }
+
+  /** Cell means from an assignment — the Lloyd M-step (see [[kmeansStep]]
+    * for the exactness and shuffle-shape contract). */
+  private def cellMeans(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
     assigned
       .select($"cent_id", posexplode($"embedding"))
       .groupBy($"cent_id", $"pos")
@@ -621,6 +681,10 @@ object Ann {
         (sum(valDec($"col")).cast("double") / count(lit(1))).as("c_val"),
         count(lit(1)).cast("long").as("n_assigned"))
   }
+
+  def kmeansStep(vectors: DataFrame, cents: DataFrame,
+      exactMetric: Boolean = true): DataFrame =
+    cellMeans(assignCells(vectors, cents, exactMetric))
 
   /** Flat (cent_id, pos, c_val) rows → centroid arrays + their norm. */
   private def centsFromFlat(flat: DataFrame): DataFrame = {
@@ -666,6 +730,91 @@ object Ann {
       .select($"cent_id", $"pos".cast("long").as("pos"),
         $"c_val", $"n_assigned")
       .orderBy($"cent_id", $"pos")
+  }
+
+  /** Result of [[ivfKmeansTrain]]: trained centroids as
+    * `(cent_id, c_emb, c_nrm_dec)` — the shape [[ivfTopKTrained]] serves —
+    * plus how training ended. */
+  final case class KmeansTrained(
+      centroids: DataFrame, iters: Int, converged: Boolean, reseeded: Long)
+
+  /** Tolerance-converged Lloyd training (round-7 verdict item 6): iterate
+    * [[kmeansStep]] until the LARGEST per-centroid movement is ≤ `tol`
+    * (euclidean, compared in squared form) or `maxIters` rounds — plus
+    * the other edge a real trainer handles, EMPTY-CELL RESEED: a centroid
+    * that captures no vectors is re-seeded with the farthest assigned
+    * vector (true squared distance `m_asg`, ties → lowest vec_id), k-ties
+    * paired to empty cells in (distance rank → cent_id) order, instead of
+    * silently shrinking k the way the fixed-round [[ivfKmeans]]'s oracle
+    * contract does.
+    *
+    * Scale shape, per round: the E-step is [[assignCells]] (broadcast
+    * centroids, one row per vector to the exchange), the M-step is
+    * [[cellMeans]] (map-side-combining k·dim agg). The convergence check
+    * reads ONE max over k rows; the empty-cell check reads ≤ k ids —
+    * both k-bounded driver reads, the same planning-input class as q60's
+    * fixpoint count. Reseed's top-nEmpty is TakeOrderedAndProject
+    * (distributed top-k, never a full sort); the row_number window runs
+    * over ≤ k already-limited rows. Each round `localCheckpoint`s the
+    * ≤ k-row centroid frame (the q60 iteration device) so lineage stays
+    * flat however many rounds tolerance needs.
+    *
+    * `exactMetric` defaults FALSE here — deploy training throughput; the
+    * q83 oracle contract stays on [[ivfKmeans]]'s fixed rounds, and
+    * AnnSpec pins this trainer ≡ [[ivfKmeans]] when run tolerance-off for
+    * [[KMEANS_ITERS]] rounds. */
+  def ivfKmeansTrain(spark: SparkSession, dir: String,
+      tol: Double = 1e-6, maxIters: Int = 16,
+      exactMetric: Boolean = false,
+      seeds: Option[DataFrame] = None): KmeansTrained = {
+    import spark.implicits._
+    val vecs = graft.Caches.track(vecsTag(dir), embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
+    var cents = seeds.getOrElse(
+      vecs.filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + IVF_NCENTROIDS)
+        .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"))
+        .withColumn("c_nrm_dec", dotDec("c_emb", "c_emb")))
+    var iters = 0
+    var converged = false
+    var reseededTotal = 0L
+    while (iters < maxIters && !converged) {
+      iters += 1
+      val assigned = assignCells(vecs, cents, exactMetric)
+      var next = centsFromFlat(cellMeans(assigned))
+      val emptyIds = cents.select($"cent_id")
+        .except(next.select($"cent_id"))
+        .orderBy($"cent_id").as[Long].collect() // ≤ k rows — planning input
+      if (emptyIds.nonEmpty) {
+        reseededTotal += emptyIds.length
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"m_asg".desc, $"vec_id".asc)
+        val far = assigned.select($"vec_id", $"embedding", $"m_asg")
+          .orderBy($"m_asg".desc, $"vec_id".asc).limit(emptyIds.length)
+          .withColumn("rn", row_number().over(w)) // ≤ k rows post-limit
+        val emptyDf = emptyIds.toSeq.zipWithIndex
+          .map { case (id, i) => (id, i + 1) }.toDF("cent_id", "rn")
+        next = next.unionByName(
+          far.join(broadcast(emptyDf), "rn")
+            .select($"cent_id", $"embedding".as("c_emb"))
+            .withColumn("c_nrm_dec", dotDec("c_emb", "c_emb")))
+      }
+      // Movement: max squared centroid shift this round. A reseed round
+      // never converges (the reseeded cell moved by construction).
+      val moved =
+        if (emptyIds.nonEmpty) Double.MaxValue
+        else next
+          .join(cents.select($"cent_id", $"c_emb".as("prev_emb")), "cent_id")
+          .agg(max(expr(
+            """aggregate(zip_with(c_emb, prev_emb, (a, b) -> (a - b) * (a - b)),
+              |CAST(0 AS DOUBLE), (acc, z) -> acc + z)""".stripMargin)))
+          .as[Double].head()
+      converged = moved <= tol * tol
+      cents = next.localCheckpoint()
+    }
+    KmeansTrained(
+      cents.select($"cent_id", $"c_emb", $"c_nrm_dec"),
+      iters, converged, reseededTotal)
   }
 
   /** DuckDB replay of [[ivfKmeans]]: both Lloyd rounds expanded — window
@@ -814,6 +963,23 @@ object Ann {
     Query("q48_ann_ivf",
       "IVF-style ANN: centroid argmax assignment, nprobe cells, candidate rerank",
       ivfTopK, Some(ivfOracle(EMBED_DIM)), headline = false),
+    Query("q88_embedding_neardup_auto",
+      "embedding near-dup with planesFor-sized SRP buckets — the deploy shape; ≡ q47 at the 500-row proof scale",
+      (s, d) => embeddingNearDupAuto(s, d, FIXTURE_NEARDUP_COS),
+      Some(nearDupOracle(FIXTURE_NEARDUP_COS, EMBED_DIM)), headline = false),
+    // The SELECTIVITY knob as a first-class entry: 0.35 sits below the
+    // background in-cluster cosine of any corpus with real cluster
+    // structure (the generated corpora measure 37% of candidates passing
+    // the fast screen → the decimal rerank AND the output grow with the
+    // quadratic cluster-pair count, 0.77 s → 18.1 s at identical corpus
+    // size). At the 0.95 deploy threshold only true near-dups survive, so
+    // output scales with the planted-dup count — linearly. The scale
+    // bench runs THIS shape; q47/q88's fixture threshold stays pinned to
+    // the driver's 81-row oracle.
+    Query("q89_embedding_neardup_deploy",
+      "embedding near-dup at the 0.95 deploy threshold + sized planes — selective output, the linear-scale shape",
+      (s, d) => embeddingNearDupAuto(s, d, NEARDUP_COS),
+      Some(nearDupOracle(NEARDUP_COS, EMBED_DIM)), headline = false),
     Query("q83_ivf_kmeans",
       "k-means training of the IVF quantizer: 2 Lloyd rounds, decimal-exact, full oracle replay",
       (s, d) => ivfKmeans(s, d), Some(kmeansOracle), headline = false),

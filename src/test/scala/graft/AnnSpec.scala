@@ -192,4 +192,43 @@ class AnnSpec extends SparkSpec {
       (0L, 0, 0.0, 2L), (0L, 1, 1.0, 2L),   // mean of (0,0),(0,2)
       (1L, 0, 10.0, 2L), (1L, 1, 1.0, 2L))) // mean of (10,0),(10,2)
   }
+
+  test("ivfKmeansTrain converges under tolerance and reseeds empty cells") {
+    // the fixture's seed block (ids 8..23) repeats each direction twice —
+    // (j, j+8) are EXACT duplicate seeds, so round 1 ties every vector to
+    // the lower cent_id and leaves 8 cells empty: the reseed path runs on
+    // the natural fixture, not a contrived one
+    val r = graft.ops.Ann.ivfKmeansTrain(spark, dir, tol = 1e-9, maxIters = 25)
+    assert(r.converged, s"did not converge in ${r.iters} rounds")
+    assert(r.iters < 25)
+    assert(r.reseeded >= 8, s"duplicate seeds must force reseeds, got ${r.reseeded}")
+    val cents = r.centroids.collect()
+    assert(cents.length == graft.ops.Ann.IVF_NCENTROIDS)
+    // every centroid is a full-width vector and no two are identical
+    // (reseed + convergence must break the duplicate-seed degeneracy)
+    val embs = cents.map(_.getSeq[Double](1).toSeq)
+    assert(embs.forall(_.length == DIM))
+    assert(embs.distinct.length == embs.length)
+    graft.Caches.releasePrefix("ann.")
+  }
+
+  test("ivfKmeansTrain tolerance-off for KMEANS_ITERS rounds ≡ ivfKmeans") {
+    // on a corpus with no empty cells the converged trainer, capped at
+    // the fixed round count, must train bit-identical centroids — the pin
+    // that makes the tolerance knob an addition, not a divergence
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val fixedFlat = graft.ops.Ann.ivfKmeans(spark, dir)
+      .select("cent_id", "pos", "c_val")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val t = graft.ops.Ann.ivfKmeansTrain(spark, dir,
+      tol = 0.0, maxIters = graft.ops.Ann.KMEANS_ITERS, exactMetric = true)
+    assert(t.reseeded == 0L)
+    val trainedFlat = t.centroids
+      .select(col("cent_id"), posexplode(col("c_emb")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+      .toSet
+    assert(trainedFlat == fixedFlat)
+    spark.catalog.clearCache() // ivfKmeans cache contract
+  }
 }

@@ -363,4 +363,55 @@ class StreamingSpec extends SparkSpec {
       assert(out.toSet == Set(1L, 3L, 4L))
     } finally query.stop()
   }
+
+  test("streaming ANN ingest: stream-assigned cells ≡ batch assignment") {
+    import graft.streaming.{StreamVec, StreamingAnn}
+    implicit val sqlCtx = spark.sqlContext
+    // train on a tiny planted-cluster corpus: 3 axis clusters of 4
+    // vectors each; seeds = vec_id 8..23 per the trainer's contract, so
+    // use a 24-vector corpus with the last 16 as seed block
+    def v(axis: Int, eps: Float): Seq[Float] = {
+      val a = Array.fill(8)(0.02f * (axis + 1))
+      a(axis) = 1.0f + eps
+      a.toSeq
+    }
+    val corpus = (0 until 24).map(i => Emb(i, v(i % 3, 0.004f * i), i % 3))
+    val dir = fixtureDir("embeddings" -> corpus.toDF())
+    val trained = graft.ops.Ann.ivfKmeansTrain(spark, dir,
+      tol = 1e-9, maxIters = 20).centroids.localCheckpoint()
+    // batch truth over the SAME arriving vectors (new ids, same clusters)
+    val arriving = (100 until 112).map(i => (i.toLong, v(i % 3, 0.007f * (i % 4))))
+    val batchDf = arriving.toDF("vec_id", "embedding")
+    val expect = graft.ops.Ann.assignTo(batchDf, trained)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // stream the same vectors in two micro-batches into a parquet index
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-annidx").toString
+    val input = MemoryStream[StreamVec]
+    val query = StreamingAnn
+      .ingestStream(input.toDF(), trained, indexDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-annchk").toString)
+      .start()
+    try {
+      val (b1, b2) = arriving.splitAt(5)
+      input.addData(b1.map { case (id, e) =>
+        StreamVec(id, e, ts("2024-01-01 10:00:00")) })
+      query.processAllAvailable()
+      input.addData(b2.map { case (id, e) =>
+        StreamVec(id, e, ts("2024-01-01 11:00:00")) })
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.read.parquet(indexDir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id"))
+      .toMap
+    assert(got == expect, "stream-assigned cells must equal batch assignment")
+    // serve-side cell read prunes to the requested cells only
+    val someCell = expect.values.head
+    val cellRows = StreamingAnn.readCells(spark, indexDir, Seq(someCell))
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(cellRows == expect.collect {
+      case (id, c) if c == someCell => id }.toSet)
+    graft.Caches.releasePrefix("ann.")
+  }
 }

@@ -77,7 +77,50 @@ object Bench {
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
+    // Calibration probe (round-8 drift attribution): a FIXED synthetic
+    // job — hash over a 50M range, one exchange, one agg; no input data,
+    // no query code — timed min-of-3 after warm-up. Round-over-round
+    // headline drift (16.0 → 17.9 → 19.5 s) reproduced under round-6
+    // code re-benched on the round-8 day (q01 1.65 s in the r6 artifact,
+    // 1.97 s under the SAME code today), while same-day old-vs-new code
+    // differs by ≈0 — the machine's effective throughput moves day to
+    // day (GC ~30 ms and steal ~0.1% both ruled out by the artifact's
+    // own fields). `calib_sec` is the per-artifact throughput anchor:
+    // compare `value / calib_sec` across rounds, not raw seconds. */
+    val calibSec: Double = try {
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 50000000L, 1, cpus.toInt)
+          .selectExpr("xxhash64(id) AS h")
+          .repartition(cpus.toInt)
+          .selectExpr("bit_xor(h) AS s") // overflow-free under ANSI
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] calibration probe failed: $e")
+        -1.0
+    }
+    System.err.println(s"[bench] calib_sec=$calibSec")
+
     var failed = List.empty[String]
+    /** Cumulative (busyJiffies, stealJiffies) from /proc/stat — the VM
+      * noisy-neighbor detector. The round-8 attribution hunt found the
+      * per-round headline drift (16.0 → 17.9 → 19.5 s) was NOT plan cost
+      * (isolated re-runs reproduce round-6 numbers with identical plans
+      * and ~30 ms GC) and NOT GC; on a shared-host VM the remaining
+      * candidate is host contention, so the artifact now records steal
+      * alongside GC and cross-round comparisons start from evidence. */
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        val parts =
+          try f.getLines().next().split("\\s+").drop(1).map(_.toLong)
+          finally f.close()
+        val idle = parts(3) + parts(4) // idle + iowait
+        (parts.sum - idle, if (parts.length > 7) parts(7) else 0L)
+      } catch { case _: Throwable => (0L, 0L) }
     /** Total stop-the-world time so far across all collectors (ms). */
     def gcNow(): Long = {
       import scala.jdk.CollectionConverters._
@@ -118,8 +161,16 @@ object Bench {
       }
     }
 
+    val jif0 = cpuJiffies()
     val results = headline.map(q => q.name -> time(q))
     val auxResults = aux.map(q => q.name -> time(q))
+    val jif1 = cpuJiffies()
+    // steal as % of the machine's busy jiffies over the whole run: >1–2%
+    // means the host contended the guest and wall times are inflated.
+    val stealPct =
+      if (jif1._1 - jif0._1 <= 0) -1.0
+      else math.round(
+        (jif1._2 - jif0._2) * 10000.0 / (jif1._1 - jif0._1)) / 100.0
 
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -155,7 +206,8 @@ object Bench {
         s""""queries_max":$qsMax,"aux_queries":$auxQs,"runs":$runs,""" +
         s""""unstable":$unstableJson,"bench_shape":$shapeJson,""" +
         s""""bench_skipped":$skippedJson,"gc_ms":$gcJson,""" +
-        s""""heap_mib":$heapMib,"cpus":$cpus,"sf":"$sfDir"}"""
+        s""""heap_mib":$heapMib,"cpus":$cpus,""" +
+        s""""steal_pct":$stealPct,"calib_sec":$calibSec,"sf":"$sfDir"}"""
     // Durable artifact FIRST (round-5 verdict item 4: a tail-captured
     // stdout window truncated the total once aux grew) — the file is the
     // self-contained record regardless of how stdout is captured.

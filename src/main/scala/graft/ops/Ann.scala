@@ -868,6 +868,38 @@ object Ann {
        |       CAST(n_assigned AS BIGINT) AS n_assigned
        |FROM cel2 ORDER BY cent_id, pos""".stripMargin
 
+  /** q90: the corpus-wide cell assignment against the q48 seed centroids
+    * — the ASSIGNMENT surface as its own driver-verified entry. This is
+    * the exact function the maintain path runs ([[assignTo]]; [[graft
+    * .streaming.StreamingAnn]] calls it per micro-batch and StreamingSpec
+    * pins stream ≡ batch), so the streaming leg's argmin semantics carry
+    * a DuckDB oracle too, not just a unit pin. Decimal metric
+    * (`exactMetric = true`) for cross-engine argmin exactness; the
+    * oracle is the q83 training replay's own round-0 assignment CTE. */
+  def ivfAssignment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = embeddings(spark, dir).select($"vec_id",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val cents = vecs
+      .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + IVF_NCENTROIDS)
+      .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"))
+      .withColumn("c_nrm_dec", dotDec("c_emb", "c_emb"))
+    assignTo(vecs, cents, exactMetric = true).orderBy($"vec_id")
+  }
+
+  private def assignmentOracle: String =
+    s"""WITH el AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |cel0 AS (
+       |  SELECT vec_id AS cent_id, i, x FROM el
+       |  WHERE vec_id >= $NQUERIES AND vec_id < ${NQUERIES + IVF_NCENTROIDS}),
+       |${kmeansRoundSql(0, "cel0")}
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |       CAST(cent_id AS BIGINT) AS cent_id
+       |FROM asn0 ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q85
 
   /** q85: the train→serve composition — [[ivfTopK]]'s retrieval plan over
@@ -980,6 +1012,9 @@ object Ann {
       "embedding near-dup at the 0.95 deploy threshold + sized planes — selective output, the linear-scale shape",
       (s, d) => embeddingNearDupAuto(s, d, NEARDUP_COS),
       Some(nearDupOracle(NEARDUP_COS, EMBED_DIM)), headline = false),
+    Query("q90_ivf_assignment",
+      "corpus-wide cell assignment to the IVF centroids — the maintain-path argmin StreamingAnn runs per micro-batch",
+      ivfAssignment, Some(assignmentOracle), headline = false),
     Query("q83_ivf_kmeans",
       "k-means training of the IVF quantizer: 2 Lloyd rounds, decimal-exact, full oracle replay",
       (s, d) => ivfKmeans(s, d), Some(kmeansOracle), headline = false),

@@ -265,20 +265,51 @@ object History {
   /** The materialized stored-history table for (dir, checkpoint): built
     * from the ledger on FIRST use (exactly what a previous incremental
     * run would have persisted), then read back from parquet — the
-    * between-runs artifact a production T1 pipeline maintains. Lives
-    * under java.io.tmpdir keyed by md5(dir, checkpoint) plus a version
-    * token (a logic change must never reuse a stale build); rebuilt when
-    * the `_SUCCESS` marker is absent (interrupted builds re-run). */
+    * between-runs artifact a production T1 pipeline maintains.
+    *
+    * Cache validity (round-8 ADVICE): the key is a fingerprint of the
+    * LEDGER INPUTS — every `lineitem` data file's (path, size, mtime) —
+    * plus checkpoint and a version token, so regenerating the data under
+    * `d` in place (the ScaleGen workflow) changes the key and forces a
+    * rebuild instead of silently reusing a stale artifact. Concurrent
+    * JVMs racing the first build are isolated by temp-dir-and-rename:
+    * each builds into a private `.tmp-<pid>` dir and atomically renames
+    * into place; the loser's rename fails against the winner's identical
+    * bytes and its temp dir is discarded. Rebuilt when the `_SUCCESS`
+    * marker is absent (interrupted builds re-run). */
   def storedTable(s: SparkSession, d: String, checkpoint: String): DataFrame = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(hconf)
+    val ledgerDir = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
+    val inputs =
+      if (fs.exists(ledgerDir))
+        fs.listStatus(ledgerDir).filter(_.isFile)
+          .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+          .sorted.mkString(",")
+      else "absent"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|$checkpoint".getBytes("UTF-8"))
+      .digest(s"$d|$checkpoint|$inputs".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q84_stored_v1_$key"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q84_stored_v2_$key"
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$path.tmp-${java.lang.ProcessHandle.current.pid}")
       graft.sources.Sinks.writeParquet(
-        stockHistoryUntil(s, d, checkpoint), path)
+        stockHistoryUntil(s, d, checkpoint), tmp.toString)
+      if (!fs.rename(tmp, target)) fs.delete(tmp, true) // lost the race
+    }
     s.read.parquet(path)
+  }
+
+  /** Eager build of the q84 stored table (no-op when current) — the
+    * bench's setup hook, so the one-time materialization cost lands in
+    * setup rather than inflating the first timed q84 sample (round-8
+    * ADVICE: min-of-runs hid it, but queries_max and GC attribution
+    * mis-reported it as an environment spike, and a runs=1 invocation
+    * timed the build as query cost). */
+  def ensureStored(s: SparkSession, d: String): Unit = {
+    storedTable(s, d, HIST_CHECKPOINT).queryExecution.toRdd.foreach(_ => ())
+    ()
   }
 }

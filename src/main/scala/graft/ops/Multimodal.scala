@@ -63,9 +63,10 @@ object StubDecoder extends MediaDecoder {
   * Header layouts parsed (public container specs):
   *  - PNG: 8-byte signature, then the IHDR chunk — width/height are
   *    big-endian u32 at byte offsets 16/20.
-  *  - BMP: 'BM', then BITMAPINFOHEADER — width/height are little-endian
-  *    i32 at offsets 18/22 (height negative ⇒ top-down row order; the
-  *    dimension is its magnitude).
+  *  - BMP: 'BM', then a DIB header whose size field (le32 at offset 14)
+  *    selects the layout — BITMAPCOREHEADER (12): le16 dims at 18/20;
+  *    INFO/V2+/V4/V5 (40/56/108/124): le32 dims at 18/22 (height
+  *    negative ⇒ top-down row order; the dimension is its magnitude).
   *  - GIF: 'GIF8', then the logical screen descriptor — width/height are
   *    little-endian u16 at offsets 6/8. */
 object HeaderDecoder extends MediaDecoder {
@@ -82,12 +83,22 @@ object HeaderDecoder extends MediaDecoder {
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
   /** (format, width, height) when the payload starts with a recognized
-    * container header; None otherwise. */
+    * container header; None otherwise. The BMP branch validates the DIB
+    * header size field at offset 14 (12 = BITMAPCOREHEADER with le16
+    * dimensions at 18/20; 40/56/108/124 = the INFO/V2+/V4/V5 family with
+    * le32 dimensions at 18/22) — 'BM' alone is two ASCII bytes any text
+    * payload can open with, and misclassifying one would emit bogus
+    * [w,h] instead of the stub-identical fallback the q41/q41b oracle
+    * contract depends on. */
   def probe(bytes: Array[Byte]): Option[(String, Int, Int)] =
     if (bytes.length >= 24 && bytes.startsWith(PNG_SIG) &&
         new String(bytes.slice(12, 16), "US-ASCII") == "IHDR")
       Some(("png", be32(bytes, 16).toInt, be32(bytes, 20).toInt))
-    else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
+    else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M' &&
+        le32(bytes, 14) == 12)
+      Some(("bmp", le16(bytes, 18), le16(bytes, 20)))
+    else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M' &&
+        Set(40, 56, 108, 124).contains(le32(bytes, 14)))
       Some(("bmp", le32(bytes, 18), math.abs(le32(bytes, 22))))
     else if (bytes.length >= 10 &&
         new String(bytes.slice(0, 4), "US-ASCII") == "GIF8")

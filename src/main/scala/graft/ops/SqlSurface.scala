@@ -22,9 +22,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[graft.functions.Format.idr]]'s integer-units decomposition
   * expression for expression.
   *
-  * Bench: `benchSkip` — Catalyst plans these to the SAME physical plan as
-  * the API originals (SQL and Column API meet in the analyzer), so timing
-  * them re-times q01/q02/q31/q63 (the q52b structural-twin precedent).
+  * Bench: TIMED (round-8 verdict item 6) — Catalyst plans these to the
+  * same physical plan class as the API originals (SQL and Column API meet
+  * in the analyzer), and the bench artifact is where that claim becomes
+  * measured fact rather than assertion: each twin should land within
+  * noise of its API counterpart, and the Explain scan-budget table pins
+  * identical scan counts. (Round 6's q52b precedent — skip twins whose
+  * cost is by-construction — does not apply here precisely because these
+  * twins SHOULD cost the same, which is checkable only by timing them.)
   *
   * 100 TB: nothing here is presentation-layer — the views are lazy and
   * carry full pushdown/pruning, so the SQL door scales exactly as the
@@ -79,16 +84,16 @@ object SqlSurface {
     Seq(
       Query("q01s_pricing_summary_sql",
         "SQL front door: q01 as pure SQL text over registered views — the oracle's own ANSI text, both engines",
-        viaSql(q01), Some(q01), headline = false, benchSkip = true),
+        viaSql(q01), Some(q01), headline = false),
       Query("q02s_abc_analysis_sql",
         "SQL front door: q02 (windowed ABC cumsum) as pure SQL text — the oracle's own ANSI text, both engines",
-        viaSql(q02), Some(q02), headline = false, benchSkip = true),
+        viaSql(q02), Some(q02), headline = false),
       Query("q31s_reorder_alerts_sql",
         "SQL front door: q31 (3-way dim join + reorder predicate) as pure SQL text — the oracle's own ANSI text",
-        viaSql(q31), Some(q31), headline = false, benchSkip = true),
+        viaSql(q31), Some(q31), headline = false),
       Query("q63s_formatted_valuation_sql",
         "SQL front door: q63 locale formatting as Spark-dialect SQL text vs the DuckDB-dialect oracle",
         viaSql(formattedValuationSparkSql), Some(q63),
-        headline = false, benchSkip = true))
+        headline = false))
   }
 }

@@ -57,10 +57,15 @@ object Explain {
         // Dedupe by node identity: a reused stage appears at several tree
         // positions but executed once; two distinct scans with equal counts
         // must still both be reported.
+        // Operator-owned artifact dirs carry run-unique suffixes (q91's
+        // temp index, q84's fingerprint-keyed store) — normalize them so
+        // regenerated PLANS.md rows diff cleanly across rounds.
+        def artifactName(n: String): String =
+          n.replaceAll("([0-9a-f]{16,}|\\d{8,})$", "<id>")
         val executed = scans(df.queryExecution.executedPlan)
           .groupBy(System.identityHashCode(_)).values.map(_.head)
-          .map(f => f.relation.location.rootPaths.headOption
-            .map(_.getName).getOrElse("?")
+          .map(f => artifactName(f.relation.location.rootPaths.headOption
+            .map(_.getName).getOrElse("?"))
             -> f.metrics("numOutputRows").value)
           .toSeq.sorted
         val desc = executed

@@ -115,9 +115,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] q84 stored-table setup failed: $e") }
 
-    // Untimed warm-up: the first headline query end-to-end.
+    // Untimed warm-up: the first TIMED query end-to-end (falls through to
+    // the first aux query under a BENCH_ONLY subset with no headline
+    // selection — an empty-headline run previously got no query warm-up
+    // at all and its first aux sample ate it).
     try {
-      headline.headOption.foreach(
+      (headline ++ aux).headOption.foreach(
         _.timed(spark, sfDir).write.format("noop").mode("overwrite").save())
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }

@@ -18,14 +18,21 @@ import org.apache.spark.sql.SparkSession
   * group counts hold constant and the per-query slope isolates fact-side
   * cost.
   *
-  * Usage: runMain graft.ScaleGen <outDir> [mult]
+  * Usage: runMain graft.ScaleGen <outDir> [mult] [tables]
+  *  - `tables`: optional comma-separated subset (e.g.
+  *    `documents,embeddings`) — the mult=100 curvature point (round-8
+  *    verdict item 3) needs only the small-table families, and writing
+  *    64M lineitem rows nobody benches would be waste.
   */
 object ScaleGen {
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult]")
+    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult] [tables]")
     val dir = args(0)
     val mult = if (args.length > 1) args(1).toDouble else 1.0
+    val wanted = if (args.length > 2)
+      args(2).split(',').map(_.trim).filter(_.nonEmpty).toSet
+    else Set.empty[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,12 +62,14 @@ object ScaleGen {
       expr("concat('WH-', CAST(id AS STRING))").as("s_name"))
 
     val tables = Seq(
-      "lineitem" -> ops.Generator.fixtureLineitem(spark, nOrders, nTransfers),
-      "events" -> ops.Generator.fixtureEvents(spark, nEvents),
-      "documents" -> ops.Generator.fixtureDocuments(spark, nDocs),
-      "embeddings" -> ops.Generator.fixtureEmbeddings(spark, nVecs),
-      "part" -> part,
-      "supplier" -> supplier)
+      "lineitem" -> (() => ops.Generator.fixtureLineitem(spark, nOrders, nTransfers)),
+      "events" -> (() => ops.Generator.fixtureEvents(spark, nEvents)),
+      "documents" -> (() => ops.Generator.fixtureDocuments(spark, nDocs)),
+      "embeddings" -> (() => ops.Generator.fixtureEmbeddings(spark, nVecs)),
+      "part" -> (() => part),
+      "supplier" -> (() => supplier))
+      .filter { case (name, _) => wanted.isEmpty || wanted(name) }
+      .map { case (name, f) => name -> f() }
     val counts = tables.map { case (name, df) =>
       graft.sources.Sinks.writeParquet(df, s"$dir/$name.parquet")
       name -> spark.read.parquet(s"$dir/$name.parquet").count()

@@ -359,6 +359,43 @@ object Ann {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Scale-driver diagnostic for the SRP near-dup family (round-9
+    * curvature analysis): the CANDIDATE-PAIR volume of
+    * [[embeddingNearDupAuto]]'s bucket join — own bucket + every 1-bit
+    * probe — computed from bucket OCCUPANCY alone (an occupancy table is
+    * ≤ 2^nplanes rows; no dot products, no rerank), so the scaling
+    * artifact can report wall time AGAINST the operator's documented
+    * cost driver instead of against corpus rows. Same-bucket pairs count
+    * occ·(occ−1)/2; neighbor-bucket pairs occ(B)·occ(B^bit) once per
+    * unordered bucket pair — exactly the (a < b) join cardinality the
+    * rerank pays. Returns one row:
+    * `(n, nplanes, n_buckets, max_occ, cand_pairs)`. */
+  def candidateStats(spark: SparkSession, dir: String,
+      targetBucket: Long = 8): DataFrame = {
+    import spark.implicits._
+    val n = embeddings(spark, dir).select("vec_id").count()
+    val np = planesFor(n, targetBucket)
+    val occ = embeddings(spark, dir)
+      .withColumn("bucket", bucketCol(EMBED_DIM, np))
+      .groupBy($"bucket").agg(count(lit(1)).as("occ"))
+      .persist()
+    val (nBuckets, maxOcc, samePairs) = {
+      val r = occ.agg(count(lit(1)), max($"occ"),
+        sum(($"occ" * ($"occ" - 1) / 2).cast("long"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val crossPairs = occ
+      .select($"bucket", $"occ", explode(array(
+        (0 until np).map(p => $"bucket".bitwiseXOR(lit(1L << p))): _*))
+        .as("nbr"))
+      .filter($"bucket" < $"nbr")
+      .join(occ.select($"bucket".as("nbr"), $"occ".as("occ_b")), Seq("nbr"))
+      .agg(coalesce(sum($"occ" * $"occ_b"), lit(0L))).head().getLong(0)
+    occ.unpersist()
+    Seq((n, np, nBuckets, maxOcc, samePairs + crossPairs))
+      .toDF("n", "nplanes", "n_buckets", "max_occ", "cand_pairs")
+  }
+
   /** [[embeddingNearDup]] with the plane count SIZED BY THE SIZING RULE:
     * `planesFor(n, targetBucket)` from the corpus row count, so bucket
     * occupancy — and with it the bucket join's O(occupancy²) rerank —

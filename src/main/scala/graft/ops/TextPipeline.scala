@@ -708,6 +708,39 @@ object TextPipeline {
     * boilerplate unit test instead. */
   val MAX_SHINGLE_DF = 64
 
+  /** Scale-driver diagnostic for the shingle near-dup family (round-9
+    * curvature analysis): the POSTING-PAIR volume of the df-bounded
+    * inverted index — Σ over shingles with df ≤ `maxDf` of df·(df−1)/2,
+    * i.e. the exact cardinality the q27 candidate join materializes
+    * before the per-pair groupBy — computed from the df histogram alone,
+    * so the scaling artifact reports wall time against the operator's
+    * documented cost driver (posting volume), not corpus rows. Returns
+    * one row: `(n_docs, rare_shingles, posting_pairs)`. */
+  def postingStats(spark: SparkSession, dir: String,
+      maxDf: Int = MAX_SHINGLE_DF): DataFrame = {
+    import spark.implicits._
+    val nDocs = docs(spark, dir).count()
+    val sh = shingles(spark, dir).persist()
+    val r = sh
+      .groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDf)
+      .agg(count(lit(1)),
+        coalesce(sum(($"df" * ($"df" - 1) / 2).cast("long")), lit(0L))).head()
+    // DISTINCT candidate pairs and the rerank's first-join cardinality
+    // (Σ over candidates of |sh(doc_a)|) — the two volumes between the
+    // posting pairs and the Jaccard output.
+    val nSh = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val cand = shingleCandidates(sh, maxDf).persist()
+    val nCand = cand.count()
+    val rerankRows = cand
+      .join(nSh.select($"doc_id".as("doc_a"), $"n_sh"), Seq("doc_a"))
+      .agg(coalesce(sum($"n_sh"), lit(0L))).head().getLong(0)
+    cand.unpersist(); sh.unpersist()
+    Seq((nDocs, r.getLong(0), r.getLong(1), nCand, rerankRows))
+      .toDF("n_docs", "rare_shingles", "posting_pairs", "cand_pairs",
+        "rerank_rows")
+  }
+
   /** Candidate near-dup pairs from the df-bounded inverted index: pairs
     * sharing ≥ 1 shingle with df ≤ `maxDf`. */
   def shingleCandidates(sh: DataFrame, maxDf: Int = MAX_SHINGLE_DF): DataFrame =

@@ -267,6 +267,105 @@ object Sinks {
     html
   }
 
+  /** S5 — the Excel sink (`etl_pipeline/load/data_loader.py:55-58`: one
+    * `to_excel` summary workbook; the reference delegates to openpyxl).
+    * XLSX is a zip of XML parts (ECMA-376 / ISO 29500 — the namespace
+    * URIs below are the spec's own required constants), so the JDK
+    * stdlib covers the single-sheet case in full: `[Content_Types].xml`
+    * + package/workbook relationships + one `sheetData` part. No
+    * third-party dependency — the round-8 verdict's item 8 resolution.
+    *
+    * Cell mapping: header row then data rows; numeric columns land as
+    * NATIVE numeric cells (`t="n"` — spreadsheets compute on them),
+    * booleans as `t="b"`, nulls as blank (cell omitted), everything else
+    * (strings, dates, timestamps) as inline strings (`t="inlineStr"` —
+    * no sharedStrings table to build, the right trade for a one-shot
+    * writer; date STYLING needs a styles part, out of minimal scope, so
+    * temporal values are ISO-8601 text — openpyxl's default rendering of
+    * an unstyled date is the same text).
+    *
+    * Presentation layer, same discipline as [[writeHtmlReport]]: ONE
+    * driver-side collect, bounded by `limit(maxRows)` BEFORE collect —
+    * the reference's Excel export is a summary workbook, not a bulk
+    * path; bulk export is [[chunkedExport]]'s job (S8). */
+  def writeXlsx(df: DataFrame, path: String, sheet: String = "Sheet1",
+      maxRows: Int = 10000): Unit = {
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+    // 0-based column index → A1-style column letters (A..Z, AA..)
+    def colRef(i: Int): String = {
+      val sb = new StringBuilder; var n = i
+      while (n >= 0) { sb.insert(0, ('A' + n % 26).toChar); n = n / 26 - 1 }
+      sb.toString()
+    }
+    def cellXml(ref: String, v: Any): String = v match {
+      case null => ""
+      case n @ (_: Long | _: Int | _: Short | _: Byte | _: Double |
+                _: Float | _: java.math.BigDecimal | _: BigDecimal) =>
+        s"""<c r="$ref" t="n"><v>$n</v></c>"""
+      case b: Boolean =>
+        s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+      case other =>
+        s"""<c r="$ref" t="inlineStr"><is><t>${esc(other.toString)}</t></is></c>"""
+    }
+    val cols = df.columns
+    val rows = df.limit(maxRows).collect()
+    val header = cols.zipWithIndex
+      .map { case (c, i) => cellXml(s"${colRef(i)}1", c) }.mkString
+    val body = rows.zipWithIndex.map { case (r, ri) =>
+      val cells = cols.indices
+        .map(ci => cellXml(s"${colRef(ci)}${ri + 2}", r.get(ci))).mkString
+      s"""<row r="${ri + 2}">$cells</row>"""
+    }.mkString("\n")
+    val decl = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+    val sheetXml =
+      s"""$decl
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<sheetData>
+         |<row r="1">$header</row>
+         |$body
+         |</sheetData>
+         |</worksheet>""".stripMargin
+    val workbookXml =
+      s"""$decl
+         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+         | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |<sheets><sheet name="${esc(sheet)}" sheetId="1" r:id="rId1"/></sheets>
+         |</workbook>""".stripMargin
+    val workbookRels =
+      s"""$decl
+         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+         |</Relationships>""".stripMargin
+    val pkgRels =
+      s"""$decl
+         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+         |</Relationships>""".stripMargin
+    val contentTypes =
+      s"""$decl
+         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+         |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+         |<Default Extension="xml" ContentType="application/xml"/>
+         |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+         |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+         |</Types>""".stripMargin
+    val zip = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try Seq(
+      "[Content_Types].xml" -> contentTypes,
+      "_rels/.rels" -> pkgRels,
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> workbookRels,
+      "xl/worksheets/sheet1.xml" -> sheetXml
+    ).foreach { case (name, content) =>
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zip.closeEntry()
+    } finally zip.close()
+  }
+
   def liftSummary(spark: SparkSession, values: Seq[(String, Any)]): DataFrame = {
     val fields = values.map { case (name, v) =>
       val dt = v match {

@@ -232,4 +232,62 @@ class SinksSpec extends SparkSpec {
     assert(html.contains("<td>1.234.567,89</td>"), html) // format_rupiah twin
     assert(!html.contains("<td>d</td>"), "maxRows cap must drop row 3")
   }
+
+  test("XLSX sink writes a valid single-sheet workbook (S5)") {
+    import spark.implicits._
+    val df = Seq(
+      ("widget <&> \"q\"", 42L, 3.5, true),
+      ("plain", 7L, -0.25, false)
+    ).toDF("name", "qty", "ratio", "ok")
+    val p = tmp() + "/report.xlsx"
+    Sinks.writeXlsx(df, p, sheet = "Summary")
+    // the workbook must be a well-formed OPC zip with all five parts
+    val zf = new java.util.zip.ZipFile(p)
+    try {
+      val names = {
+        val e = zf.entries(); val b = Seq.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result()
+      }
+      for (part <- Seq("[Content_Types].xml", "_rels/.rels",
+          "xl/workbook.xml", "xl/_rels/workbook.xml.rels",
+          "xl/worksheets/sheet1.xml"))
+        assert(names.contains(part), s"missing part $part")
+      def read(name: String): String = {
+        val in = zf.getInputStream(zf.getEntry(name))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      // every XML part must parse (the JDK SAX parser is the validator)
+      val spf = javax.xml.parsers.SAXParserFactory.newInstance()
+      for (part <- names.filter(n => n.endsWith(".xml") || n.endsWith(".rels")))
+        spf.newSAXParser().parse(
+          new java.io.ByteArrayInputStream(read(part).getBytes("UTF-8")),
+          new org.xml.sax.helpers.DefaultHandler)
+      val sheet = read("xl/worksheets/sheet1.xml")
+      // header row, escaped inline string, native numeric + boolean cells
+      assert(sheet.contains("""<c r="A1" t="inlineStr"><is><t>name</t></is></c>"""))
+      assert(sheet.contains("widget &lt;&amp;&gt; &quot;q&quot;"))
+      assert(sheet.contains("""<c r="B2" t="n"><v>42</v></c>"""))
+      assert(sheet.contains("""<c r="C2" t="n"><v>3.5</v></c>"""))
+      assert(sheet.contains("""<c r="D2" t="b"><v>1</v></c>"""))
+      assert(sheet.contains("""<c r="D3" t="b"><v>0</v></c>"""))
+      assert(read("xl/workbook.xml").contains("""name="Summary""""))
+    } finally zf.close()
+  }
+
+  test("XLSX sink caps rows and blanks nulls") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some(1.0)), (None, None), (Some("c"), Some(3.0)))
+      .toDF("s", "x")
+    val p = tmp() + "/cap.xlsx"
+    Sinks.writeXlsx(df, p, maxRows = 2)
+    val zf = new java.util.zip.ZipFile(p)
+    try {
+      val in = zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml"))
+      val sheet = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      assert(sheet.contains("""<row r="3"></row>"""),
+        "all-null row renders as an empty row, not missing cells")
+      assert(!sheet.contains("<t>c</t>"), "maxRows cap must drop row 3")
+    } finally zf.close()
+  }
 }

@@ -65,5 +65,40 @@ def main(p1: str, pn: str, mult: float) -> None:
               ", ".join(only1))
 
 
+def main3(p1: str, p10: str, p100: str) -> None:
+    """Three-point report (1x/10x/100x): per-segment slopes bound the
+    curvature two points cannot — a gently super-linear query shows a
+    growing segment slope (s2 >> s1), a linear one holds s2 ~ s1 ~ 10."""
+    t1, t10, t100 = load(p1), load(p10), load(p100)
+    common = sorted(set(t1) & set(t10) & set(t100))
+    rows = [(q, family(q), t1[q], t10[q], t100[q],
+             t10[q] / t1[q], t100[q] / t10[q]) for q in common]
+    rows.sort(key=lambda r: (r[1], r[0]))
+    print("| query | family | t(1x) s | t(10x) s | t(100x) s "
+          "| slope 1→10x | slope 10→100x | curvature |")
+    print("|---|---|---|---|---|---|---|---|")
+    for q, fam, a, b, c, s1, s2 in rows:
+        curv = ("flattening" if s2 < 0.8 * s1
+                else "steady" if s2 <= 1.25 * max(s1, 1.0)
+                else "steepening")
+        print(f"| {q} | {fam} | {a:.2f} | {b:.2f} | {c:.2f} "
+              f"| {s1:.1f}x | {s2:.1f}x | {curv} |")
+    print()
+    print("| family | sum t(1x) | sum t(10x) | sum t(100x) "
+          "| slope 1→10x | slope 10→100x |")
+    print("|---|---|---|---|---|---|")
+    for fam in list(FAMILIES) + ["other"]:
+        fa = sum(r[2] for r in rows if r[1] == fam)
+        fb = sum(r[3] for r in rows if r[1] == fam)
+        fc = sum(r[4] for r in rows if r[1] == fam)
+        if fa > 0:
+            print(f"| {fam} | {fa:.2f} | {fb:.2f} | {fc:.2f} "
+                  f"| {fb / fa:.1f}x | {fc / fb:.1f}x |")
+
+
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], float(sys.argv[3]) if len(sys.argv) > 3 else 10.0)
+    if len(sys.argv) > 3 and sys.argv[3].endswith(".json"):
+        main3(sys.argv[1], sys.argv[2], sys.argv[3])
+    else:
+        main(sys.argv[1], sys.argv[2],
+             float(sys.argv[3]) if len(sys.argv) > 3 else 10.0)

@@ -38,53 +38,25 @@ object Explain {
       .filter(q => names.isEmpty || names(q.name))
       .map { q =>
         val df = q.fn(spark, sfDir)
-        // Execute first, then read each scan node's numOutputRows metric:
-        // static plan text over-counts (cached-plan lineage is printed but
-        // not re-executed; AQE reuses identical stages at runtime). Must run
-        // THIS QueryExecution's plan instances — df.foreach would build a
-        // separate deserializing execution and the metrics would land there.
-        df.queryExecution.toRdd.foreach(_ => ())
-        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-        import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-        def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-          case s: QueryStageExec => scans(s.plan)
-          case c: InMemoryTableScanExec => scans(c.relation.cachedPlan)
-          case f: FileSourceScanExec => Seq(f)
-          case other => other.children.flatMap(scans)
-        }
-        // Dedupe by node identity: a reused stage appears at several tree
-        // positions but executed once; two distinct scans with equal counts
-        // must still both be reported.
+        // PlanScans executes THIS QueryExecution and reads each scan
+        // node's numOutputRows metric (static plan text over-counts).
         // Operator-owned artifact dirs carry run-unique suffixes (q91's
         // temp index, q84's fingerprint-keyed store) — normalize them so
         // regenerated PLANS.md rows diff cleanly across rounds.
         def artifactName(n: String): String =
           n.replaceAll("([0-9a-f]{16,}|\\d{8,})$", "<id>")
-        val executed = scans(df.queryExecution.executedPlan)
-          .groupBy(System.identityHashCode(_)).values.map(_.head)
-          .map(f => artifactName(f.relation.location.rootPaths.headOption
-            .map(_.getName).getOrElse("?"))
-            -> f.metrics("numOutputRows").value)
-          .toSeq.sorted
+        val raw = PlanScans.executedScans(df)
+        val executed = raw.map { case (t, n) => artifactName(t) -> n }
         val desc = executed
           .map { case (t, n) => s"$t=$n" }.mkString(", ")
         println(s"==== ${q.name}: rows actually read per scan: $desc")
         // Budget check: executed scan NODES per governed table vs the
-        // design floor. Artifact paths (index dirs, stored history) are
-        // not governed tables and pass through.
-        executed.groupBy(_._1.stripSuffix(".parquet"))
-          .filter { case (t, _) => ScanBudget.governed(t) }
-          .foreach { case (t, nodes) =>
-            val budget = ScanBudget.maxScans(q.name, t)
-            if (nodes.size > budget) {
-              val v = s"${q.name}: $t scanned ${nodes.size}x " +
-                s"(budget $budget)"
-              System.err.println(s"[explain] BUDGET EXCEEDED $v")
-              violations ::= v
-            }
-          }
+        // design floor (PlanScans.violations — the same check the test
+        // suite pins). Artifact paths are not governed and pass through.
+        PlanScans.violations(q.name, raw).foreach { v =>
+          System.err.println(s"[explain] BUDGET EXCEEDED $v")
+          violations ::= v
+        }
         if (sys.env.get("EXPLAIN_FULL").contains("1")) df.explain("formatted")
         spark.catalog.clearCache()
         q.name -> desc

@@ -1,0 +1,59 @@
+package graft
+
+/** Pins the [[ScanBudget]] gate inside `sbt test` (round-8 verdict item
+  * 1's "fails loudly" half): the full gate runs over every registered
+  * query at PLANS.md regeneration (`graft.Explain`, exit 2 on excess);
+  * this spec keeps the cheapest load-bearing subset under continuous
+  * test so a plan regression in a core shape breaks the suite the same
+  * day it is written, not at the next artifact regeneration.
+  *
+  * Subset rationale — one representative per budget class:
+  *  - q01: the default 1-scan class (a regression to 2 would signal a
+  *    lost exchange/cache reuse in the most common shape);
+  *  - q05 valuation: the fused single-pass form whose SQL twin is
+  *    budgeted at 2 — the fusion is the thing to protect;
+  *  - q16: a documented 2-scan floor (self-join) — protects against the
+  *    budget being silently LOOSENED too (an entry dropping to 1 scan
+  *    should be tightened in ScanBudget, and this asserts the floor is
+  *    still consumed);
+  *  - q85: the round-9 cached-projection fix (3 scans → 1) — the exact
+  *    regression this gate exists to catch;
+  *  - q84: the stored-table delta (1 bounded fact scan; the round-7/8
+  *    fix whose staleness in PLANS.md motivated the whole mechanism).
+  */
+class ScanBudgetSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def counts(name: String): Map[String, Int] = {
+    val q = SparkEntry.registry.find(_.name == name).getOrElse(
+      fail(s"$name not in registry"))
+    val executed = PlanScans.executedScans(q.fn(spark, dir))
+    val v = PlanScans.violations(name, executed)
+    assert(v.isEmpty, s"scan budget exceeded: ${v.mkString("; ")}")
+    PlanScans.governedCounts(executed)
+  }
+
+  test("q01 stays a single-scan plan") {
+    assert(counts("q01_pricing_summary") == Map("lineitem" -> 1))
+  }
+
+  test("q05 valuation stays fused to one lineitem scan") {
+    assert(counts("q05_stock_value") == Map("lineitem" -> 1))
+  }
+
+  test("q16 self-join consumes exactly its documented 2-scan floor") {
+    assert(counts("q16_transfer_pairs") == Map("lineitem" -> 2))
+    spark.catalog.clearCache()
+  }
+
+  test("q85 train->serve reads embeddings once (the round-9 scan cut)") {
+    assert(counts("q85_ivf_serve_trained") == Map("embeddings" -> 1))
+    Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
+  test("q84 delta reads the fact table once (stored-history shape)") {
+    assert(counts("q84_history_delta") == Map("lineitem" -> 1))
+    spark.catalog.clearCache()
+  }
+}

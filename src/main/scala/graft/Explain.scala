@@ -61,7 +61,13 @@ object Explain {
         spark.catalog.clearCache()
         q.name -> desc
       }
-    sys.env.get("SPARK_GRAFT_PLANS_OUT").foreach { out =>
+    sys.env.get("SPARK_GRAFT_PLANS_OUT").foreach { out0 =>
+      // A plan-regressed build must NOT overwrite the committed artifact
+      // (its header says so) — divert to a .rej path the operator can diff.
+      val out = if (violations.isEmpty) out0 else s"$out0.rej"
+      if (violations.nonEmpty)
+        System.err.println(
+          s"[explain] budget violations — writing $out instead of $out0")
       val header =
         s"""# PLANS — executed-plan scan audit (full registry, ${new java.io.File(sfDir).getName})
            |

@@ -61,13 +61,17 @@ object ScaleGen {
       col("id").as("s_suppkey"),
       expr("concat('WH-', CAST(id AS STRING))").as("s_name"))
 
-    val tables = Seq(
+    val gens = Seq(
       "lineitem" -> (() => ops.Generator.fixtureLineitem(spark, nOrders, nTransfers)),
       "events" -> (() => ops.Generator.fixtureEvents(spark, nEvents)),
       "documents" -> (() => ops.Generator.fixtureDocuments(spark, nDocs)),
       "embeddings" -> (() => ops.Generator.fixtureEmbeddings(spark, nVecs)),
       "part" -> (() => part),
       "supplier" -> (() => supplier))
+    val known = gens.map(_._1).toSet
+    require(wanted.subsetOf(known),
+      s"unknown table(s) ${(wanted -- known).mkString(",")}; known: ${known.mkString(",")}")
+    val tables = gens
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }
       .map { case (name, f) => name -> f() }
     val counts = tables.map { case (name, df) =>

@@ -1072,6 +1072,38 @@ object Ann {
     * vector to its cell partition; serve reads nprobe directories and
     * reranks |cells probed| candidates. The ≤|Q|·nprobe-row cell list is
     * a planning input (the q60 fixpoint-count class of driver read). */
+  /** q91's scratch index dir, bounded to ONE live dir per JVM: every
+    * invocation writes a fresh index (the write IS the operator — the
+    * bench times it deliberately), but the previous invocation's dir is
+    * deleted on the next call and the last one on JVM exit, so repeated
+    * runs (bench ×3 + warm-up + oracle compare + Explain) no longer
+    * accumulate full index copies under /tmp (round-9 ADVICE). A
+    * DataFrame returned by an EARLIER invocation must therefore be fully
+    * consumed before the next invocation — which is how every driver
+    * (Verify/Bench/Explain) uses it. */
+  private val liveIndexDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private lazy val indexDirReaper: Unit = {
+    sys.addShutdownHook(Option(liveIndexDir.get).foreach(deleteLocalDir))
+    ()
+  }
+  private def deleteLocalDir(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+  private def nextIndexDir(): String = {
+    indexDirReaper
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q91_index").toString
+    Option(liveIndexDir.getAndSet(dir)).foreach(deleteLocalDir)
+    dir
+  }
+
   def ivfServeFromIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = graft.Caches.track(vecsTag(dir), embeddings(spark, dir)
@@ -1086,8 +1118,7 @@ object Ann {
     // k rows, consumed by two subtrees (index write + probe ranking) —
     // checkpoint so training runs once, the trainer's own device.
     val trained = cents.localCheckpoint()
-    val indexDir = java.nio.file.Files
-      .createTempDirectory("graft_q91_index").toString
+    val indexDir = nextIndexDir()
     graft.streaming.StreamingAnn
       .indexBatch(embeddings(spark, dir), trained, exactMetric = true)
       .write.mode("overwrite").partitionBy("cent_id").parquet(indexDir)

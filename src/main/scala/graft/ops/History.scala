@@ -272,11 +272,14 @@ object History {
     * plus checkpoint and a version token, so regenerating the data under
     * `d` in place (the ScaleGen workflow) changes the key and forces a
     * rebuild instead of silently reusing a stale artifact. Concurrent
-    * JVMs racing the first build are isolated by temp-dir-and-rename:
-    * each builds into a private `.tmp-<pid>` dir and atomically renames
-    * into place; the loser's rename fails against the winner's identical
-    * bytes and its temp dir is discarded. Rebuilt when the `_SUCCESS`
-    * marker is absent (interrupted builds re-run). */
+    * JVMs racing the first build are isolated by temp-dir-and-rename via
+    * `FileContext.rename` with `Options.Rename.NONE` — atomic
+    * fail-if-exists even on RawLocalFileSystem, where the plain
+    * `FileSystem.rename` would fall back to copying the temp dir INSIDE
+    * an existing target and report success (round-9 ADVICE). The loser's
+    * rename throws, its temp dir is deleted unconditionally, and the
+    * winner's `_SUCCESS` marker is re-verified before reading. Rebuilt
+    * when the `_SUCCESS` marker is absent (interrupted builds re-run). */
   def storedTable(s: SparkSession, d: String, checkpoint: String): DataFrame = {
     val hconf = s.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(hconf)
@@ -292,12 +295,24 @@ object History {
       .map("%02x".format(_)).mkString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_q84_stored_v2_$key"
     val target = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    if (!fs.exists(marker)) {
       val tmp = new org.apache.hadoop.fs.Path(
         s"$path.tmp-${java.lang.ProcessHandle.current.pid}")
       graft.sources.Sinks.writeParquet(
         stockHistoryUntil(s, d, checkpoint), tmp.toString)
-      if (!fs.rename(tmp, target)) fs.delete(tmp, true) // lost the race
+      try {
+        // Rename.NONE = atomic fail-if-exists (FileSystem.rename on the
+        // local FS would copy tmp INSIDE an existing target and "succeed").
+        org.apache.hadoop.fs.FileContext.getFileContext(hconf)
+          .rename(tmp, target)
+      } catch {
+        case _: java.io.IOException => () // lost the race; winner's bytes are identical
+      } finally {
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+      }
+      require(fs.exists(marker),
+        s"q84 stored-table build left no _SUCCESS at $path")
     }
     s.read.parquet(path)
   }

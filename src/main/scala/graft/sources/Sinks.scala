@@ -290,9 +290,14 @@ object Sinks {
     * path; bulk export is [[chunkedExport]]'s job (S8). */
   def writeXlsx(df: DataFrame, path: String, sheet: String = "Sheet1",
       maxRows: Int = 10000): Unit = {
+    // XML 1.0 forbids C0 control chars other than TAB/LF/CR — Excel
+    // rejects the whole workbook on one bad byte, so strip them here.
     def esc(s: String): String = s
+      .filter(ch => ch == '\t' || ch == '\n' || ch == '\r' || ch >= ' ')
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
+    def finite(d: Double): Boolean =
+      !java.lang.Double.isNaN(d) && !java.lang.Double.isInfinite(d)
     // 0-based column index → A1-style column letters (A..Z, AA..)
     def colRef(i: Int): String = {
       val sb = new StringBuilder; var n = i
@@ -301,6 +306,10 @@ object Sinks {
     }
     def cellXml(ref: String, v: Any): String = v match {
       case null => ""
+      // NaN/Infinity are not valid ECMA-376 numeric cell values — emit a
+      // blank cell (same rendering as null), not a corrupt <v>NaN</v>.
+      case d: Double if !finite(d) => ""
+      case f: Float if !finite(f.toDouble) => ""
       case n @ (_: Long | _: Int | _: Short | _: Byte | _: Double |
                 _: Float | _: java.math.BigDecimal | _: BigDecimal) =>
         s"""<c r="$ref" t="n"><v>$n</v></c>"""

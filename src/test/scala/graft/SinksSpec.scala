@@ -290,4 +290,30 @@ class SinksSpec extends SparkSpec {
       assert(!sheet.contains("<t>c</t>"), "maxRows cap must drop row 3")
     } finally zf.close()
   }
+
+  test("XLSX sink blanks non-finite doubles and strips XML-illegal chars") {
+    import spark.implicits._
+    val df = Seq(
+      ("ok", 1.5),
+      ("nan", Double.NaN),
+      ("inf", Double.PositiveInfinity),
+      ("ctl\u0000\u0001mid\u0007tail\tkeep", -2.0)
+    ).toDF("s", "x")
+    val p = tmp() + "/bad.xlsx"
+    Sinks.writeXlsx(df, p)
+    val zf = new java.util.zip.ZipFile(p)
+    try {
+      val in = zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml"))
+      val sheet = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      // NaN/Infinity never reach a numeric cell — blank, like null
+      assert(!sheet.contains("NaN") && !sheet.contains("Infinity"), sheet)
+      assert(sheet.contains("""<row r="3"><c r="A3" t="inlineStr"><is><t>nan</t></is></c></row>"""))
+      // C0 controls stripped; TAB survives (XML 1.0 allows it)
+      assert(sheet.contains("<t>ctlmidtail\tkeep</t>"), sheet)
+      // still a parseable part after hostile input
+      javax.xml.parsers.SAXParserFactory.newInstance().newSAXParser().parse(
+        new java.io.ByteArrayInputStream(sheet.getBytes("UTF-8")),
+        new org.xml.sax.helpers.DefaultHandler)
+    } finally zf.close()
+  }
 }

@@ -182,6 +182,15 @@ object Bench {
       }
     }
 
+    /** Committed reference for the calibration probe, in CPU-SECONDS
+      * (calib_sec × worker threads): the probe is embarrassingly
+      * parallel, so its total CPU work is machine-size-invariant —
+      * the round-9 one-day backfill band (2.63–2.94 s at 32 threads)
+      * puts a healthy host at 84–94 cpu-sec; the r08 slow day measured
+      * ~195 and the contended r09 driver artifact ~476. */
+    val CALIB_REF_CPUSEC = 90.0
+    val CALIB_TOLERANCE = 2.0
+
     val jif0 = cpuJiffies()
     val results = headline.map(q => q.name -> time(q))
     val auxResults = aux.map(q => q.name -> time(q))
@@ -214,6 +223,29 @@ object Bench {
     unstable.foreach(k => System.err.println(
       s"[bench] UNSTABLE $k: max > 3x min — environment stall suspected"))
     val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Contention guard (round-9 verdict item 2): the max-vs-min rule
+    // above compares runs to each other, so a UNIFORMLY slow window —
+    // every run inflated by host contention — passed silently (the
+    // committed r09 artifact: steal 2.32%, calib 14.9 s vs the same-day
+    // 2.6–2.9 s band, q01 5× its own SQL twin, `unstable: []`). This
+    // guard is CALIB-RELATIVE instead: the artifact self-labels
+    // `contended` when whole-run steal exceeds 1% (the threshold the
+    // steal comment has always documented as "wall times inflated") or
+    // the probe's cpu-seconds exceed CALIB_TOLERANCE× the committed
+    // healthy band — a contended artifact can no longer ship looking
+    // normal, and the driver/operator can re-run instead of grading the
+    // hypervisor.
+    val calibCpuSec =
+      if (calibSec > 0) math.round(calibSec * cpus.toInt * 100.0) / 100.0
+      else -1.0
+    val contended =
+      stealPct > 1.0 ||
+        (calibCpuSec > 0 && calibCpuSec > CALIB_TOLERANCE * CALIB_REF_CPUSEC)
+    if (contended) System.err.println(
+      s"[bench] CONTENDED window: steal=$stealPct% " +
+        s"calib_cpusec=$calibCpuSec (healthy ~$CALIB_REF_CPUSEC) — " +
+        "wall times are inflated by the host, not the plans; re-run " +
+        "in a quiet window before comparing raw seconds")
     // Measurement provenance (round-6 advice): queries timed on a benchFn
     // measure the operator's API shape, not the registered compare
     // closure — flag them so cross-round artifact diffs see the
@@ -233,7 +265,8 @@ object Bench {
         s""""unstable":$unstableJson,"bench_shape":$shapeJson,""" +
         s""""bench_skipped":$skippedJson,"gc_ms":$gcJson,""" +
         s""""heap_mib":$heapMib,"cpus":$cpus,"steal_pct":$stealPct,""" +
-        s""""calib_sec":$calibSec,"value_norm":$valueNorm,"sf":"$sfDir"}"""
+        s""""calib_sec":$calibSec,"calib_cpusec":$calibCpuSec,""" +
+        s""""contended":$contended,"value_norm":$valueNorm,"sf":"$sfDir"}"""
     // Durable artifact FIRST (round-5 verdict item 4: a tail-captured
     // stdout window truncated the total once aux grew) — the file is the
     // self-contained record regardless of how stdout is captured.
@@ -257,6 +290,12 @@ object Bench {
     // exits green and downstream tooling must remember to read the field.
     if (unstable.nonEmpty &&
         sys.env.get("SPARK_GRAFT_FAIL_UNSTABLE").exists(_.nonEmpty))
+      sys.exit(2)
+    // Same opt-in hard gate for host contention: a wrapper that must not
+    // publish a contended artifact sets this and retries in a quiet
+    // window (the artifact itself always carries the `contended` label).
+    if (contended &&
+        sys.env.get("SPARK_GRAFT_FAIL_CONTENDED").exists(_.nonEmpty))
       sys.exit(2)
   }
 }

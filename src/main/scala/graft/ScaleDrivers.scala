@@ -32,7 +32,8 @@ object ScaleDrivers {
       println(
         s"""{"dir":"$dir","srp":{"n":${c.getLong(0)},""" +
           s""""nplanes":${c.getInt(1)},"n_buckets":${c.getLong(2)},""" +
-          s""""max_occ":${c.getLong(3)},"cand_pairs":${c.getLong(4)}},""" +
+          s""""max_occ":${c.getLong(3)},"cand_pairs":${c.getLong(4)},""" +
+          s""""capped_pairs":${c.getLong(5)}},""" +
           s""""shingle":{"n_docs":${p.getLong(0)},""" +
           s""""rare_shingles":${p.getLong(1)},""" +
           s""""posting_pairs":${p.getLong(2)},""" +

@@ -18,11 +18,22 @@ import org.apache.spark.sql.SparkSession
   * group counts hold constant and the per-query slope isolates fact-side
   * cost.
   *
-  * Usage: runMain graft.ScaleGen <outDir> [mult] [tables]
+  * Usage: runMain graft.ScaleGen <outDir> [mult] [tables] [clusters]
   *  - `tables`: optional comma-separated subset (e.g.
   *    `documents,embeddings`) — the mult=100 curvature point (round-8
   *    verdict item 3) needs only the small-table families, and writing
   *    64M lineitem rows nobody benches would be waste.
+  *  - `clusters`: embedding cluster-count mode (round-9 verdict item 3).
+  *    `fixed` (default) keeps the 10-label fixture — the WORST CASE for
+  *    density-sensitive operators, since in-cluster pair volume grows
+  *    quadratically with n; `grow` scales the label count as
+  *    `max(10, nVecs / 200)` — constant per-cluster density (the mult=1
+  *    baseline is 2000 vectors over 10 clusters = 200 members each),
+  *    the realistic-corpus shape where topic count grows with the
+  *    corpus; an integer pins it explicitly.
+  *    The q87 construction oracle is pinned to the 10-label DEFAULT,
+  *    so `grow`/explicit dirs are for scale measurement, not the
+  *    correctness gate.
   */
 object ScaleGen {
 
@@ -47,6 +58,13 @@ object ScaleGen {
     val nEvents = (100000 * mult).toLong
     val nDocs = (5000 * mult).toLong
     val nVecs = (2000 * mult).toLong
+    val nClusters = args.lift(3).getOrElse("fixed") match {
+      case "fixed" => 10
+      // constant per-cluster density: the mult=1 baseline is 2000
+      // vectors over 10 clusters = 200 members each
+      case "grow" => math.max(10L, nVecs / 200L).toInt
+      case k => k.toInt
+    }
 
     import org.apache.spark.sql.functions._
     // fixed-domain dims sized to the generated fact's key domains
@@ -65,7 +83,8 @@ object ScaleGen {
       "lineitem" -> (() => ops.Generator.fixtureLineitem(spark, nOrders, nTransfers)),
       "events" -> (() => ops.Generator.fixtureEvents(spark, nEvents)),
       "documents" -> (() => ops.Generator.fixtureDocuments(spark, nDocs)),
-      "embeddings" -> (() => ops.Generator.fixtureEmbeddings(spark, nVecs)),
+      "embeddings" -> (() =>
+        ops.Generator.fixtureEmbeddings(spark, nVecs, nClusters = nClusters)),
       "part" -> (() => part),
       "supplier" -> (() => supplier))
     val known = gens.map(_._1).toSet
@@ -79,7 +98,7 @@ object ScaleGen {
       name -> spark.read.parquet(s"$dir/$name.parquet").count()
     }
     val json = counts.map { case (k, v) => s""""$k":$v""" }
-      .mkString(s"""{"mult":$mult,""", ",", "}")
+      .mkString(s"""{"mult":$mult,"clusters":$nClusters,""", ",", "}")
     println(json)
     spark.stop()
   }

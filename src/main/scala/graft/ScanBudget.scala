@@ -67,7 +67,13 @@ object ScanBudget {
     "q29_ann_bruteforce" -> Map("embeddings" -> 2),
     "q30_ann_lsh" -> Map("embeddings" -> 2),
     "q47_embedding_neardup" -> Map("embeddings" -> 2),
-    "q88_embedding_neardup_auto" -> Map("embeddings" -> 2),
+    // q88/q89 (capped path, round-10): ONE scan — the ranked working set
+    // is persisted and all four pair-gen subtrees read the cache. (q89's
+    // listing can show zero scans: its 0.95-threshold output is empty at
+    // correctness scale and AQE's empty-relation propagation drops the
+    // executed stages from the final plan — the budget is the 1-scan
+    // design, not that artifact of emptiness.)
+    "q88_embedding_neardup_auto" -> Map("embeddings" -> 1),
     "q90_ivf_assignment" -> Map("embeddings" -> 2),
     "q48_ann_ivf" -> Map("embeddings" -> 3),
     // The q63 SQL twin executes the ORACLE's two-CTE text (cost + cells

@@ -510,9 +510,17 @@ object Generator {
     *    positives at every scale instead of relying on background
     *    cluster overlap. */
   def fixtureEmbeddings(spark: SparkSession, n: Long = DEFAULT_VECS,
-      dim: Int = EMBED_DIM): DataFrame = {
+      dim: Int = EMBED_DIM, nClusters: Int = 10): DataFrame = {
+    // nClusters (round-9 verdict item 3): the default 10 pins the q87
+    // construction oracle, but a FIXED cluster count makes in-cluster
+    // density — and every density-sensitive operator's candidate volume —
+    // grow quadratically with n by construction (SCALING.md's
+    // fixed-cluster-fixture caveat). A realistic corpus's topic count
+    // grows with the corpus; ScaleGen's `grow` mode passes
+    // max(10, n/20000) so per-cluster density stays bounded.
+    require(nClusters > 0, s"nClusters must be positive, got $nClusters")
     val seed = "vec_seed"
-    val label = s"(${Mix.y(seed)} % 10)"
+    val label = s"(${Mix.y(seed)} % $nClusters)"
     val c = s"((${Mix.x(s"(($label) * $dim + j + 1)")} % 1000) - 500) / 6000.0"
     val noise = s"((${Mix.z(s"(($seed) * $dim + j + 7)")} % 1000) - 500) / 2500.0"
     val shift = "(CASE WHEN id % 11 = 8 AND id >= 11 THEN 0.0005 ELSE 0.0 END)"

@@ -83,6 +83,52 @@ class AnnSpec extends SparkSpec {
     assert(pairs == expected, s"got ${pairs.size} pairs")
   }
 
+  test("capped near-dup ≡ exact all-pairs when no bucket exceeds the budget") {
+    // fixture occupancies are far below OCC_CAP, so the capped plan must
+    // be byte-identical to the uncapped one — the property that keeps
+    // q88/q89 hash-green against the all-pairs oracle at fixture scale
+    val exact = Ann.embeddingNearDup(spark, dir, threshold = 0.95, dim = DIM)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val capped = Ann.embeddingNearDupCapped(spark, dir,
+      threshold = 0.95, dim = DIM)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(capped == exact)
+    graft.Caches.releasePrefix("ann.")
+  }
+
+  test("capped near-dup bounds a dense bucket and keeps the cluster connected") {
+    // one adversarially dense cluster: 40 near-identical vectors (the
+    // round-9 scale-killer in miniature). occCap=8/chainW=3 must cut the
+    // C(40,2)=780 all-pairs rerank to 28 delegate + 96 chain edges while
+    // every member still reaches every other through the rank chain —
+    // the MEMBER-recall contract the q60 keep-list consumes.
+    val denseDir = fixtureDir(
+      "embeddings" -> (0 until 40).map { id =>
+        val v = base(0).zipWithIndex
+          .map { case (x, i) => x + 0.001f * ((id * 7 + i) % 5 - 2) }
+        Emb(100 + id, v.toSeq, 0)
+      }.toDF())
+    val occCap = 8
+    val chainW = 3
+    val pairs = Ann.embeddingNearDupCapped(spark, denseDir,
+      threshold = 0.95, dim = DIM, occCap = occCap, chainW = chainW)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.Caches.releasePrefix("ann.")
+    val exactPairs = 40 * 39 / 2
+    val expectedCapped = occCap * (occCap - 1) / 2 + (40 - occCap) * chainW
+    assert(pairs.size == expectedCapped,
+      s"expected $expectedCapped capped pairs, got ${pairs.size} (exact would be $exactPairs)")
+    assert(pairs.toSet.size == pairs.size, "pair stream must not duplicate")
+    // union-find over the surviving edges: one component, all 40 members
+    val parent = scala.collection.mutable.Map((100 until 140).map(i => i.toLong -> i.toLong): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val roots = (100 until 140).map(i => find(i.toLong)).toSet
+    assert(roots.size == 1,
+      s"dense cluster fragmented into ${roots.size} components")
+  }
+
   test("IVF probes recover the planted companions and rank them first") {
     val top = Ann.ivfTopK(spark, dir)
       .filter($"rnk" <= 2)

@@ -207,24 +207,62 @@ object Multimodal {
         $"sampled_frames")
   }
 
-  /** q41: the decode pipeline end-to-end (rows-only check: the stub
-    * decoder's byte arithmetic is engine-side, not ANSI SQL).
-    *
-    * The REGISTERED entry projects the array columns to scalar digests
-    * (count + xxhash64 signature): the harness's rows-only compare sorts
-    * and hashes rows, which raw array columns crash (CORRECTNESS_r03 q41
-    * `TypeError: unhashable numpy.ndarray`). API consumers take the arrays
-    * from [[mediaFeaturesFull]]; the digests pin the same bytes. */
+  /** q41: the decode pipeline end-to-end, registered through a HASHABLE
+    * projection (round-9 verdict item 5 — the last `no_oracle` row): the
+    * q41b posexplode technique generalized to the FULL decode output.
+    * One row per (asset, frame) carries the decoded frame mean beside
+    * the per-asset byte stats and the sampled-array cardinality, so the
+    * driver hashes every number the pipeline computes — no array columns
+    * (which its hasher can't sort), no digest-only columns (which DuckDB
+    * can't replay). Unlike q41b this covers ALL payloads, not just the
+    * ASCII subset: the oracle extracts UTF-8 byte values from
+    * `hex(encode(text))` two chars at a time, so multi-byte code points
+    * replay exactly. API consumers still take the arrays from
+    * [[mediaFeaturesFull]]. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaFeaturesFull(spark, dir)
-      .select(
-        $"asset_id", $"n_bytes", $"mean_byte",
-        size($"features").cast("long").as("n_frames"),
-        xxhash64($"features").as("features_sig"),
+      .select($"asset_id", $"n_bytes", $"mean_byte",
         size($"sampled_frames").cast("long").as("n_sampled_frames"),
-        xxhash64($"sampled_frames").as("sampled_sig"))
-      .orderBy($"asset_id")
+        posexplode($"features").as(Seq("frame_idx", "frame_mean")))
+      .select($"asset_id", $"n_bytes", $"mean_byte", $"frame_idx",
+        $"frame_mean", $"n_sampled_frames")
+      .orderBy($"asset_id", $"frame_idx")
+  }
+
+  /** DuckDB replay of [[mediaFeatures]] over ALL payloads: byte i of the
+    * UTF-8 encoding is parsed from hex chars 2i+1/2i+2 of
+    * `hex(encode(text))` (1-based; strpos over the hex alphabet — 16·hi +
+    * lo − 17 undoes the two 1-based offsets), then the stub frame/mean
+    * arithmetic is identical to [[frameMeansOracle]]'s. The sampled-array
+    * size is the stub's frame count filtered to even indices. */
+  private val mediaOracle = {
+    val hx = "hex(encode(text))"
+    def byteAt(i: String): String =
+      s"16*strpos('0123456789ABCDEF', substr($hx, CAST(2*($i)+1 AS INT), 1))" +
+        s" + strpos('0123456789ABCDEF', substr($hx, CAST(2*($i)+2 AS INT), 1)) - 17"
+    s"""WITH a AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+       |         GREATEST(1, octet_length(encode(text)) // $FRAMES) AS sz
+       |  FROM documents
+       |), fr AS (
+       |  SELECT doc_id, text, n, sz, unnest(range(0, $FRAMES)) AS f
+       |  FROM a
+       |)
+       |SELECT doc_id AS asset_id,
+       |       CAST(n AS BIGINT) AS n_bytes,
+       |       CASE WHEN n = 0 THEN 0.0
+       |            ELSE CAST(list_sum(list_transform(range(0, n),
+       |                   i -> ${byteAt("i")})) AS DOUBLE) / n END AS mean_byte,
+       |       CAST(f AS INT) AS frame_idx,
+       |       CAST(CASE WHEN LEAST(n, f*sz + sz) <= f*sz THEN 0.0
+       |            ELSE CAST(list_sum(list_transform(
+       |                   range(f*sz, LEAST(n, f*sz + sz)),
+       |                   i -> ${byteAt("i")})) AS DOUBLE)
+       |                 / (LEAST(n, f*sz + sz) - f*sz) END AS REAL) AS frame_mean,
+       |       CAST(${(FRAMES + 1) / 2} AS BIGINT) AS n_sampled_frames
+       |FROM fr
+       |ORDER BY asset_id, frame_idx""".stripMargin
   }
 
   /** q41b: the decode pipeline HASH-VERIFIED end to end (round-4 verdict
@@ -268,8 +306,8 @@ object Multimodal {
 
   val all: Seq[Query] = Seq(
     Query("q41_media_features",
-      "binary media column → partition-amortized stub decode → frame features (rows-only)",
-      mediaFeatures, None, headline = false),
+      "binary media column → partition-amortized stub decode → per-frame rows, full hex-byte oracle over ALL payloads",
+      mediaFeatures, Some(mediaOracle), headline = false),
     Query("q41b_media_frame_means",
       "stub decode on ASCII payloads, per-frame rows — full byte-arithmetic oracle",
       mediaFrameMeans, Some(frameMeansOracle), headline = false))

@@ -709,13 +709,14 @@ object TextPipeline {
   val MAX_SHINGLE_DF = 64
 
   /** Scale-driver diagnostic for the shingle near-dup family (round-9
-    * curvature analysis): the POSTING-PAIR volume of the df-bounded
-    * inverted index — Σ over shingles with df ≤ `maxDf` of df·(df−1)/2,
-    * i.e. the exact cardinality the q27 candidate join materializes
-    * before the per-pair groupBy — computed from the df histogram alone,
-    * so the scaling artifact reports wall time against the operator's
-    * documented cost driver (posting volume), not corpus rows. Returns
-    * one row: `(n_docs, rare_shingles, posting_pairs)`. */
+    * curvature analysis): `posting_pairs` is the FULL df-bounded index's
+    * pair volume — Σ over shingles with df ≤ `maxDf` of df·(df−1)/2, the
+    * round-9 uncapped driver, kept for cross-round comparison —
+    * while `cand_pairs`/`rerank_rows` measure the SKETCHED operator q27
+    * actually ships since round 10 (distinct sketch-met pairs, and the
+    * full-set top-up volume Σ|sh(doc_a)| those pairs pay). Computed from
+    * histograms/sketches alone — no Jaccard executed. Returns one row:
+    * `(n_docs, rare_shingles, posting_pairs, cand_pairs, rerank_rows)`. */
   def postingStats(spark: SparkSession, dir: String,
       maxDf: Int = MAX_SHINGLE_DF): DataFrame = {
     import spark.implicits._
@@ -741,24 +742,34 @@ object TextPipeline {
         "rerank_rows")
   }
 
-  /** Candidate near-dup pairs from the df-bounded inverted index: pairs
-    * sharing ≥ 1 shingle with df ≤ `maxDf`. */
-  def shingleCandidates(sh: DataFrame, maxDf: Int = MAX_SHINGLE_DF): DataFrame =
-    sharedRare(sh, maxDf).select(col("doc_a"), col("doc_b"))
-
-  /** Pairs sharing ≥1 RARE (df ≤ maxDf) shingle, with the count of shared
-    * rare shingles — candidacy and most of the intersection in ONE join. */
-  private def sharedRare(sh: DataFrame, maxDf: Int): DataFrame = {
+  /** Candidate near-dup pairs from the SKETCHED df-bounded inverted
+    * index (the [[shingleNearDup]] round-10 generation): pairs whose
+    * bottom-[[RARE_PROBES]]-by-hash rare-shingle sketches intersect. */
+  def shingleCandidates(sh: DataFrame, maxDf: Int = MAX_SHINGLE_DF,
+      probes: Int = RARE_PROBES): DataFrame = {
     import sh.sparkSession.implicits._
     val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxDf)
       .select($"sh")
-    val idx = sh.join(rare, Seq("sh"))
-    idx.select($"doc_id".as("doc_a"), $"sh")
-      .join(idx.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
+    val post = sketchPostings(sh.join(rare, Seq("sh")), probes)
+    post.select($"doc_id".as("doc_a"), $"sh")
+      .join(post.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
       .filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("shared_rare"))
+      .select($"doc_a", $"doc_b").distinct()
+  }
+
+  /** Bottom-`probes`-by-hash posting sketch: each doc posts only its
+    * `probes` smallest-by-xxhash64 shingles of `post` into the pair-join
+    * index — the winnowing-style sparsification of round-9 verdict
+    * item 4. Deterministic (hash order, ties by shingle text): the same
+    * sketch every run and every engine. */
+  private def sketchPostings(post: DataFrame, probes: Int): DataFrame = {
+    import post.sparkSession.implicits._
+    post
+      .withColumn("srnk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy(xxhash64($"sh"), $"sh")))
+      .filter($"srnk" <= probes)
+      .select($"doc_id", $"sh")
   }
 
   /** Exact-Jaccard rerank of candidate pairs over the FULL shingle sets
@@ -791,6 +802,19 @@ object TextPipeline {
     * ≥ j/(1+j) ≈ 0.44, so 8 probes miss with odds < (1−0.44)⁸ ≈ 1%. */
   val ALLHOT_PROBES = 8
 
+  /** Bottom-K sketch width for the RARE pair-join index (round-9 verdict
+    * item 4): the df ceiling bounds per-shingle posting pairs, but
+    * candidates-PER-DOC still grew with corpus density (measured 14.9×
+    * candidates / 15.4× rerank rows in the second decade against 10×
+    * docs). Posting only each doc's [[RARE_PROBES]] smallest-by-hash rare
+    * shingles bounds candidates per doc at probes·(maxDf−1) — hard-linear
+    * total — by the same bottom-K MinHash argument as [[ALLHOT_PROBES]],
+    * with double the width because the rare index is the PRIMARY path:
+    * a true pair at Jaccard ≥ 0.8 has each probe land in the shared set
+    * w.p. ≥ 0.44, so 16 probes miss with odds < (1−0.44)¹⁶ ≈ 1e-4 (the
+    * planted fixtures are far above 0.8 and effectively never miss). */
+  val RARE_PROBES = 16
+
   /** Near-duplicate pairs by exact 3-shingle Jaccard ≥ 0.8, candidates
     * from the df-bounded inverted index — NEVER all-pairs: the self-join
     * is keyed by shingle, so only docs with overlapping RARE content ever
@@ -798,13 +822,21 @@ object TextPipeline {
     * inverted index is too dense.
     *
     * Exact-Jaccard decomposition: every common shingle is rare or hot, so
-    * |A∩B| = shared_rare (already counted by the candidate join itself) +
-    * shared_hot, topped up by joining only the HOT postings of candidate
-    * pairs — a handful of shingles per doc by construction. This replaces
-    * the full-set rerank (O(candidates × doc size) — measured 21 s at
-    * sf0.1) with O(candidates × hot-per-doc); on a corpus with no hot
-    * shingles the top-up join is empty and the whole query is the single
-    * inverted-index pass.
+    * |A∩B| = shared_rare + shared_hot, each counted by a top-up join that
+    * runs THROUGH the candidate pairs — O(candidates × doc size), with
+    * candidates hard-bounded by the sketch (below); on a corpus with no
+    * hot shingles the hot top-up is empty.
+    *
+    * SKETCHED CANDIDATE GENERATION (round-10; round-9 verdict item 4):
+    * the pair join reads only each doc's [[RARE_PROBES]] smallest-by-
+    * xxhash64 rare shingles ([[sketchPostings]] — winnowing-style
+    * sparsification). The df ceiling alone bounded per-SHINGLE pairs but
+    * candidates-per-DOC still grew with corpus density (14.9×/decade
+    * measured at 100×); the sketch caps candidates per doc at
+    * probes·(maxDf−1), making total candidate volume hard-linear in the
+    * corpus. Bottom-K sketches of two Jaccard ≥ 0.8 sets intersect with
+    * odds ≥ 1−(1−0.44)¹⁶ (see [[RARE_PROBES]]), and the Jaccard score of
+    * every met pair is still EXACT over full shingle sets.
     *
     * MOSTLY-HOT FALLBACK (round-4 advice; widened round 6): a cluster
     * duplicated more than maxDf times makes EVERY one of its shingles
@@ -827,11 +859,9 @@ object TextPipeline {
     * qualifying docs the min-K-by-hash posting is a MinHash signature,
     * so collisions are similarity-driven, not df-driven — a bucket of d
     * true duplicates yields O(d²) candidates, the size of the required
-    * OUTPUT, the same acceptance class as [[minhashNearDup]]. A
-    * fallback pair's shared_rare is set by anti-join: pairs already
-    * found rare-side keep their exact count, fallback-only pairs share
-    * no rare shingle by construction (they would be in the rare index
-    * otherwise), and the hot top-up completes the intersection. */
+    * OUTPUT, the same acceptance class as [[minhashNearDup]]. Both
+    * candidate streams emit bare id pairs; the rare and hot top-up
+    * joins then complete the exact intersection for whoever met. */
   def shingleNearDup(spark: SparkSession, dir: String,
       maxDf: Int = MAX_SHINGLE_DF): DataFrame = {
     import spark.implicits._
@@ -851,12 +881,19 @@ object TextPipeline {
       count(lit(1)).over(Window.partitionBy($"sh")))
     val shRare = shDf.filter($"df" <= maxDf).select($"doc_id", $"sh")
     val shHot = shDf.filter($"df" > maxDf).select($"doc_id", $"sh")
-    val idxA = shRare.select($"doc_id".as("doc_a"), $"sh")
-    val idxB = shRare.select($"doc_id".as("doc_b"), $"sh")
-    val cand0 = idxA.join(idxB, Seq("sh"))
+    // SKETCHED pair join (round-10, verdict item 4): each doc posts only
+    // its RARE_PROBES smallest-by-hash rare shingles, so candidates per
+    // doc are bounded at probes·(maxDf−1) regardless of corpus density —
+    // the full rare index bounded PER-SHINGLE pairs (df ≤ maxDf) but let
+    // candidates-per-DOC grow with density (measured 14.9×/decade at
+    // 100×). Recall argument on [[RARE_PROBES]]; the Jaccard itself is
+    // still computed over FULL shingle sets via the top-up joins below,
+    // so sketching changes who MEETS, never a met pair's score.
+    val rarePost = sketchPostings(shRare, RARE_PROBES)
+    val cand0 = rarePost.select($"doc_id".as("doc_a"), $"sh")
+      .join(rarePost.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
       .filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("shared_rare"))
+      .select($"doc_a", $"doc_b").distinct()
     // ONE per-doc aggregation over the df-tagged postings yields both the
     // set sizes the rerank needs AND the rare counts the fallback gate
     // needs (folding what would be two full-size aggs — and replacing the
@@ -883,27 +920,29 @@ object TextPipeline {
       .join(probes.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
-      .withColumn("shared_rare", lit(0L))
-    // two mostly-hot docs CAN also share a rare shingle (each may own a
-    // small rare tail), so a pair may arrive from both indexes: dedupe by
-    // max(shared_rare) — the rare-index row carries the exact count, the
-    // fallback row 0 (a fallback-ONLY pair shares no rare shingle by
-    // construction, else it would be in cand0). An anti-join dedupe here
-    // would traverse the cand0 subtree twice; this aggregate touches only
-    // candidate-pair-sized data.
-    val cand = cand0.unionByName(candHot)
+    // Both candidate streams are now bare (doc_a, doc_b) id pairs — the
+    // sketched rare join no longer counts the full rare intersection in
+    // passing, so BOTH halves of |A∩B| come from candidate-bounded top-up
+    // joins (never a free self-join, which would reintroduce the fan-out
+    // the sketch exists to stop): shared_rare over the FULL rare postings
+    // of candidate pairs, shared_hot over their hot postings. A pair may
+    // arrive from both indexes; distinct() dedupes before the top-ups.
+    val cand = cand0.unionByName(candHot).distinct()
+    val sharedRare = cand
+      .join(shRare.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+      .join(shRare.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
       .groupBy($"doc_a", $"doc_b")
-      .agg(max($"shared_rare").as("shared_rare"))
-    // top-up THROUGH the candidate pairs (never a free hot⋈hot self-join,
-    // which would reintroduce the df² fan-out the cutoff exists to stop)
-    val sharedHot = cand.select($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared_rare"))
+    val sharedHot = cand
       .join(shHot.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
       .join(shHot.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("shared_hot"))
     val withHot = cand
+      .join(sharedRare, Seq("doc_a", "doc_b"), "left")
       .join(sharedHot, Seq("doc_a", "doc_b"), "left")
-      .withColumn("shared", $"shared_rare" + coalesce($"shared_hot", lit(0L)))
+      .withColumn("shared",
+        coalesce($"shared_rare", lit(0L)) + coalesce($"shared_hot", lit(0L)))
     val n = docStats.select($"doc_id", $"n_sh")
     withHot
       .join(n.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))

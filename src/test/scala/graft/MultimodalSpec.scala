@@ -111,19 +111,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("registered q41 emits only scalar columns with faithful digests") {
+  test("registered q41 emits scalar per-frame rows covering the full decode") {
     // raw array columns crash the harness's sort-and-hash compare
-    // (CORRECTNESS_r03 q41) — the registered entry must stay scalar.
+    // (CORRECTNESS_r03 q41) — the registered entry must stay scalar, and
+    // since round 10 it carries the FULL decode output as per-frame rows
+    // (asset_id, n_bytes, mean_byte, frame_idx, frame_mean,
+    // n_sampled_frames) so the hex-byte DuckDB oracle can replay it.
     val df = Multimodal.mediaFeatures(spark, dir)
     assert(df.schema.fields.forall(f =>
       !f.dataType.typeName.startsWith("array")), df.schema.simpleString)
-    val rows = df.collect().map(r =>
-      r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
-    assert(rows(1L)._1 == Multimodal.FRAMES.toLong) // n_frames
-    assert(rows(1L)._3 == 2L) // 4 frames sampled at step 2
-    // identical payloads → identical digests; digest pins the bytes
-    val sig = df.collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
-    assert(sig(1L) == sig(3L))
-    assert(sig(1L) != sig(2L))
+    assert(df.columns.toSeq == Seq("asset_id", "n_bytes", "mean_byte",
+      "frame_idx", "frame_mean", "n_sampled_frames"))
+    val rows = df.collect()
+    // one row per (asset, frame)
+    assert(rows.length == 3 * Multimodal.FRAMES)
+    val byAsset = rows.groupBy(_.getLong(0))
+    // doc 1 "abcdefgh": frame means hand-checked, identical to doc 3
+    def frames(id: Long): Seq[Float] =
+      byAsset(id).sortBy(_.getInt(3)).map(_.getFloat(4)).toSeq
+    assert(frames(1L) == Seq(97.5f, 99.5f, 101.5f, 103.5f))
+    assert(frames(1L) == frames(3L))
+    assert(frames(1L) != frames(2L))
+    val r1 = byAsset(1L).head
+    assert(r1.getLong(1) == 8L) // n_bytes
+    assert(r1.getDouble(2) == (97 to 104).sum / 8.0) // mean_byte
+    assert(r1.getLong(5) == 2L) // 4 frames sampled at step 2
   }
 }

@@ -252,6 +252,40 @@ class TextPipelineSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 1.0)
   }
 
+  test("sketched rare index bounds candidates per doc and keeps true pairs") {
+    // 12 docs share a moderately-rare 4-token prefix (its shingles have
+    // df = 12, under maxDf = 64, so the FULL rare index would join all
+    // C(12,2) = 66 pairs) and are otherwise unique. With probes = 2 each
+    // doc posts only its 2 smallest-by-hash shingles, so the sketch can
+    // generate at most probes·(df−1)·n/2 pairs and in practice far fewer
+    // — the per-doc bound the round-10 sparsification exists for. Docs
+    // 100/101 are near-identical (one-token tail difference): their
+    // sketches must still intersect and the pair must surface with its
+    // EXACT full-set Jaccard.
+    val t = (1 to 12).map(i => s"t$i").mkString(" ")
+    val d = fixtureDir("documents" -> (
+      (1 to 12).map(i => Doc(i, s"p1 p2 p3 p4 u${i}a u${i}b u${i}c")) ++
+        Seq(Doc(100, s"$t end1"), Doc(101, s"$t end2"))).toDF())
+    val sh = TextPipeline.shingles(spark, d)
+    val full = 12 * 11 / 2
+    val sketched = TextPipeline.shingleCandidates(sh, maxDf = 64, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sketched.size < full,
+      s"sketch must thin the ${full}-pair prefix clique, got ${sketched.size}")
+    // per-doc candidate bound: probes · (maxDf − 1) with df = 12 ⇒ ≤ 22
+    val perDoc = sketched.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map(_._2.size)
+    assert(perDoc.forall(_ <= 2 * 11), s"per-doc bound violated: $perDoc")
+    val pairs = TextPipeline.shingleNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((100L, 101L)),
+      s"near-identical pair lost by the sketch: ${pairs.keySet}")
+    // 11 shared of 13 union (12-token run + distinct tails ⇒ 10+1+1... the
+    // exact value the full-set top-up must reproduce: shared/(na+nb-shared)
+    val j = pairs((100L, 101L))
+    assert(j >= 0.8 && j < 1.0, s"jaccard $j")
+  }
+
   test("df cutoff never drops a pair the rerank would keep (fixture)") {
     // On the main fixture (max df 7 < 64) the cutoff is behavior-neutral.
     val sh = TextPipeline.shingles(spark, dir)

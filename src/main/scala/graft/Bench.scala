@@ -27,15 +27,53 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Multi-JVM A/B (round-9 verdict item 6): `local[n]` never serializes
+    // an exchange, so SPARK_GRAFT_MASTER=local-cluster[w,c,mem] runs the
+    // SAME bench against real worker JVMs — executors need the packaged
+    // graft jar on their classpath (SPARK_GRAFT_JAR, or the sbt package
+    // output found under target/).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the standard extensions path: native expressions as SQL functions
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      val jar = sys.env.get("SPARK_GRAFT_JAR").orElse {
+        val dir = new java.io.File("target/scala-2.13")
+        Option(dir.listFiles()).flatMap(_.find(f =>
+          f.getName.endsWith(".jar") && !f.getName.contains("sources")))
+          .map(_.getAbsolutePath)
+      }.getOrElse(sys.error(
+        "local-cluster master needs the packaged graft jar: run `sbt " +
+          "package` or set SPARK_GRAFT_JAR"))
+      builder.config("spark.jars", jar)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-stage shuffle volume, attributed per query by draining the
+    // listener bus at each measurement boundary — the hard evidence for
+    // exchange-volume claims that plan shapes alone cannot give.
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = e.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ()
+          }
+        }
+      })
+    def shuffleNow(): (Long, Long) = {
+      org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      (shuffleRead.get(), shuffleWrite.get())
+    }
     System.err.println(
       s"[bench] heap=${Runtime.getRuntime.maxMemory() / (1 << 20)}MiB " +
         s"cpus=$cpus runs=$runs")
@@ -156,29 +194,31 @@ object Bench {
       * apart and a +11% headline drift went unexplained. Times `q.timed`
       * — the operator's API shape; a registered closure's compare-only
       * orderBy (see [[Query.benchFn]]) is not operator cost. */
-    def time(q: Query): (Double, Double, Long, Long) = {
+    def time(q: Query): (Double, Double, Long, Long, Long, Long) = {
       System.err.println(s"[bench] timing ${q.name}")
       val samples = (1 to runs).map { _ =>
         val g0 = gcNow()
+        val s0 = shuffleNow()
         val t0 = System.nanoTime()
         try {
           q.timed(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           val gc = gcNow() - g0
+          val s1 = shuffleNow()
           spark.catalog.clearCache()
-          (dt, gc)
+          (dt, gc, s1._1 - s0._1, s1._2 - s0._2)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} FAILED: $e")
             failed ::= q.name
             spark.catalog.clearCache()
-            (-1.0, 0L)
+            (-1.0, 0L, 0L, 0L)
         }
       }
-      if (samples.exists(_._1 < 0)) (-1.0, -1.0, 0L, 0L)
+      if (samples.exists(_._1 < 0)) (-1.0, -1.0, 0L, 0L, 0L, 0L)
       else {
         val mn = samples.minBy(_._1); val mx = samples.maxBy(_._1)
-        (mn._1, mx._1, mn._2, mx._2)
+        (mn._1, mx._1, mn._2, mx._2, mn._3, mn._4)
       }
     }
 
@@ -204,13 +244,19 @@ object Bench {
 
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, (mn, _, _, _)) if mn >= 0 => mn }.sum
-    val qs = jmap(results.map { case (k, (mn, _, _, _)) => k -> mn })
-    val qsMax = jmap(results.map { case (k, (_, mx, _, _)) => k -> mx })
-    val auxQs = jmap(auxResults.map { case (k, (mn, _, _, _)) => k -> mn })
+    val total =
+      results.collect { case (_, (mn, _, _, _, _, _)) if mn >= 0 => mn }.sum
+    val qs = jmap(results.map { case (k, (mn, _, _, _, _, _)) => k -> mn })
+    val qsMax = jmap(results.map { case (k, (_, mx, _, _, _, _)) => k -> mx })
+    val auxQs = jmap(auxResults.map { case (k, (mn, _, _, _, _, _)) => k -> mn })
     // GC attribution: [gc at the min run, gc at the max run] in ms.
     val gcJson = (results ++ auxResults)
-      .map { case (k, (_, _, gMn, gMx)) => s"\"$k\":[$gMn,$gMx]" }
+      .map { case (k, (_, _, gMn, gMx, _, _)) => s"\"$k\":[$gMn,$gMx]" }
+      .mkString("{", ",", "}")
+    // Shuffle volume at the min run: [bytes read, bytes written] — the
+    // listener-measured exchange evidence (local-cluster A/B, item 6).
+    val shuffleJson = (results ++ auxResults)
+      .map { case (k, (_, _, _, _, sr, sw)) => s"\"$k\":[$sr,$sw]" }
       .mkString("{", ",", "}")
     // Stability guard: an environment stall (the r2/r3 GC-spike class of
     // failure) shows up as one run far above the plan's cost. Flag any
@@ -218,7 +264,8 @@ object Bench {
     // reintroduced stall fails LOUDLY in the artifact instead of silently
     // re-inflating totals.
     val unstable = (results ++ auxResults).collect {
-      case (k, (mn, mx, _, _)) if mn >= 0 && mx > 3 * mn && mx - mn > 1.0 => k
+      case (k, (mn, mx, _, _, _, _))
+        if mn >= 0 && mx > 3 * mn && mx - mn > 1.0 => k
     }
     unstable.foreach(k => System.err.println(
       s"[bench] UNSTABLE $k: max > 3x min — environment stall suspected"))
@@ -264,6 +311,7 @@ object Bench {
         s""""queries_max":$qsMax,"aux_queries":$auxQs,"runs":$runs,""" +
         s""""unstable":$unstableJson,"bench_shape":$shapeJson,""" +
         s""""bench_skipped":$skippedJson,"gc_ms":$gcJson,""" +
+        s""""shuffle_bytes":$shuffleJson,"master":"$master",""" +
         s""""heap_mib":$heapMib,"cpus":$cpus,"steal_pct":$stealPct,""" +
         s""""calib_sec":$calibSec,"calib_cpusec":$calibCpuSec,""" +
         s""""contended":$contended,"value_norm":$valueNorm,"sf":"$sfDir"}"""

@@ -33,7 +33,19 @@ object Explain {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Committed exact-count pin (round-9 verdict item 7): ScanBudget's
+    // exceptions are documented UPPER bounds, so a plan that regressed
+    // from 1 scan to 2 under a 2-scan floor passed silently. This file
+    // records the regenerated ACTUAL counts; any regeneration over the
+    // same sf whose counts differ — in either direction — fails, so a
+    // drift must be acknowledged by regenerating the pin
+    // (SPARK_GRAFT_BUDGET_OUT=SCANBUDGET.json) in the same commit.
+    val budgetPinPath = "SCANBUDGET.json"
+    val pinned: Map[String, Map[String, Int]] =
+      if (names.nonEmpty) Map.empty // focused runs don't enforce the pin
+      else ScanBudgetPin.read(budgetPinPath, new java.io.File(sfDir).getName)
     var violations = List.empty[String]
+    var governed = List.empty[(String, Map[String, Int])]
     val rows = SparkEntry.registry
       .filter(q => names.isEmpty || names(q.name))
       .map { q =>
@@ -57,10 +69,26 @@ object Explain {
           System.err.println(s"[explain] BUDGET EXCEEDED $v")
           violations ::= v
         }
+        val counts = PlanScans.governedCounts(raw)
+        governed ::= q.name -> counts
+        pinned.get(q.name).foreach { exp =>
+          if (exp != counts) {
+            val v = s"${q.name}: scan counts drifted from $budgetPinPath " +
+              s"(pinned $exp, executed $counts) — plan change must " +
+              "regenerate the pin"
+            System.err.println(s"[explain] PIN DRIFT $v")
+            violations ::= v
+          }
+        }
         if (sys.env.get("EXPLAIN_FULL").contains("1")) df.explain("formatted")
         spark.catalog.clearCache()
         q.name -> desc
       }
+    sys.env.get("SPARK_GRAFT_BUDGET_OUT").foreach { out =>
+      ScanBudgetPin.write(out, new java.io.File(sfDir).getName,
+        governed.reverse)
+      println(s"[explain] wrote ${governed.size} budget rows to $out")
+    }
     sys.env.get("SPARK_GRAFT_PLANS_OUT").foreach { out0 =>
       // A plan-regressed build must NOT overwrite the committed artifact
       // (its header says so) — divert to a .rej path the operator can diff.

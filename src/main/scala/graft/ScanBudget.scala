@@ -79,7 +79,10 @@ object ScanBudget {
     // The q63 SQL twin executes the ORACLE's two-CTE text (cost + cells
     // both read lineitem) in Spark dialect — textual parity with the
     // cross-engine SQL, where the API's q63 fuses to one scan. The twin
-    // pins dialect parity; plan parity is the API entry's job.
+    // pins dialect parity; plan parity is the API entry's job. Since
+    // round 10 the twin's BENCHED shape is the fused single-scan SQL
+    // (`bench_shape: "api"`; ExtensionsSpec pins rows + 1 scan) — this
+    // floor governs only the registered dialect-parity closure.
     "q63s_formatted_valuation_sql" -> Map("lineitem" -> 2))
 
   def maxScans(query: String, table: String): Int =

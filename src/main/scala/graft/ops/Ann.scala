@@ -392,8 +392,15 @@ object Ann {
     * from one bucket). This path bounds rerank volume to
     * ((nplanes+1)·occCap + chainW)·n — HARD-LINEAR in corpus size:
     *
-    *  - members of each bucket get a deterministic rank (xxhash64 of
-    *    vec_id; ties by vec_id) — no RNG, same sample every run/engine;
+    *  - members of each bucket get a deterministic rank ordered by their
+    *    REFINEMENT CODE — the next 16 hyperplane signs from the same LCG
+    *    plane stream (the documented prefix property: more planes refine
+    *    buckets) — with vec_id as tie-break. The ordering is locality-
+    *    sensitive: near-identical vectors agree on the refinement signs
+    *    too, so a duplicate pair sits at NEIGHBORING ranks and the chain
+    *    window below finds it regardless of bucket occupancy (a random
+    *    hash rank would scatter a dup pair across the bucket and lose it
+    *    once both members fall outside the delegate budget);
     *  - DELEGATES (rank ≤ occCap) keep the exact semantics: delegate×
     *    delegate pairs via the same own-bucket + 1-bit-probe join, so a
     *    bucket at-or-under its budget is byte-identical to the uncapped
@@ -426,12 +433,18 @@ object Ann {
       occCap: Int = OCC_CAP, chainW: Int = CHAIN_W): DataFrame = {
     import spark.implicits._
     require(occCap >= chainW, s"occCap $occCap must be >= chainW $chainW")
+    // refinement code = the bucket id under 16 EXTRA planes; its low
+    // `nplanes` bits are constant within a bucket, so ordering by it
+    // within the bucket window orders by the refinement signs alone
+    val rplanes = math.min(62, nplanes + 16)
     val byBucket = Window.partitionBy($"bucket")
-      .orderBy(xxhash64($"vec_id"), $"vec_id")
+      .orderBy($"rcode", $"vec_id")
     val ranked = graft.Caches.track(s"ann.neardup_ranked.$nplanes.$dir",
       withNorm(spark, dir)
         .withColumn("bucket", bucketCol(dim, nplanes))
-        .withColumn("rk", row_number().over(byBucket)))
+        .withColumn("rcode", bucketCol(dim, rplanes))
+        .withColumn("rk", row_number().over(byBucket))
+        .drop("rcode"))
     val probes = array(
       col("bucket") +:
         (0 until nplanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)

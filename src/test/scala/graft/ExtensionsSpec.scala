@@ -46,6 +46,23 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q63s fused bench shape: same rows as the dialect twin, ONE lineitem scan") {
+    // The registered q63s executes the oracle's two-CTE text (dialect
+    // parity, documented 2-scan floor); the BENCHED shape must be the
+    // deployable fused form — identical rows, half the scans (round-9
+    // verdict item 8).
+    val dir = "/root/testdata/sf0.001"
+    val q63s = SparkEntry.registry.find(_.name == "q63s_formatted_valuation_sql").get
+    val fused = q63s.timed(spark, dir)
+    val dialect = q63s.fn(spark, dir)
+    assert(fused.columns.toSeq == dialect.columns.toSeq)
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    assert(fused.collect().map(r => key(r) -> (r.getString(2), r.getString(3))).toMap
+      == dialect.collect().map(r => key(r) -> (r.getString(2), r.getString(3))).toMap)
+    val scans = PlanScans.governedCounts(PlanScans.executedScans(fused))
+    assert(scans == Map("lineitem" -> 1), s"fused shape scans: $scans")
+  }
+
   test("registerViews exposes the warehouse to plain SQL, pushdown intact") {
     val dir = "/root/testdata/sf0.001"
     Tables.registerViews(spark, dir)

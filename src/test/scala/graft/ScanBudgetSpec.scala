@@ -56,4 +56,22 @@ class ScanBudgetSpec extends SparkSpec {
     assert(counts("q84_history_delta") == Map("lineitem" -> 1))
     spark.catalog.clearCache()
   }
+
+  test("SCANBUDGET.json pin covers the registry and respects the ceilings") {
+    // The exact-count pin (round-9 verdict item 7) is enforced against
+    // executed plans by graft.Explain at every full regeneration; this
+    // test keeps the two layers consistent under `sbt test`: every
+    // registered query has a pinned row (a new query cannot ship without
+    // entering the gate) and no pinned count exceeds its documented
+    // ScanBudget ceiling (the json can tighten the prose bounds, never
+    // contradict them).
+    val pin = ScanBudgetPin.read("SCANBUDGET.json", "sf0.01")
+    assert(pin.nonEmpty, "SCANBUDGET.json missing or not generated at sf0.01")
+    val names = SparkEntry.registry.map(_.name).toSet
+    assert(names.subsetOf(pin.keySet),
+      s"queries without a pinned budget: ${(names -- pin.keySet).toSeq.sorted}")
+    for ((q, counts) <- pin; (t, n) <- counts)
+      assert(n <= ScanBudget.maxScans(q, t),
+        s"$q pins $t=$n above its documented ceiling ${ScanBudget.maxScans(q, t)}")
+  }
 }

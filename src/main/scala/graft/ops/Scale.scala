@@ -9,6 +9,51 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Min-label connected components over an undirected edge list — the
+    * fixpoint shared by the q60 text keep-list and the q92 embedding
+    * cluster map (one loop, so the two verdicts cannot diverge).
+    *
+    * `undirected`: one row per edge, columns (a, b). Returns one row per
+    * TOUCHED node: (node, comp) with comp = the component's minimum node
+    * id. Per round: two candidate-sized shuffles; `localCheckpoint` per
+    * round bounds lineage (the standard Spark iterate device); the
+    * driver-side convergence count is iteration CONTROL, not data
+    * movement. Rounds needed = component diameter (duplicate clusters
+    * are near-cliques, diameter ≤ 2–3); fails LOUDLY if `maxIters`
+    * rounds don't converge rather than returning a wrong labeling. */
+  def minLabelComponents(undirected: DataFrame, maxIters: Int): DataFrame = {
+    import undirected.sparkSession.implicits._
+    val edges = undirected
+      .select(explode(array(
+        struct(col("a").as("node"), col("b").as("nbr")),
+        struct(col("b").as("node"), col("a").as("nbr")))).as("e"))
+      .select($"e.node", $"e.nbr")
+      .localCheckpoint()
+    var comp = edges.select($"node").distinct()
+      .withColumn("comp", $"node")
+      .localCheckpoint()
+    var iters = 0
+    var changed = 1L
+    // <= not <: observing convergence costs one round AFTER the last
+    // change, so a chain using all maxIters moves still gets its
+    // zero-change observation round instead of a spurious abort
+    while (changed > 0 && iters <= maxIters) {
+      val nbrComp = edges
+        .join(comp.select($"node".as("nbr"), $"comp"), Seq("nbr"))
+        .select($"node", $"comp")
+      val next = comp.unionByName(nbrComp)
+        .groupBy($"node").agg(min($"comp").as("comp"))
+        .localCheckpoint()
+      changed = next.join(comp.withColumnRenamed("comp", "prev"), Seq("node"))
+        .filter($"comp" < $"prev").count()
+      comp = next
+      iters += 1
+    }
+    require(changed == 0,
+      s"component propagation did not converge in $maxIters rounds")
+    comp
+  }
+
   /** Distributed, exact running sum (and grand total) over a totally-ordered
     * input — the scalable replacement for
     * `sum(x).over(Window.orderBy(...))`, which Spark must execute as ONE

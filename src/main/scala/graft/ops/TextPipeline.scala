@@ -1109,12 +1109,10 @@ object TextPipeline {
     * set. Both verdicts ship; the corpus decides.
     *
     * Scale shape: the edge set is the candidate-pair output (already
-    * sub-quadratic); vertices are only docs TOUCHED by evidence, so each
-    * propagation round is two candidate-sized shuffles. Iteration uses
-    * localCheckpoint per round (the standard Spark iterate device —
-    * lineage would otherwise double per round) and a driver-side
-    * convergence count, which is iteration CONTROL, not data movement.
-    * Rounds needed = component diameter, tiny for dup clusters. */
+    * sub-quadratic); vertices are only docs TOUCHED by evidence, and the
+    * fixpoint itself is the shared [[Scale.minLabelComponents]] loop
+    * (two candidate-sized shuffles per round, localCheckpoint-bounded,
+    * loud failure on non-convergence). */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = dedupBase(spark, dir)
@@ -1126,34 +1124,8 @@ object TextPipeline {
       .select($"m".as("a"), $"doc_id".as("b"))
     val nearEdges = shingleNearDup(spark, dir)
       .select($"doc_a".as("a"), $"doc_b".as("b"))
-    val edges = exactEdges.unionByName(nearEdges)
-      .select(explode(array(
-        struct($"a".as("node"), $"b".as("nbr")),
-        struct($"b".as("node"), $"a".as("nbr")))).as("e"))
-      .select($"e.node", $"e.nbr")
-      .localCheckpoint()
-    var comp = edges.select($"node").distinct()
-      .withColumn("comp", $"node")
-      .localCheckpoint()
-    var iters = 0
-    var changed = 1L
-    // <= not <: observing convergence costs one round AFTER the last
-    // change, so a chain using all COMPONENT_MAX_ITERS moves still gets
-    // its zero-change observation round instead of a spurious abort
-    while (changed > 0 && iters <= COMPONENT_MAX_ITERS) {
-      val nbrComp = edges
-        .join(comp.select($"node".as("nbr"), $"comp"), Seq("nbr"))
-        .select($"node", $"comp")
-      val next = comp.unionByName(nbrComp)
-        .groupBy($"node").agg(min($"comp").as("comp"))
-        .localCheckpoint()
-      changed = next.join(comp.withColumnRenamed("comp", "prev"), Seq("node"))
-        .filter($"comp" < $"prev").count()
-      comp = next
-      iters += 1
-    }
-    require(changed == 0,
-      s"component propagation did not converge in $COMPONENT_MAX_ITERS rounds")
+    val comp = Scale.minLabelComponents(
+      exactEdges.unionByName(nearEdges), COMPONENT_MAX_ITERS)
     val drops = comp.filter($"comp" < $"node").select($"node".as("doc_id"))
     base
       .join(drops, Seq("doc_id"), "left_anti")

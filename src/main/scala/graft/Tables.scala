@@ -39,15 +39,39 @@ object Tables {
       spark.read.format("jdbc")
         .option("url", dir).option("dbtable", name).load()
     } else {
-      // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-      // reader rejects. Read nanos as raw Long (legacy conf) and
-      // floor-divide to micros — exactly DuckDB's native nanos→micros
-      // truncation, so oracle comparisons stay bit-identical.
+      // The testdata has shipped timestamp columns with three physical
+      // encodings across driver regenerations — TIMESTAMP(NANOS) (read as
+      // raw Long via the legacy conf), timestamp[us] without tz (read as
+      // TIMESTAMP_NTZ), and timestamp[us] UTC-adjusted (read as
+      // TIMESTAMP). Normalize ALL of them to TimestampType (epoch micros)
+      // HERE, by dataType, so downstream operators see one type:
+      //  - TIMESTAMP_NTZ (any table): cast to TIMESTAMP. Sessions run
+      //    with spark.sql.session.timeZone=UTC, so the wall-clock is
+      //    taken as UTC — the same interpretation DuckDB applies to a
+      //    naive timestamp[us] column. Bit-identical epoch micros.
+      //  - events.ts as LongType (nanos): floor-divide to micros —
+      //    exactly DuckDB's native nanos→micros truncation.
+      //  - TIMESTAMP: already the normal form; pass through.
+      // An engine claiming 100 TB robustness reads whatever encoding the
+      // upstream writer (pandas/arrow version of the day) produced.
+      // Casts are per-column projections fused into the scan — no extra
+      // pass, and pushdown/pruning are unaffected.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events" && df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val ntzFixed = raw.schema.fields.foldLeft(raw) { (df, f) =>
+        if (f.dataType == TimestampNTZType)
+          df.withColumn(f.name, col(f.name).cast(TimestampType))
+        else df
+      }
+      if (name == "events") ntzFixed.schema("ts").dataType match {
+        case LongType =>
+          ntzFixed.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => ntzFixed
+        case other => throw new IllegalStateException(
+          s"events.ts: unsupported parquet encoding $other — extend " +
+            "graft.Tables' ts normalization for this new testdata drift")
+      }
+      else ntzFixed
     }
 
   /** Register every warehouse table as a temp view, giving users the full

@@ -815,6 +815,31 @@ object TextPipeline {
     * planted fixtures are far above 0.8 and effectively never miss). */
   val RARE_PROBES = 16
 
+  /** Corpus size (docs) at which [[shingleNearDup]] switches its rare-
+    * index candidate generation from the DIRECT df-bounded inverted index
+    * to the bottom-[[RARE_PROBES]] sketch — the round-11 re-tune of the
+    * round-10 sketch rewrite, which bought 100× asymptotics (13.0× vs
+    * 17.8×/decade) at a 1.7–1.8× constant-factor cost to the whole dedup
+    * family AT REFERENCE SCALE (q62 3.87→6.99 s sf0.1): below the gate
+    * the direct pair join is both cheaper (exact `shared_rare` falls out
+    * of the join in passing — one whole top-up join saved) and still
+    * linear-in-driver (measured r09: densification starts in the SECOND
+    * decade, ~14.9×/decade candidate growth above ~10× = 50k docs).
+    * 20k docs = 4× reference scale, safely under the measured knee; the
+    * scale fixtures (50k/500k docs) stay on the sketch path, so the 100×
+    * curve is unchanged. The decision input is one parquet-footer
+    * count-star — O(files), not O(rows), noise at any scale (the same
+    * class of runtime statistic AQE replans on). Override with system
+    * property `graft.sketch.minDocs` or env `SPARK_GRAFT_SKETCH_MIN_DOCS`
+    * (0 forces the sketch everywhere — how the equivalence unit test
+    * pins both paths to identical output on one fixture). */
+  val SKETCH_MIN_DOCS: Long = 20000L
+
+  private def sketchMinDocs: Long =
+    sys.props.get("graft.sketch.minDocs")
+      .orElse(sys.env.get("SPARK_GRAFT_SKETCH_MIN_DOCS"))
+      .map(_.toLong).getOrElse(SKETCH_MIN_DOCS)
+
   /** Near-duplicate pairs by exact 3-shingle Jaccard ≥ 0.8, candidates
     * from the df-bounded inverted index — NEVER all-pairs: the self-join
     * is keyed by shingle, so only docs with overlapping RARE content ever
@@ -827,16 +852,30 @@ object TextPipeline {
     * candidates hard-bounded by the sketch (below); on a corpus with no
     * hot shingles the hot top-up is empty.
     *
-    * SKETCHED CANDIDATE GENERATION (round-10; round-9 verdict item 4):
-    * the pair join reads only each doc's [[RARE_PROBES]] smallest-by-
-    * xxhash64 rare shingles ([[sketchPostings]] — winnowing-style
-    * sparsification). The df ceiling alone bounded per-SHINGLE pairs but
-    * candidates-per-DOC still grew with corpus density (14.9×/decade
-    * measured at 100×); the sketch caps candidates per doc at
-    * probes·(maxDf−1), making total candidate volume hard-linear in the
-    * corpus. Bottom-K sketches of two Jaccard ≥ 0.8 sets intersect with
-    * odds ≥ 1−(1−0.44)¹⁶ (see [[RARE_PROBES]]), and the Jaccard score of
-    * every met pair is still EXACT over full shingle sets.
+    * SIZE-GATED CANDIDATE GENERATION (round-11; round-10 verdict item 3):
+    * two rare-index strategies, chosen by corpus size
+    * ([[SKETCH_MIN_DOCS]]) the way AQE picks join strategies by runtime
+    * statistics —
+    *  - DIRECT (corpus < gate): pair join over the FULL df-bounded rare
+    *    index; exact `shared_rare` falls out of the pair join in
+    *    passing, so no rare top-up join runs. Candidate volume is
+    *    linear-in-driver at reference scale (measured through r09);
+    *    this is the cheapest correct plan there.
+    *  - SKETCHED (corpus ≥ gate; round-10, round-9 verdict item 4): the
+    *    pair join reads only each doc's [[RARE_PROBES]] smallest-by-
+    *    xxhash64 rare shingles ([[sketchPostings]] — winnowing-style
+    *    sparsification). The df ceiling alone bounded per-SHINGLE pairs
+    *    but candidates-per-DOC still grew with corpus density
+    *    (14.9×/decade measured at 100×); the sketch caps candidates per
+    *    doc at probes·(maxDf−1), making total candidate volume
+    *    hard-linear in the corpus. Bottom-K sketches of two Jaccard
+    *    ≥ 0.8 sets intersect with odds ≥ 1−(1−0.44)¹⁶ (see
+    *    [[RARE_PROBES]]), and the Jaccard score of every met pair is
+    *    still EXACT over full shingle sets — sketching changes who
+    *    MEETS, never a met pair's score; `shared_rare` comes from a
+    *    candidate-bounded top-up join instead.
+    * TextPipelineSpec pins the two paths to identical output on a mixed
+    * fixture (forced via `graft.sketch.minDocs`).
     *
     * MOSTLY-HOT FALLBACK (round-4 advice; widened round 6): a cluster
     * duplicated more than maxDf times makes EVERY one of its shingles
@@ -881,19 +920,14 @@ object TextPipeline {
       count(lit(1)).over(Window.partitionBy($"sh")))
     val shRare = shDf.filter($"df" <= maxDf).select($"doc_id", $"sh")
     val shHot = shDf.filter($"df" > maxDf).select($"doc_id", $"sh")
-    // SKETCHED pair join (round-10, verdict item 4): each doc posts only
-    // its RARE_PROBES smallest-by-hash rare shingles, so candidates per
-    // doc are bounded at probes·(maxDf−1) regardless of corpus density —
-    // the full rare index bounded PER-SHINGLE pairs (df ≤ maxDf) but let
-    // candidates-per-DOC grow with density (measured 14.9×/decade at
-    // 100×). Recall argument on [[RARE_PROBES]]; the Jaccard itself is
-    // still computed over FULL shingle sets via the top-up joins below,
-    // so sketching changes who MEETS, never a met pair's score.
-    val rarePost = sketchPostings(shRare, RARE_PROBES)
-    val cand0 = rarePost.select($"doc_id".as("doc_a"), $"sh")
-      .join(rarePost.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
+    // Size gate (round-11): the sketch's candidate cap matters only once
+    // corpus density makes the direct index's candidate stream
+    // super-linear (measured knee ≈ 10× reference scale); below the gate
+    // the direct pair join is strictly cheaper — exact shared_rare falls
+    // out of it in passing and the rare top-up join never runs. The
+    // decision input is a parquet-footer count-star: O(files), the same
+    // runtime-statistic class AQE replans on.
+    val useSketch = docs(spark, dir).count() >= sketchMinDocs
     // ONE per-doc aggregation over the df-tagged postings yields both the
     // set sizes the rerank needs AND the rare counts the fallback gate
     // needs (folding what would be two full-size aggs — and replacing the
@@ -920,29 +954,62 @@ object TextPipeline {
       .join(probes.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
-    // Both candidate streams are now bare (doc_a, doc_b) id pairs — the
-    // sketched rare join no longer counts the full rare intersection in
-    // passing, so BOTH halves of |A∩B| come from candidate-bounded top-up
-    // joins (never a free self-join, which would reintroduce the fan-out
-    // the sketch exists to stop): shared_rare over the FULL rare postings
-    // of candidate pairs, shared_hot over their hot postings. A pair may
-    // arrive from both indexes; distinct() dedupes before the top-ups.
-    val cand = cand0.unionByName(candHot).distinct()
-    val sharedRare = cand
-      .join(shRare.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
-      .join(shRare.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("shared_rare"))
-    val sharedHot = cand
+    // Candidate pairs with their exact shared_rare count, by strategy
+    // (scaladoc above). Either way the frame is (doc_a, doc_b,
+    // shared_rare) and everything downstream is identical.
+    val candShared =
+      if (!useSketch) {
+        // DIRECT: full df-bounded rare pair join — shared_rare is the
+        // pair join's own group count, no top-up needed. A pair may also
+        // arrive from the hot fallback (two mostly-hot docs CAN share a
+        // rare tail shingle); dedupe by max(shared_rare) — the rare-index
+        // row carries the exact count, the fallback row 0 (a
+        // fallback-ONLY pair shares no rare shingle by construction,
+        // else the rare join would have emitted it).
+        val candRare = shRare.select($"doc_id".as("doc_a"), $"sh")
+          .join(shRare.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
+          .filter($"doc_a" < $"doc_b")
+          .groupBy($"doc_a", $"doc_b")
+          .agg(count(lit(1)).as("shared_rare"))
+        candRare
+          .unionByName(candHot.withColumn("shared_rare", lit(0L)))
+          .groupBy($"doc_a", $"doc_b")
+          .agg(max($"shared_rare").as("shared_rare"))
+      } else {
+        // SKETCHED: both candidate streams are bare (doc_a, doc_b) id
+        // pairs — the sketched rare join cannot count the full rare
+        // intersection in passing, so shared_rare comes from a
+        // candidate-bounded top-up join over the FULL rare postings
+        // (never a free self-join, which would reintroduce the fan-out
+        // the sketch exists to stop). distinct() dedupes pairs arriving
+        // from both indexes before the top-up.
+        val rarePost = sketchPostings(shRare, RARE_PROBES)
+        val cand0 = rarePost.select($"doc_id".as("doc_a"), $"sh")
+          .join(rarePost.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
+          .filter($"doc_a" < $"doc_b")
+          .select($"doc_a", $"doc_b").distinct()
+        val cand = cand0.unionByName(candHot).distinct()
+        val sharedRare = cand
+          .join(shRare.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+          .join(shRare.select($"doc_id".as("doc_b"), $"sh"),
+            Seq("doc_b", "sh"))
+          .groupBy($"doc_a", $"doc_b")
+          .agg(count(lit(1)).as("shared_rare"))
+        cand.join(sharedRare, Seq("doc_a", "doc_b"), "left")
+          .withColumn("shared_rare", coalesce($"shared_rare", lit(0L)))
+      }
+    // hot top-up THROUGH the candidate pairs (never a free hot⋈hot
+    // self-join, which would reintroduce the df² fan-out the cutoff
+    // exists to stop)
+    val sharedHot = candShared.select($"doc_a", $"doc_b")
       .join(shHot.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
       .join(shHot.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("shared_hot"))
-    val withHot = cand
-      .join(sharedRare, Seq("doc_a", "doc_b"), "left")
+    val withHot = candShared
       .join(sharedHot, Seq("doc_a", "doc_b"), "left")
       .withColumn("shared",
-        coalesce($"shared_rare", lit(0L)) + coalesce($"shared_hot", lit(0L)))
+        $"shared_rare" + coalesce($"shared_hot", lit(0L)))
     val n = docStats.select($"doc_id", $"n_sh")
     withHot
       .join(n.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))

@@ -286,6 +286,38 @@ class TextPipelineSpec extends SparkSpec {
     assert(j >= 0.8 && j < 1.0, s"jaccard $j")
   }
 
+  test("size gate: direct and sketched candidate paths agree exactly") {
+    // The round-11 corpus-size gate picks the DIRECT df-bounded index
+    // below SKETCH_MIN_DOCS and the round-10 sketch above it. Both paths
+    // must produce the same pair set with the same exact Jaccard on a
+    // fixture that exercises every candidate source at once: a rare
+    // near-dup pair (8,9), a >maxDf hot cluster (1..5, zero-rare), a
+    // rare-tailed twin for the mostly-hot gate, and independent docs.
+    val t12 = (1 to 12).map(i => s"p$i")
+    val d = fixtureDir("documents" -> (
+      (1 to 5).map(i => Doc(i, "dup dup2 dup3 dup4 dup5 dup6")) ++ Seq(
+        Doc(6, "six alpha beta gamma"),
+        Doc(7, "seven delta epsilon zeta"),
+        Doc(8, t12.mkString(" ")),
+        Doc(9, (t12.init :+ "OTHER").mkString(" ")),
+        Doc(10, "dup dup2 dup3 dup4 dup5 dup6 uniquetail"))).toDF())
+    def run(gate: Long): Seq[((Long, Long), Double)] = {
+      System.setProperty("graft.sketch.minDocs", gate.toString)
+      try TextPipeline.shingleNearDup(spark, d, maxDf = 2).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      finally System.clearProperty("graft.sketch.minDocs")
+    }
+    val direct = run(Long.MaxValue) // gate never met → direct index
+    val sketched = run(0L) // gate always met → sketched postings
+    assert(direct.nonEmpty, "fixture must produce pairs")
+    assert(direct == sketched,
+      s"paths disagree:\n direct  $direct\n sketched $sketched")
+    // and the default gate on a 10-doc fixture takes the direct path,
+    // producing the same result as the forced-direct run
+    assert(TextPipeline.shingleNearDup(spark, d, maxDf = 2).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)) == direct)
+  }
+
   test("df cutoff never drops a pair the rerank would keep (fixture)") {
     // On the main fixture (max df 7 < 64) the cutoff is behavior-neutral.
     val sh = TextPipeline.shingles(spark, dir)

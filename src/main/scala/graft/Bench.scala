@@ -127,7 +127,7 @@ object Bench {
     // and q01 (first timed, right after the probe's three 50M-row
     // allocation bursts) caught a 9.7 s max; this order puts the
     // GC-debt-absorbing query warm-up between the probe and the clock.
-    val calibSec: Double = try {
+    def calibProbe(): Double = try {
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         spark.range(0, 50000000L, 1, cpus.toInt)
@@ -142,6 +142,7 @@ object Bench {
         System.err.println(s"[bench] calibration probe failed: $e")
         -1.0
     }
+    var calibSec: Double = calibProbe()
     System.err.println(s"[bench] calib_sec=$calibSec")
 
     // Untimed setup pass: one-time artifacts a query reads but whose
@@ -152,6 +153,16 @@ object Bench {
     try graft.ops.History.ensureStored(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] q84 stored-table setup failed: $e") }
+    // Untimed: train-once quantizer warm-up for the IVF serve queries —
+    // q83 times TRAINING cold every run; q85/q91 time SERVING against
+    // the driver-cached model (Ann.trainedCache scaladoc, round-11
+    // verdict item 8). Without this the first timed q85 sample pays the
+    // one-time train and trips the unstable flag as a fake stall.
+    if ((headline ++ aux).exists(q =>
+        q.name == "q85_ivf_serve_trained" || q.name == "q91_ivf_serve_index"))
+      try graft.ops.Ann.warmTrained(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] IVF trained-model warm-up failed: $e") }
 
     // Untimed warm-up: the first TIMED query end-to-end (falls through to
     // the first aux query under a BENCH_ONLY subset with no headline
@@ -230,17 +241,66 @@ object Bench {
       * ~195 and the contended r09 driver artifact ~476. */
     val CALIB_REF_CPUSEC = 90.0
     val CALIB_TOLERANCE = 2.0
+    def calibCpuSecOf(c: Double): Double =
+      if (c > 0) math.round(c * cpus.toInt * 100.0) / 100.0 else -1.0
+    def isContended(steal: Double, calib: Double): Boolean =
+      steal > 1.0 || {
+        val cs = calibCpuSecOf(calib)
+        cs > 0 && cs > CALIB_TOLERANCE * CALIB_REF_CPUSEC
+      }
 
-    val jif0 = cpuJiffies()
-    val results = headline.map(q => q.name -> time(q))
-    val auxResults = aux.map(q => q.name -> time(q))
-    val jif1 = cpuJiffies()
-    // steal as % of the machine's busy jiffies over the whole run: >1–2%
-    // means the host contended the guest and wall times are inflated.
-    val stealPct =
-      if (jif1._1 - jif0._1 <= 0) -1.0
-      else math.round(
-        (jif1._2 - jif0._2) * 10000.0 / (jif1._1 - jif0._1)) / 100.0
+    // Bounded in-process retry on contention (round-11 verdict item 3):
+    // two rounds running, the committed artifact self-labeled
+    // `contended:true` because nothing between the measurement and the
+    // driver's artifact copy could re-run in a quieter window. Now the
+    // measurement loop itself retries — when a full pass lands contended
+    // (steal > 1% or the calibration probe outside the healthy band),
+    // the attempt is recorded in `retry_trail`, the process backs off,
+    // re-probes, and re-measures, up to SPARK_GRAFT_CONTENTION_RETRIES
+    // extra passes (default 2; 0 disables). The final artifact is the
+    // LAST attempt's numbers plus the full trail, so a contended record
+    // can only ship with its retry history attached — the round-10
+    // failure mode (a contended record silently replacing a quiet one)
+    // is structurally gone.
+    val maxAttempts = 1 + sys.env.get("SPARK_GRAFT_CONTENTION_RETRIES")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .getOrElse(2).max(0)
+    val backoffSec = sys.env.get("SPARK_GRAFT_CONTENTION_BACKOFF_SEC")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .getOrElse(120).max(0)
+    var results = Seq.empty[(String, (Double, Double, Long, Long, Long, Long))]
+    var auxResults = Seq.empty[(String, (Double, Double, Long, Long, Long, Long))]
+    var stealPct = -1.0
+    var retryTrail = List.empty[String]
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      failed = Nil // a retried pass re-times every query from scratch
+      val jif0 = cpuJiffies()
+      results = headline.map(q => q.name -> time(q))
+      auxResults = aux.map(q => q.name -> time(q))
+      val jif1 = cpuJiffies()
+      // steal as % of the machine's busy jiffies over the whole run:
+      // >1–2% means the host contended the guest and walls are inflated.
+      stealPct =
+        if (jif1._1 - jif0._1 <= 0) -1.0
+        else math.round(
+          (jif1._2 - jif0._2) * 10000.0 / (jif1._1 - jif0._1)) / 100.0
+      if (isContended(stealPct, calibSec) && attempt < maxAttempts) {
+        retryTrail ::= s"""{"attempt":$attempt,"steal_pct":$stealPct,""" +
+          s""""calib_sec":$calibSec,""" +
+          s""""calib_cpusec":${calibCpuSecOf(calibSec)},""" +
+          s""""backoff_sec":$backoffSec}"""
+        System.err.println(
+          s"[bench] attempt $attempt CONTENDED (steal=$stealPct%, " +
+            s"calib=$calibSec s) — backing off ${backoffSec}s, re-probing " +
+            "and re-measuring")
+        Thread.sleep(backoffSec * 1000L)
+        calibSec = calibProbe()
+        System.err.println(s"[bench] calib_sec=$calibSec (attempt ${attempt + 1})")
+      } else done = true
+    }
 
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -282,12 +342,8 @@ object Bench {
     // healthy band — a contended artifact can no longer ship looking
     // normal, and the driver/operator can re-run instead of grading the
     // hypervisor.
-    val calibCpuSec =
-      if (calibSec > 0) math.round(calibSec * cpus.toInt * 100.0) / 100.0
-      else -1.0
-    val contended =
-      stealPct > 1.0 ||
-        (calibCpuSec > 0 && calibCpuSec > CALIB_TOLERANCE * CALIB_REF_CPUSEC)
+    val calibCpuSec = calibCpuSecOf(calibSec)
+    val contended = isContended(stealPct, calibSec)
     if (contended) System.err.println(
       s"[bench] CONTENDED window: steal=$stealPct% " +
         s"calib_cpusec=$calibCpuSec (healthy ~$CALIB_REF_CPUSEC) — " +
@@ -314,7 +370,9 @@ object Bench {
         s""""shuffle_bytes":$shuffleJson,"master":"$master",""" +
         s""""heap_mib":$heapMib,"cpus":$cpus,"steal_pct":$stealPct,""" +
         s""""calib_sec":$calibSec,"calib_cpusec":$calibCpuSec,""" +
-        s""""contended":$contended,"value_norm":$valueNorm,"sf":"$sfDir"}"""
+        s""""contended":$contended,"attempts":$attempt,""" +
+        s""""retry_trail":${retryTrail.reverse.mkString("[", ",", "]")},""" +
+        s""""value_norm":$valueNorm,"sf":"$sfDir"}"""
     // Durable artifact FIRST (round-5 verdict item 4: a tail-captured
     // stdout window truncated the total once aux grew) — the file is the
     // self-contained record regardless of how stdout is captured.

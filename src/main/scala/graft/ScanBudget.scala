@@ -75,15 +75,12 @@ object ScanBudget {
     // design, not that artifact of emptiness.)
     "q88_embedding_neardup_auto" -> Map("embeddings" -> 1),
     "q90_ivf_assignment" -> Map("embeddings" -> 2),
-    "q48_ann_ivf" -> Map("embeddings" -> 3),
-    // The q63 SQL twin executes the ORACLE's two-CTE text (cost + cells
-    // both read lineitem) in Spark dialect — textual parity with the
-    // cross-engine SQL, where the API's q63 fuses to one scan. The twin
-    // pins dialect parity; plan parity is the API entry's job. Since
-    // round 10 the twin's BENCHED shape is the fused single-scan SQL
-    // (`bench_shape: "api"`; ExtensionsSpec pins rows + 1 scan) — this
-    // floor governs only the registered dialect-parity closure.
-    "q63s_formatted_valuation_sql" -> Map("lineitem" -> 2))
+    "q48_ann_ivf" -> Map("embeddings" -> 3))
+    // q63s (round-12): the registered twin now executes the fused
+    // single-scan SQL, so it rides the default 1-scan budget — the
+    // round-10/11 two-scan dialect floor is retired. The oracle's
+    // two-CTE dialect shape remains pinned (rows-identical) by
+    // ExtensionsSpec without occupying the deployed plan.
 
   def maxScans(query: String, table: String): Int =
     exceptions.getOrElse(query, Map.empty).getOrElse(table, default)

@@ -835,10 +835,45 @@ object TextPipeline {
     * pins both paths to identical output on one fixture). */
   val SKETCH_MIN_DOCS: Long = 20000L
 
-  private def sketchMinDocs: Long =
+  /** The deploy override, parsed defensively (round-11 verdict item 6 /
+    * ADVICE): this knob is documented as the operator's production
+    * control, so a malformed value ("20k") must fail with a diagnosis
+    * naming the knob — not a bare NumberFormatException from inside
+    * candidate planning. */
+  private[graft] def sketchMinDocs: Long = {
+    def parse(src: String, v: String): Long =
+      try v.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$src = '$v' is not a whole doc count; the shingleNearDup " +
+            s"sketch gate needs a plain long (default $SKETCH_MIN_DOCS; " +
+            "0 forces the sketch path everywhere)")
+      }
     sys.props.get("graft.sketch.minDocs")
-      .orElse(sys.env.get("SPARK_GRAFT_SKETCH_MIN_DOCS"))
-      .map(_.toLong).getOrElse(SKETCH_MIN_DOCS)
+      .map(parse("system property graft.sketch.minDocs", _))
+      .orElse(sys.env.get("SPARK_GRAFT_SKETCH_MIN_DOCS")
+        .map(parse("environment variable SPARK_GRAFT_SKETCH_MIN_DOCS", _)))
+      .getOrElse(SKETCH_MIN_DOCS)
+  }
+
+  /** Session-lifetime cache behind the size gate's corpus count
+    * (ADVICE round 11): without it every [[shingleNearDup]] CALL — and
+    * every composition that embeds one (keep lists, components, the
+    * curation verdict) — re-ran the count-star eagerly at plan-build
+    * time. For parquet dirs the count is an O(files) footer read and the
+    * dir's contents are immutable for the life of a run, so one count
+    * per (JVM, dir) is both safe and all the gate needs. For `jdbc:`
+    * dirs the count is a REMOTE `count(*)` that may scan the table when
+    * aggregate pushdown is unavailable — caching bounds that cost to
+    * once per session, which is the honest cost of a runtime-statistics
+    * gate over a source with no cheap statistics. */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val gateLogged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def gateDocCount(spark: SparkSession, dir: String): Long =
+    docCountCache.computeIfAbsent(
+      dir, d => java.lang.Long.valueOf(docs(spark, d).count())).longValue()
 
   /** Near-duplicate pairs by exact 3-shingle Jaccard ≥ 0.8, candidates
     * from the df-bounded inverted index — NEVER all-pairs: the self-join
@@ -902,7 +937,11 @@ object TextPipeline {
     * candidate streams emit bare id pairs; the rare and hot top-up
     * joins then complete the exact intersection for whoever met. */
   def shingleNearDup(spark: SparkSession, dir: String,
-      maxDf: Int = MAX_SHINGLE_DF): DataFrame = {
+      maxDf: Int = MAX_SHINGLE_DF,
+      /** Explicit gate override for callers/tests (ADVICE round 11:
+        * toggling the global system property is not parallel-safe);
+        * None = the deploy default ([[sketchMinDocs]]). */
+      sketchGate: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, dir)
     // ONE window over ONE shuffle tags every posting with its shingle's
@@ -927,7 +966,15 @@ object TextPipeline {
     // out of it in passing and the rare top-up join never runs. The
     // decision input is a parquet-footer count-star: O(files), the same
     // runtime-statistic class AQE replans on.
-    val useSketch = docs(spark, dir).count() >= sketchMinDocs
+    val gateVal = sketchGate.getOrElse(sketchMinDocs)
+    val nDocs = gateDocCount(spark, dir)
+    val useSketch = nDocs >= gateVal
+    // one decision log per (dir, gate): the SCALING artifacts record
+    // which path each measured point executed (round-11 verdict item 7)
+    if (gateLogged.add(s"$dir#$gateVal"))
+      System.err.println(s"[graft] shingleNearDup gate: dir=$dir " +
+        s"docs=$nDocs minDocs=$gateVal " +
+        s"path=${if (useSketch) "sketched" else "direct"}")
     // ONE per-doc aggregation over the df-tagged postings yields both the
     // set sizes the rerank needs AND the rare counts the fallback gate
     // needs (folding what would be two full-size aggs — and replacing the

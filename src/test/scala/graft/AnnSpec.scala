@@ -129,6 +129,65 @@ class AnnSpec extends SparkSpec {
       s"dense cluster fragmented into ${roots.size} components")
   }
 
+  test("occCap recall floor survives via the rank chain (fails if CHAIN_W were 0)") {
+    // Round-11 verdict item 4 — the adversarial boundary SCALING.md
+    // argues from, pinned: ONE cluster at 6× the cap whose true near-dup
+    // pairs exist at rank distances far beyond the chain window (rank 9
+    // vs rank 48 is a 0.95+ pair at distance 39). Pair recall inside the
+    // bucket is the documented ≈(occCap/m)² trade; MEMBER recall — does
+    // every cluster member survive into ≥1 pair, the quantity the q60
+    // drop-set consumes — must stay 1.0, carried by the rank chain.
+    val n = 48
+    val occCap = 8
+    val denseDir = fixtureDir(
+      "embeddings" -> (0 until n).map { id =>
+        val v = base(0).zipWithIndex
+          .map { case (x, i) => x + 0.001f * ((id * 7 + i) % 5 - 2) }
+        Emb(200 + id, v.toSeq, 0)
+      }.toDF())
+    def memberSet(chainW: Int): Set[Long] = {
+      val pairs = Ann.embeddingNearDupCapped(spark, denseDir,
+        threshold = 0.95, dim = DIM, occCap = occCap, chainW = chainW)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      graft.Caches.releasePrefix("ann.")
+      pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    }
+    val all = (200 until 200 + n).map(_.toLong).toSet
+    // the PRODUCTION default chain width: every member — the occCap
+    // delegates AND the 40 over-cap ranks — appears in ≥1 surviving
+    // pair. This assertion is what breaks the suite if CHAIN_W is ever
+    // set to 0 (or the chain leg regresses): member recall collapses to
+    // the delegate set.
+    assert(memberSet(Ann.CHAIN_W) == all,
+      "rank chain must keep member recall 1.0 over an over-cap cluster")
+    // counterexample making the chain's contribution explicit: with the
+    // chain disabled, ONLY the delegates survive — the recall floor is
+    // the chain's doing, not an accident of bucketing.
+    // (rank order follows the refinement code, not vec_id, so the
+    // delegate IDENTITIES are plan-chosen — the pinned property is the
+    // count: exactly occCap members survive, the rest vanish.)
+    val noChain = memberSet(0)
+    assert(noChain.size == occCap && noChain.subsetOf(all),
+      s"without the chain only $occCap delegates should survive, " +
+        s"got ${noChain.size} members")
+  }
+
+  test("q85 trained-quantizer cache serves byte-identical to fresh training") {
+    // round-11 verdict item 8: q85/q91 share one driver-cached trained
+    // model. The cache must be invisible to results — a cache-hit serve
+    // and a cold retrain produce the same rows, cosines included.
+    def serve() = Ann.ivfTopKTrained(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    Ann.clearTrainedCache()
+    val cold = serve() // trains, populates the cache
+    val warm = serve() // cache hit
+    assert(warm == cold, "cache-hit serve must be byte-identical")
+    Ann.clearTrainedCache()
+    assert(serve() == cold, "fresh retrain must reproduce the cached model")
+    graft.Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
   test("IVF probes recover the planted companions and rank them first") {
     val top = Ann.ivfTopK(spark, dir)
       .filter($"rnk" <= 2)

@@ -10,8 +10,9 @@ package graft
   * Subset rationale — one representative per budget class:
   *  - q01: the default 1-scan class (a regression to 2 would signal a
   *    lost exchange/cache reuse in the most common shape);
-  *  - q05 valuation: the fused single-pass form whose SQL twin is
-  *    budgeted at 2 — the fusion is the thing to protect;
+  *  - q05 valuation: the fused single-pass form (since round 12 the SQL
+  *    twin q63s runs the same fused 1-scan shape) — the fusion is the
+  *    thing to protect;
   *  - q16: a documented 2-scan floor (self-join) — protects against the
   *    budget being silently LOOSENED too (an entry dropping to 1 scan
   *    should be tightened in ScanBudget, and this asserts the floor is
@@ -19,7 +20,15 @@ package graft
   *  - q85: the round-9 cached-projection fix (3 scans → 1) — the exact
   *    regression this gate exists to catch;
   *  - q84: the stored-table delta (1 bounded fact scan; the round-7/8
-  *    fix whose staleness in PLANS.md motivated the whole mechanism).
+  *    fix whose staleness in PLANS.md motivated the whole mechanism);
+  *  - q66/q67 (round-12, round-11 verdict item 5): the events family —
+  *    broken twice by driver-side testdata drift (r10's NTZ
+  *    regeneration) and previously exercised only by the driver, so the
+  *    next events-side drift is caught by `sbt test` the same day.
+  *    These execute the full sessionization / as-of plans over the real
+  *    events parquet: a type regression in [[Tables]]' timestamp
+  *    normalization aborts plan execution here, and a plan regression
+  *    trips the scan count.
   */
 class ScanBudgetSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
@@ -55,6 +64,14 @@ class ScanBudgetSpec extends SparkSpec {
   test("q84 delta reads the fact table once (stored-history shape)") {
     assert(counts("q84_history_delta") == Map("lineitem" -> 1))
     spark.catalog.clearCache()
+  }
+
+  test("q66 sessionization reads events once (events-family pin)") {
+    assert(counts("q66_sessionization") == Map("events" -> 1))
+  }
+
+  test("q67 as-of attribution reads events once (events-family pin)") {
+    assert(counts("q67_asof_attribution") == Map("events" -> 1))
   }
 
   test("SCANBUDGET.json pin covers the registry and respects the ceilings") {

@@ -301,12 +301,12 @@ class TextPipelineSpec extends SparkSpec {
         Doc(8, t12.mkString(" ")),
         Doc(9, (t12.init :+ "OTHER").mkString(" ")),
         Doc(10, "dup dup2 dup3 dup4 dup5 dup6 uniquetail"))).toDF())
-    def run(gate: Long): Seq[((Long, Long), Double)] = {
-      System.setProperty("graft.sketch.minDocs", gate.toString)
-      try TextPipeline.shingleNearDup(spark, d, maxDf = 2).collect().toSeq
+    // explicit gate parameter (ADVICE round 11: no global
+    // System.setProperty toggle — parallel-suite-safe by construction)
+    def run(gate: Long): Seq[((Long, Long), Double)] =
+      TextPipeline.shingleNearDup(spark, d, maxDf = 2,
+        sketchGate = Some(gate)).collect().toSeq
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
-      finally System.clearProperty("graft.sketch.minDocs")
-    }
     val direct = run(Long.MaxValue) // gate never met → direct index
     val sketched = run(0L) // gate always met → sketched postings
     assert(direct.nonEmpty, "fixture must produce pairs")
@@ -316,6 +316,24 @@ class TextPipelineSpec extends SparkSpec {
     // producing the same result as the forced-direct run
     assert(TextPipeline.shingleNearDup(spark, d, maxDf = 2).collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)) == direct)
+  }
+
+  test("malformed sketch-gate override fails with a named diagnosis") {
+    // round-11 verdict item 6: the gate knob is the operator's deploy
+    // control — a typo'd value must name the knob, not surface a bare
+    // NumberFormatException from inside candidate planning.
+    System.setProperty("graft.sketch.minDocs", "20k")
+    try {
+      val e = intercept[IllegalArgumentException](TextPipeline.sketchMinDocs)
+      assert(e.getMessage.contains("graft.sketch.minDocs")
+        && e.getMessage.contains("20k"), e.getMessage)
+    } finally System.clearProperty("graft.sketch.minDocs")
+    // a well-formed override (whitespace tolerated) parses…
+    System.setProperty("graft.sketch.minDocs", " 12345 ")
+    try assert(TextPipeline.sketchMinDocs == 12345L)
+    finally System.clearProperty("graft.sketch.minDocs")
+    // …and with no override the committed default is served
+    assert(TextPipeline.sketchMinDocs == TextPipeline.SKETCH_MIN_DOCS)
   }
 
   test("df cutoff never drops a pair the rerank would keep (fixture)") {

@@ -34,6 +34,18 @@ import org.apache.spark.sql.SparkSession
   *    The q87 construction oracle is pinned to the 10-label DEFAULT,
   *    so `grow`/explicit dirs are for scale measurement, not the
   *    correctness gate.
+  *  - `docmode` (round-12, verdict item 7 follow-up): `plain` (default)
+  *    writes the raw fixture corpus; `curation` post-processes the
+  *    documents table so every stage of the q62 curation verdict does
+  *    real work at scale — the raw fixture's token soup contains no
+  *    stopwords, so `langPredict` returns 'unknown' for EVERY doc and
+  *    the verdict output is empty (the round-12 SCALING caveat). The
+  *    noise is deterministic by doc_id: most docs get their labeled
+  *    language's stopword tail appended (so the lang gate passes and
+  *    classifies), ~1/13 keep the bare soup (lang-gate drops), ~1/37
+  *    become one-token spam (TTR-gate drops), ~1/41 are truncated to 5
+  *    tokens (length-gate drops). ScaleGen-only: the q86 construction
+  *    oracle pins the PLAIN default, and `/root/testdata` is untouched.
   */
 object ScaleGen {
 
@@ -79,10 +91,48 @@ object ScaleGen {
       col("id").as("s_suppkey"),
       expr("concat('WH-', CAST(id AS STRING))").as("s_name"))
 
+    val docMode = args.lift(4).getOrElse("plain")
+    require(docMode == "plain" || docMode == "curation",
+      s"docmode must be plain|curation, got $docMode")
+    /** Curation-noise post-pass (scaladoc above): deterministic by
+      * doc_id, built from [[ops.TextPipeline.STOPWORDS]] so the planted
+      * tails hit exactly the lists `langPredict` scores. Tails are
+      * chosen per label to be DISTINCTIVE (no cross-list collisions that
+      * would flip the argmax): en/es/de use their own full lists; fr
+      * drops the es-shared words; zh plants one CJK char. */
+    def curationNoise(d: org.apache.spark.sql.DataFrame) = {
+      val sw = ops.TextPipeline.STOPWORDS.toMap
+      val tails = Map(
+        "en" -> sw("en").mkString(" "),
+        "es" -> sw("es").mkString(" "),
+        "de" -> sw("de").mkString(" "),
+        "fr" -> sw("fr").filterNot(Set("la", "de", "que", "un")).mkString(" "),
+        "zh" -> "的")
+      val langCase = tails.map { case (l, t) =>
+        s"WHEN lang = '$l' THEN concat(text, ' $t')"
+      }.mkString("\n             ")
+      d.selectExpr(
+        "doc_id",
+        s"""CASE WHEN doc_id % 37 = 3
+           |          THEN rtrim(repeat(concat('spamtok',
+           |               CAST(doc_id AS STRING), ' '), 40))
+           |     WHEN doc_id % 41 = 5
+           |          THEN array_join(slice(split(text, ' '), 1, 5), ' ')
+           |     WHEN doc_id % 13 = 7 THEN text
+           |     $langCase
+           |     ELSE text END AS text""".stripMargin,
+        "lang", "source")
+        .selectExpr("doc_id", "text", "lang", "source",
+          "CAST(length(text) AS BIGINT) AS n_chars")
+    }
+    val docGen = () => {
+      val d0 = ops.Generator.fixtureDocuments(spark, nDocs)
+      if (docMode == "curation") curationNoise(d0) else d0
+    }
     val gens = Seq(
       "lineitem" -> (() => ops.Generator.fixtureLineitem(spark, nOrders, nTransfers)),
       "events" -> (() => ops.Generator.fixtureEvents(spark, nEvents)),
-      "documents" -> (() => ops.Generator.fixtureDocuments(spark, nDocs)),
+      "documents" -> docGen,
       "embeddings" -> (() =>
         ops.Generator.fixtureEmbeddings(spark, nVecs, nClusters = nClusters)),
       "part" -> (() => part),

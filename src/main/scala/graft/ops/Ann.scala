@@ -168,12 +168,19 @@ object Ann {
     * [[graft.functions.DotProduct]] against a literal ±1 plane — no
     * explode, no shuffle, no per-element lambda for bucketing. */
   private def bucketCol(dim: Int, nplanes: Int = NPLANES): Column = {
-    val planes = planeSigns(dim, nplanes)
-    (0 until nplanes).map { p =>
-      val signs = array(planes(p).map(s => lit(s.toFloat)): _*)
-      val proj = graft.functions.DotProduct(col("embedding"), signs)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // nplanes = 0 is the degenerate one-bucket config (everything in
+    // bucket 0) — used by the heterogeneous-bucket recall test, and a
+    // legal operating point: the occupancy cap + rank chain alone then
+    // bound the rerank.
+    if (nplanes == 0) lit(0L)
+    else {
+      val planes = planeSigns(dim, nplanes)
+      (0 until nplanes).map { p =>
+        val signs = array(planes(p).map(s => lit(s.toFloat)): _*)
+        val proj = graft.functions.DotProduct(col("embedding"), signs)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
   }
 
   /** LSH-bucketed approximate top-k with single-bit multi-probe: each

@@ -172,6 +172,47 @@ class AnnSpec extends SparkSpec {
         s"got ${noChain.size} members")
   }
 
+  test("heterogeneous over-cap bucket: refinement ranks separate clusters, chain keeps both connected") {
+    // The documented residual on the rank chain: "heterogeneous buckets
+    // (mixed clusters) can miss chain edges". This pins the mechanism
+    // that bounds the damage: with nplanes=0 EVERY vector shares one
+    // bucket, so two distinct dense clusters (axis-0 and axis-1
+    // directions, cross-cosine ≈ 0.1) are forced to cohabit an over-cap
+    // bucket. The rank order is the REFINEMENT code (16 extra plane
+    // signs), which near-identical vectors share — so the two clusters
+    // sit CONTIGUOUSLY in rank order, consecutive ranks are same-cluster
+    // except at one boundary, and the chain window keeps every member of
+    // BOTH clusters in ≥1 true near-dup pair despite the cap.
+    val perCluster = 24
+    val occCap = 8
+    val mixDir = fixtureDir(
+      "embeddings" -> (0 until 2 * perCluster).map { i =>
+        val cl = i % 2 // interleave by id so id-order ≠ cluster-order
+        val v = base(cl).zipWithIndex
+          .map { case (x, k) => x + 0.001f * ((i * 7 + k) % 5 - 2) }
+        Emb(300 + i, v.toSeq, cl)
+      }.toDF())
+    val pairs = Ann.embeddingNearDupCapped(spark, mixDir,
+      threshold = 0.95, dim = DIM, nplanes = 0, occCap = occCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.Caches.releasePrefix("ann.")
+    val members = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    assert(members == (300 until 300 + 2 * perCluster).map(_.toLong).toSet,
+      s"every member of both clusters must survive, got ${members.size}/48")
+    // no cross-cluster pair passes the 0.95 rerank (clusters are real)
+    assert(pairs.forall { case (a, b) => (a - b) % 2 == 0 },
+      "cross-cluster pair leaked through the 0.95 threshold")
+    // and each cluster forms ONE component over the surviving edges
+    val parent = scala.collection.mutable.Map(
+      (300 until 300 + 2 * perCluster).map(i => i.toLong -> i.toLong): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val roots = (300 until 300 + 2 * perCluster).map(i => find(i.toLong)).toSet
+    assert(roots.size == 2,
+      s"expected 2 components (one per cluster), got ${roots.size}")
+  }
+
   test("q85 trained-quantizer cache serves byte-identical to fresh training") {
     // round-11 verdict item 8: q85/q91 share one driver-cached trained
     // model. The cache must be invisible to results — a cache-hit serve

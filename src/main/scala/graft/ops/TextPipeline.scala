@@ -1273,6 +1273,71 @@ object TextPipeline {
        |WHERE doc_id NOT IN (SELECT node FROM comp WHERE comp < node)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+
+  /** Minimum DISTINCT documents of one source that must share a shingle
+    * for it to count as that source's boilerplate. 2 is the floor that
+    * makes the signal non-vacuous on small corpora; production corpora
+    * raise it (or gate on a fraction of the source's docs). */
+  val BOILER_MIN_DOCS = 2
+
+  /** Cross-document SOURCE-LEVEL boilerplate fraction — the curation
+    * signal [[repetitionSignals]] (q64) cannot give: q64 scores
+    * repetition WITHIN one document, while crawl boilerplate (navigation
+    * chrome, license headers, mirror-site footers) repeats ACROSS the
+    * documents of one source and is invisible to any per-doc statistic.
+    * A shingle is `source`-boilerplate when ≥ [[BOILER_MIN_DOCS]]
+    * distinct docs of that source contain it; each doc reports how much
+    * of its own shingle set is boilerplate — the fraction a curation
+    * pass would strip or downweight before training.
+    *
+    * Scale shape: ONE documents scan; the shingle explosion happens
+    * after projection to (doc_id, source, text)-derived postings, ONE
+    * exchange keyed by (source, sh) tags every posting with its
+    * source-df via a count window (the q27 device — no groupBy+join-back
+    * double scan), and the per-doc aggregation rides the same exchange's
+    * output. Shuffled bytes are bounded by the distinct posting volume,
+    * the same budget q27's index pays. */
+  def sourceBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val post = docs(spark, dir)
+      .select($"doc_id", $"source", split($"text", " ").as("ws"))
+      .filter($"doc_id".isNotNull && size($"ws") >= SHINGLE_K)
+      .select($"doc_id", $"source", explode(expr(
+        "transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("sh"))
+      .distinct()
+    // postings are distinct per doc, so the window count IS the number
+    // of distinct docs of `source` containing `sh`
+    val sdf = count(lit(1)).over(Window.partitionBy($"source", $"sh"))
+    post.withColumn("sdf", sdf)
+      .groupBy($"doc_id", $"source")
+      .agg(
+        count(lit(1)).cast("long").as("n_sh"),
+        count(when($"sdf" >= BOILER_MIN_DOCS, lit(1))).cast("long")
+          .as("n_boiler"))
+      .withColumn("boiler_frac",
+        $"n_boiler".cast("double") / $"n_sh".cast("double"))
+      .orderBy($"doc_id")
+  }
+
+  private def sourceBoilerplateOracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT DISTINCT doc_id, source, sh FROM (
+       |        SELECT doc_id, source, unnest(list_transform(range(1, len(ws) - 1),
+       |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+       |        FROM t WHERE len(ws) >= $SHINGLE_K)),
+       |df AS (SELECT source, sh, COUNT(*) AS sdf FROM s GROUP BY 1, 2)
+       |SELECT s.doc_id, s.source,
+       |       CAST(COUNT(*) AS BIGINT) AS n_sh,
+       |       CAST(SUM(CASE WHEN df.sdf >= $BOILER_MIN_DOCS THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_boiler,
+       |       CAST(SUM(CASE WHEN df.sdf >= $BOILER_MIN_DOCS THEN 1 ELSE 0 END)
+       |            AS DOUBLE) / COUNT(*) AS boiler_frac
+       |FROM s JOIN df ON df.source = s.source AND df.sh = s.sh
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q70
 
   /** Incremental dedup verdict — T1 for curation: the corpus (doc_id <
@@ -1484,6 +1549,9 @@ object TextPipeline {
       "MinHash-LSH banded near-dup candidates + exact rerank ≥ 0.85",
       minhashNearDup, Some(bruteForceNearDupSql(MINHASH_THRESHOLD)),
       headline = false),
+    Query("q92_source_boilerplate",
+      "cross-doc source-level boilerplate fraction per document (shingle source-df window)",
+      sourceBoilerplate, Some(sourceBoilerplateOracle), headline = false),
     Query("q49_token_counts",
       "whitespace + BPE-ish regex token counting per document",
       tokenCounts, Some(tokenCountsOracle), headline = false),

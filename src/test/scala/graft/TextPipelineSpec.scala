@@ -318,6 +318,27 @@ class TextPipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)) == direct)
   }
 
+  test("source boilerplate: cross-doc repeats count only within a source") {
+    // src A: docs 1,2 share a 4-token header; doc 3 is unique soup.
+    // src B's doc 4 carries the SAME header but is its source's only
+    // copy — boilerplate is a per-source notion, so it scores 0 there.
+    val header = "one two three four"
+    val d = fixtureDir("documents" -> Seq(
+      Doc(1, s"$header alpha beta gamma", source = "A"),
+      Doc(2, s"$header delta epsilon zeta", source = "A"),
+      Doc(3, "eta theta iota kappa lambda", source = "A"),
+      Doc(4, s"$header mu nu xi", source = "B")).toDF())
+    val rows = TextPipeline.sourceBoilerplate(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // 7 tokens → 5 shingles; the header contributes the 2 shingles
+    // fully inside it ("one two three", "two three four") to both docs
+    assert(rows(1L) == ((5L, 2L, 0.4)), rows(1L).toString)
+    assert(rows(2L) == ((5L, 2L, 0.4)), rows(2L).toString)
+    assert(rows(3L)._2 == 0L)
+    assert(rows(4L)._2 == 0L, "same header, sole copy in its source")
+  }
+
   test("malformed sketch-gate override fails with a named diagnosis") {
     // round-11 verdict item 6: the gate knob is the operator's deploy
     // control — a typo'd value must name the knob, not surface a bare

@@ -1273,6 +1273,81 @@ object TextPipeline {
        |WHERE doc_id NOT IN (SELECT node FROM comp WHERE comp < node)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+
+  /** Quality-aware duplicate-cluster representatives — the keep a
+    * curation run actually ships: [[dedupComponents]] (q60) treats
+    * duplicate evidence as an equivalence but elects the MINIMUM doc_id,
+    * an arbitrary representative; among near-identical copies the
+    * curation-preferred keep is the LONGEST copy — truncated mirrors and
+    * stripped re-posts lose to the original. Each evidence component
+    * (and every untouched singleton) elects one representative by
+    * (n_chars DESC, doc_id ASC), emitted with its component label and
+    * size so a downstream consumer can audit the election.
+    *
+    * Scale shape: identical to q60 up to the fixpoint (candidate-sized
+    * edge set, localCheckpoint-bounded rounds); the election is two
+    * windows over ONE component-keyed exchange of the id-sized base
+    * projection — document text never shuffles. */
+  def componentRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = dedupBase(spark, dir)
+    val gmin = Window.partitionBy($"content_hash")
+    val exactEdges = base
+      .withColumn("m", min($"doc_id").over(gmin))
+      .filter($"doc_id" =!= $"m")
+      .select($"m".as("a"), $"doc_id".as("b"))
+    val nearEdges = shingleNearDup(spark, dir)
+      .select($"doc_a".as("a"), $"doc_b".as("b"))
+    val comp = Scale.minLabelComponents(
+      exactEdges.unionByName(nearEdges), COMPONENT_MAX_ITERS)
+    val labeled = base
+      .join(comp.select($"node".as("doc_id"), $"comp"), Seq("doc_id"), "left")
+      .withColumn("comp", coalesce($"comp", $"doc_id"))
+    val byComp = Window.partitionBy($"comp")
+    labeled
+      .withColumn("rn", row_number().over(
+        byComp.orderBy($"n_chars".desc, $"doc_id".asc)))
+      .withColumn("comp_size", count(lit(1)).over(byComp).cast("long"))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"comp", $"comp_size", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for q93: q60's recursive-CTE closure, then the same
+    * (n_chars DESC, doc_id) election per component over all documents
+    * (untouched docs label themselves). */
+  private def componentRepresentativesOracle =
+    s"""WITH RECURSIVE exact_edges AS (
+       |  SELECT m AS a, doc_id AS b FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS m
+       |    FROM documents) WHERE doc_id <> m
+       |), near AS (${bruteForceNearDupSql(NEARDUP_THRESHOLD)
+         .replace("ORDER BY doc_a, doc_b", "")}
+       |), edges AS (
+       |  SELECT a, b FROM exact_edges
+       |  UNION SELECT doc_a, doc_b FROM near
+       |  UNION SELECT b, a FROM exact_edges
+       |  UNION SELECT doc_b, doc_a FROM near
+       |), reach(node, anc) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.anc = e.a
+       |), comp AS (
+       |  SELECT node, LEAST(node, MIN(anc)) AS comp
+       |  FROM reach GROUP BY node
+       |), lab AS (
+       |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp,
+       |         d.lang, d.source, d.n_chars
+       |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY comp
+       |           ORDER BY n_chars DESC, doc_id) AS rn,
+       |         CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size
+       |  FROM lab)
+       |SELECT doc_id, comp, comp_size, lang, source, n_chars
+       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q92
 
   /** Minimum DISTINCT documents of one source that must share a shingle
@@ -1520,6 +1595,10 @@ object TextPipeline {
       (s, d) => dedupComponents(s, d).orderBy("doc_id"),
       Some(dedupComponentsOracle), headline = false,
       benchFn = Some(dedupComponents)),
+    Query("q93_component_representatives",
+      "quality-aware dup-cluster keeps: longest member per evidence component (vs q60's min-id)",
+      componentRepresentatives, Some(componentRepresentativesOracle),
+      headline = false),
     Query("q70_dedup_increment",
       "incremental dedup verdict: new batch probed against the corpus md5 index + near-dup evidence, ≡ full recompute on the batch",
       dedupIncrement, Some(dedupIncrementOracle), headline = false),

@@ -318,6 +318,23 @@ class TextPipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)) == direct)
   }
 
+  test("component representatives elect the longest member, not the min id") {
+    val t12 = (1 to 12).map(i => s"p$i")
+    val d = fixtureDir("documents" -> Seq(
+      Doc(1, "same text body here"), // exact trio: equal length → min id
+      Doc(2, "same text body here"),
+      Doc(3, "same text body here"),
+      Doc(5, "solo unique document"), // untouched singleton
+      Doc(8, t12.mkString(" ")), // near pair (8,9), Jaccard 10/11
+      Doc(9, (t12 :+ "tail").mkString(" "))).toDF()) // the LONGER copy
+    val rows = TextPipeline.componentRepresentatives(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 9 (longer) represents component 8 — exactly where q60's
+    // min-id keep and the quality-aware election disagree
+    assert(rows == Seq((1L, 1L, 3L), (5L, 5L, 1L), (9L, 8L, 2L)),
+      rows.toString)
+  }
+
   test("source boilerplate: cross-doc repeats count only within a source") {
     // src A: docs 1,2 share a 4-token header; doc 3 is unique soup.
     // src B's doc 4 carries the SAME header but is its source's only

@@ -25,33 +25,14 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = Sessions.cpus
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // Multi-JVM A/B (round-9 verdict item 6): `local[n]` never serializes
     // an exchange, so SPARK_GRAFT_MASTER=local-cluster[w,c,mem] runs the
-    // SAME bench against real worker JVMs — executors need the packaged
-    // graft jar on their classpath (SPARK_GRAFT_JAR, or the sbt package
-    // output found under target/).
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder = SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // the standard extensions path: native expressions as SQL functions
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-    if (master.startsWith("local-cluster")) {
-      val jar = sys.env.get("SPARK_GRAFT_JAR").orElse {
-        val dir = new java.io.File("target/scala-2.13")
-        Option(dir.listFiles()).flatMap(_.find(f =>
-          f.getName.endsWith(".jar") && !f.getName.contains("sources")))
-          .map(_.getAbsolutePath)
-      }.getOrElse(sys.error(
-        "local-cluster master needs the packaged graft jar: run `sbt " +
-          "package` or set SPARK_GRAFT_JAR"))
-      builder.config("spark.jars", jar)
-    }
-    val spark = builder.getOrCreate()
+    // SAME bench against real worker JVMs (session contract shared with
+    // HashCheck via [[Sessions]] — including the executor-jar wiring).
+    val master = Sessions.master
+    val spark = Sessions.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Per-stage shuffle volume, attributed per query by draining the
     // listener bus at each measurement boundary — the hard evidence for
@@ -299,6 +280,15 @@ object Bench {
         Thread.sleep(backoffSec * 1000L)
         calibSec = calibProbe()
         System.err.println(s"[bench] calib_sec=$calibSec (attempt ${attempt + 1})")
+        // probe-before-clock hazard (the round-8 ordering lore above):
+        // the probe's three 50M-row allocation bursts must not land on
+        // the retried pass's FIRST timed sample — absorb the GC debt in
+        // the same untimed query warm-up the cold start uses.
+        try {
+          (headline ++ aux).headOption.foreach(
+            _.timed(spark, sfDir).write.format("noop").mode("overwrite").save())
+          spark.catalog.clearCache()
+        } catch { case _: Throwable => () }
       } else done = true
     }
 

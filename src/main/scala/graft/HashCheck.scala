@@ -21,37 +21,28 @@ import org.apache.spark.sql.SparkSession
   */
 object HashCheck {
   def main(args: Array[String]): Unit = {
+    require(args.length == 2,
+      "usage: HashCheck <sfDir> <q1,q2,...>  (set SPARK_GRAFT_MASTER " +
+        "to compare masters; local-cluster needs SPARK_HOME + " +
+        "SPARK_SCALA_VERSION + a packaged jar)")
     val Array(sfDir, names) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder = SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-    if (master.startsWith("local-cluster")) {
-      val jar = sys.env.get("SPARK_GRAFT_JAR").orElse {
-        val dir = new java.io.File("target/scala-2.13")
-        Option(dir.listFiles()).flatMap(_.find(f =>
-          f.getName.endsWith(".jar") && !f.getName.contains("sources")))
-          .map(_.getAbsolutePath)
-      }.getOrElse(sys.error(
-        "local-cluster master needs the packaged graft jar: run `sbt " +
-          "package` or set SPARK_GRAFT_JAR"))
-      builder.config("spark.jars", jar)
-    }
-    val spark = builder.getOrCreate()
+    val master = Sessions.master
+    val spark = Sessions.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap
     names.split(',').map(_.trim).filter(_.nonEmpty).foreach { n =>
       val q = byName.getOrElse(n, sys.error(s"unknown query $n"))
+      // fields joined on U+0001: without a delimiter ("12","3") and
+      // ("1","23") would render identically and a cross-JVM
+      // column-boundary shift could hash equal — the exact drift class
+      // this tool exists to catch. null renders as the ∅ sentinel
+      // (boundaries stay exact under the delimiter).
       val rows = q.fn(spark, sfDir).collect().map(_.toSeq.map {
         case null => "∅"
         case d: java.math.BigDecimal => d.toPlainString
         case b: Array[Byte] => b.map("%02x".format(_)).mkString
         case x => x.toString
-      }.mkString("")).sorted
+      }.mkString("\u0001")).sorted
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
       println(s"HASH $n ${md.digest().map("%02x".format(_)).mkString}" +

@@ -50,7 +50,9 @@ import org.apache.spark.sql.SparkSession
 object ScaleGen {
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult] [tables]")
+    require(args.nonEmpty,
+      "usage: ScaleGen <outDir> [mult] [tables] [clusters=fixed|grow|<k>] " +
+        "[docmode=plain|curation]")
     val dir = args(0)
     val mult = if (args.length > 1) args(1).toDouble else 1.0
     val wanted = if (args.length > 2)

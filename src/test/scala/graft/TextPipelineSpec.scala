@@ -328,7 +328,8 @@ class TextPipelineSpec extends SparkSpec {
       Doc(8, t12.mkString(" ")), // near pair (8,9), Jaccard 10/11
       Doc(9, (t12 :+ "tail").mkString(" "))).toDF()) // the LONGER copy
     val rows = TextPipeline.componentRepresentatives(spark, d).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1) // operator is unordered; compare order-free
     // doc 9 (longer) represents component 8 — exactly where q60's
     // min-id keep and the quality-aware election disagree
     assert(rows == Seq((1L, 1L, 3L), (5L, 5L, 1L), (9L, 8L, 2L)),

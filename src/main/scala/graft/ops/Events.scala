@@ -239,6 +239,88 @@ object Events {
       |       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * first view, the first click AT OR AFTER that view, and the first
+    * purchase at or after that click — the classic sequential funnel
+    * (an unordered "did all three" count would credit a purchase that
+    * preceded its view). One row out: stage reach counts plus exact and
+    * mean inter-stage latencies.
+    *
+    * Scale shape: ONE user-keyed exchange; the three stage timestamps are
+    * per-user window minima layered over the same partitioning (no
+    * self-join per stage — the naive funnel is events⋈events⋈events),
+    * then a user-grain collapse and a 1-row global aggregate. Latency
+    * sums are exact integer micros; the means divide those sums as the
+    * last step, so both engines agree bitwise. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+    val staged = events(spark, dir)
+      .select($"user_id", $"event_type", $"ts")
+      .withColumn("v_ts",
+        min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("c_ts",
+        min(when($"event_type" === "click" && $"ts" >= $"v_ts", $"ts"))
+          .over(w))
+      .withColumn("p_ts",
+        min(when($"event_type" === "purchase" && $"ts" >= $"c_ts", $"ts"))
+          .over(w))
+    staged
+      .groupBy($"user_id")
+      .agg(max($"v_ts").as("v_ts"), max($"c_ts").as("c_ts"),
+        max($"p_ts").as("p_ts"))
+      .agg(
+        count(lit(1)).cast("long").as("n_users"),
+        count($"v_ts").cast("long").as("n_viewed"),
+        count($"c_ts").cast("long").as("n_clicked"),
+        count($"p_ts").cast("long").as("n_purchased"),
+        sum(unix_micros($"c_ts") - unix_micros($"v_ts"))
+          .cast("long").as("view_to_click_us_total"),
+        sum(unix_micros($"p_ts") - unix_micros($"c_ts"))
+          .cast("long").as("click_to_purchase_us_total"),
+        (sum(unix_micros($"c_ts") - unix_micros($"v_ts")).cast("double") /
+          count($"c_ts")).as("view_to_click_us_avg"),
+        (sum(unix_micros($"p_ts") - unix_micros($"c_ts")).cast("double") /
+          count($"p_ts")).as("click_to_purchase_us_avg"))
+  }
+
+  private val funnelOracle =
+    """WITH b AS (
+      |  SELECT user_id, event_type, ts,
+      |         MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |           OVER (PARTITION BY user_id) AS v_ts
+      |  FROM events
+      |), b2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= v_ts
+      |                     THEN ts END)
+      |              OVER (PARTITION BY user_id) AS c_ts
+      |  FROM b
+      |), b3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= c_ts
+      |                     THEN ts END)
+      |              OVER (PARTITION BY user_id) AS p_ts
+      |  FROM b2
+      |), u AS (
+      |  SELECT user_id, MAX(v_ts) AS v_ts, MAX(c_ts) AS c_ts,
+      |         MAX(p_ts) AS p_ts
+      |  FROM b3 GROUP BY 1
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |       CAST(COUNT(v_ts) AS BIGINT) AS n_viewed,
+      |       CAST(COUNT(c_ts) AS BIGINT) AS n_clicked,
+      |       CAST(COUNT(p_ts) AS BIGINT) AS n_purchased,
+      |       CAST(SUM(epoch_us(c_ts) - epoch_us(v_ts)) AS BIGINT)
+      |         AS view_to_click_us_total,
+      |       CAST(SUM(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT)
+      |         AS click_to_purchase_us_total,
+      |       CAST(SUM(epoch_us(c_ts) - epoch_us(v_ts)) AS DOUBLE)
+      |         / COUNT(c_ts) AS view_to_click_us_avg,
+      |       CAST(SUM(epoch_us(p_ts) - epoch_us(c_ts)) AS DOUBLE)
+      |         / COUNT(p_ts) AS click_to_purchase_us_avg
+      |FROM u""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q66_sessionization",
       "gap-based sessions per user (30 min), one shuffle + per-user windows",
@@ -251,5 +333,8 @@ object Events {
       propsExtract, Some(propsExtractOracle), headline = false),
     Query("q78_daily_moving_avg",
       "7-day trailing moving average via a calendar-correct integer RANGE frame",
-      dailyMovingAvg, Some(dailyMovingAvgOracle), headline = false))
+      dailyMovingAvg, Some(dailyMovingAvgOracle), headline = false),
+    Query("q95_event_funnel",
+      "ordered view→click→purchase funnel: stage reach + exact inter-stage latency in one exchange",
+      eventFunnel, Some(funnelOracle), headline = false))
 }

@@ -271,6 +271,96 @@ object Sampling {
       |FROM documents GROUP BY ROLLUP (lang, source)
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+
+  /** Training-sequence capacity in tokens for [[sequencePacking]] — the
+    * context-window size the packed batches target. */
+  val SEQ_LEN: Long = 2048L
+
+  /** Concat-and-chunk sequence packing: lay the whole corpus out as one
+    * token stream (docs in doc_id order, token counts by q49's BPE-ish
+    * pre-tokenizer) and cut it into fixed-[[SEQ_LEN]] training sequences —
+    * the GPT-style packing step between a curated corpus and a training
+    * run. Emits one row per sequence: how many documents contribute, how
+    * many arrive whole (vs split across a boundary), exact token fill,
+    * and the contributing doc_id range.
+    *
+    * Scale shape: the global token offsets are a corpus-sized prefix sum,
+    * which is exactly the operator [[Scale.prefixSum]] exists for — a
+    * range partition by doc_id, per-partition local cumsums, and a
+    * partition-count-sized offset rollup; NO single-partition window ever
+    * sees the corpus. Each doc then explodes into the (usually 1–2)
+    * sequences its span intersects — fan-out bounded by doc_len/SEQ_LEN+1
+    * per doc, corpus_tokens/SEQ_LEN total (the size of the OUTPUT) — and
+    * one seq_id-keyed aggregation collapses to sequence grain. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir)
+      .select($"doc_id",
+        size(expr(
+          s"regexp_extract_all(text, '${TextPipeline.BPE_PATTERN}', 0)"))
+          .cast("long").as("n_tokens"))
+    val spans = Scale
+      .prefixSum(toks, Seq($"doc_id"), $"n_tokens", "tok_end", "corpus_tok")
+      .filter($"n_tokens" > 0)
+      .withColumn("tok_start", $"tok_end" - $"n_tokens")
+    spans
+      .select($"doc_id", $"tok_start", $"tok_end",
+        explode(sequence(
+          expr(s"tok_start div $SEQ_LEN"),
+          expr(s"(tok_end - 1) div $SEQ_LEN"))).as("seq_id"))
+      .groupBy($"seq_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        count(when($"tok_start" >= $"seq_id" * SEQ_LEN &&
+          $"tok_end" <= ($"seq_id" + 1) * SEQ_LEN, lit(1)))
+          .cast("long").as("n_whole_docs"),
+        sum(least($"tok_end", ($"seq_id" + 1) * SEQ_LEN) -
+          greatest($"tok_start", $"seq_id" * SEQ_LEN))
+          .cast("long").as("n_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .withColumn("fill_frac", $"n_tokens".cast("double") / SEQ_LEN)
+      .orderBy($"seq_id")
+  }
+
+  private val packingOracle =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text,
+       |                  '${TextPipeline.BPE_PATTERN}')) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS tok_end
+       |  FROM t
+       |), s AS (
+       |  SELECT doc_id, tok_end - n_tokens AS tok_start, tok_end
+       |  FROM c WHERE n_tokens > 0
+       |), x AS (
+       |  SELECT doc_id, tok_start, tok_end,
+       |         UNNEST(generate_series(tok_start // $SEQ_LEN,
+       |                                (tok_end - 1) // $SEQ_LEN)) AS seq_id
+       |  FROM s
+       |)
+       |SELECT seq_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(*) FILTER (WHERE tok_start >= seq_id * $SEQ_LEN
+       |              AND tok_end <= (seq_id + 1) * $SEQ_LEN) AS BIGINT)
+       |         AS n_whole_docs,
+       |       CAST(SUM(LEAST(tok_end, (seq_id + 1) * $SEQ_LEN)
+       |              - GREATEST(tok_start, seq_id * $SEQ_LEN)) AS BIGINT)
+       |         AS n_tokens,
+       |       MIN(doc_id) AS first_doc,
+       |       MAX(doc_id) AS last_doc,
+       |       CAST(SUM(LEAST(tok_end, (seq_id + 1) * $SEQ_LEN)
+       |              - GREATEST(tok_start, seq_id * $SEQ_LEN)) AS DOUBLE)
+       |         / $SEQ_LEN AS fill_frac
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q65_stratified_sample",
       "deterministic md5-threshold stratified sample per language stratum",
@@ -291,5 +381,8 @@ object Sampling {
       statsRollup, Some(statsRollupOracle), headline = false),
     Query("q77_length_quartiles",
       "NTILE(4) size tiers per language with pinned tie order, per-tier stats",
-      lengthQuartiles, Some(quartilesOracle), headline = false))
+      lengthQuartiles, Some(quartilesOracle), headline = false),
+    Query("q94_sequence_packing",
+      "concat-and-chunk packing into 2048-token training sequences via distributed prefix sum",
+      sequencePacking, Some(packingOracle), headline = false))
 }

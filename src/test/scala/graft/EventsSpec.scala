@@ -170,4 +170,37 @@ class EventsSpec extends SparkSpec {
     assert(shuffles(sess.queryExecution.executedPlan) <= 3,
       sess.queryExecution.executedPlan.toString)
   }
+
+  test("funnel: stage order enforced; pre-view clicks and pre-click purchases don't count") {
+    import spark.implicits._
+    val dir = fixtureDir("events" -> Seq(
+      // user 7: clean full funnel, 5 min between stages
+      ev(1, "2024-01-01 10:00:00", 7, "view"),
+      ev(2, "2024-01-01 10:05:00", 7, "click"),
+      ev(3, "2024-01-01 10:10:00", 7, "purchase"),
+      // user 8: click BEFORE the first view → stage 2 never reached, so
+      // the later purchase can't count either (ordered funnel, not
+      // did-all-three)
+      ev(4, "2024-01-01 09:00:00", 8, "click"),
+      ev(5, "2024-01-01 09:30:00", 8, "view"),
+      ev(6, "2024-01-01 09:45:00", 8, "purchase"),
+      // user 9: purchase only → counted in n_users alone
+      ev(7, "2024-01-01 08:00:00", 9, "purchase"),
+      // user 10: same-instant click qualifies (>= semantics); purchase
+      // BEFORE the click does not
+      ev(8, "2024-01-01 12:00:00", 10, "view"),
+      ev(9, "2024-01-01 12:00:00", 10, "click"),
+      ev(10, "2024-01-01 11:00:00", 10, "purchase")).toDF)
+    val r = Events.eventFunnel(spark, dir).collect()
+    assert(r.length == 1)
+    val x = r.head
+    assert(x.getLong(0) == 4L) // n_users
+    assert(x.getLong(1) == 3L) // n_viewed: 7, 8, 10
+    assert(x.getLong(2) == 2L) // n_clicked: 7, 10
+    assert(x.getLong(3) == 1L) // n_purchased: 7 only
+    assert(x.getLong(4) == 300L * 1000000L) // 7's 5 min + 10's 0
+    assert(x.getLong(5) == 300L * 1000000L) // 7's 5 min
+    assert(x.getDouble(6) == 150.0 * 1000000L) // 300e6 / 2 clicks
+    assert(x.getDouble(7) == 300.0 * 1000000L)
+  }
 }

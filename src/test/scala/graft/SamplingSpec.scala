@@ -82,4 +82,52 @@ class SamplingSpec extends SparkSpec {
     assert(r.length == Sampling.QUANTILES.length)
     assert(r.forall(_.getDouble(2) == 7.0))
   }
+
+  test("sequence packing: boundary split, whole-doc count, token conservation") {
+    import spark.implicits._
+    // "w " * n ⇒ exactly n BPE letter-run tokens. Layout (SEQ_LEN=2048):
+    //   doc1: 2000 tokens → [0, 2000)        wholly in seq 0
+    //   doc2:  100 tokens → [2000, 2100)     SPLIT across seqs 0/1
+    //   doc3:   48 tokens → [2100, 2148)     wholly in seq 1
+    //   doc4: empty text  → 0 tokens, contributes to no sequence
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(1L, "w " * 2000), Doc(2L, "w " * 100),
+      Doc(3L, "w " * 48), Doc(4L, "")).toDF)
+    val r = Sampling.sequencePacking(spark, dir).collect()
+    assert(r.length == 2)
+    val bySeq = r.map(x => x.getLong(0) ->
+      (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getLong(5), x.getDouble(6))).toMap
+    // seq 0: docs 1+2, only doc1 whole, exactly full (2000 + 48 head of doc2)
+    assert(bySeq(0L) == ((2L, 1L, 2048L, 1L, 2L, 1.0)))
+    // seq 1: docs 2+3, only doc3 whole, 52-token tail of doc2 + 48
+    assert(bySeq(1L) == ((2L, 1L, 100L, 2L, 3L, 100.0 / 2048)))
+    // conservation: packed tokens == corpus tokens (nothing lost at a cut)
+    assert(r.map(_.getLong(3)).sum == 2148L)
+  }
+
+  test("sequence packing: distributed prefix sum ≡ doc_id-ordered layout") {
+    import spark.implicits._
+    // 40 docs with varying token counts over the 4 shuffle partitions the
+    // suite runs with — enough rows that the range partitioner actually
+    // splits the corpus, so partition-offset reassembly is exercised.
+    val docsDf = (0L until 40L)
+      .map(i => Doc(i, "w " * (i % 7 + 1).toInt)).toDF
+    val dir = fixtureDir("documents" -> docsDf)
+    val r = Sampling.sequencePacking(spark, dir).collect()
+    // total tokens = sum over i of (i%7+1) = 5 full cycles of 28 + ...
+    val total = (0L until 40L).map(_ % 7 + 1).sum
+    assert(r.map(_.getLong(3)).sum == total)
+    // docs land in doc_id order: the first sequence starts at doc 0 and
+    // doc ranges of consecutive sequences are contiguous and increasing
+    val ordered = r.sortBy(_.getLong(0))
+    assert(ordered.head.getLong(4) == 0L)
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        // next sequence starts at (split doc) or after the previous one's
+        // last doc — never behind it
+        assert(a.getLong(5) <= b.getLong(4))
+      case _ =>
+    }
+  }
 }

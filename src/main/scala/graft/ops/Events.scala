@@ -321,6 +321,69 @@ object Events {
       |         / COUNT(p_ts) AS click_to_purchase_us_avg
       |FROM u""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+
+  /** Weekly retention cohorts: users grouped by the ISO week of their
+    * first event; for each (cohort, week offset), how many of the
+    * cohort's users were active that week and the retention rate — the
+    * standard triangular cohort table. Both engines truncate weeks to
+    * Monday (ISO), and the offset is an exact integer (day difference of
+    * two week-truncated dates is always a multiple of 7), so the only
+    * double is the final rate division.
+    *
+    * Scale shape: ONE scan; events collapse to DISTINCT (user, week) —
+    * the only corpus-sized exchange — and the per-user cohort is a
+    * window MIN over that frame, not a self-join (a join back to a
+    * groupBy re-executes the scan+distinct subtree: Spark DataFrames
+    * don't share unpersisted subplans, and the first cut of this
+    * operator measured 3 scans for exactly that reason). Cohort size
+    * never needs its own aggregate either: every user is active in
+    * their own first week, so the offset-0 row of each cohort IS the
+    * cohort size — recovered by a window over the week-grain (tiny)
+    * aggregate. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Window.partitionBy($"user_id")
+    val perCohort = Window.partitionBy($"cohort_wk")
+    events(spark, dir)
+      .select($"user_id", date_trunc("week", $"ts").as("wk"))
+      .distinct()
+      .withColumn("cohort_wk", min($"wk").over(perUser))
+      .withColumn("week_offset",
+        (datediff($"wk".cast("date"), $"cohort_wk".cast("date")) / 7)
+          .cast("long"))
+      .groupBy($"cohort_wk", $"week_offset")
+      .agg(count(lit(1)).cast("long").as("n_active"))
+      .withColumn("cohort_size",
+        sum(when($"week_offset" === 0, $"n_active")).over(perCohort)
+          .cast("long"))
+      .select($"cohort_wk", $"week_offset", $"n_active", $"cohort_size",
+        ($"n_active".cast("double") / $"cohort_size").as("retention"))
+      .orderBy($"cohort_wk", $"week_offset")
+  }
+
+  private val retentionOracle =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+      |), c AS (
+      |  SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY 1
+      |), sizes AS (
+      |  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      |  FROM c GROUP BY 1
+      |), j AS (
+      |  SELECT c.cohort_wk,
+      |         CAST((CAST(u.wk AS DATE) - CAST(c.cohort_wk AS DATE)) // 7
+      |              AS BIGINT) AS week_offset
+      |  FROM uw u JOIN c ON u.user_id = c.user_id
+      |)
+      |SELECT j.cohort_wk, j.week_offset,
+      |       CAST(COUNT(*) AS BIGINT) AS n_active,
+      |       s.cohort_size,
+      |       CAST(COUNT(*) AS DOUBLE) / s.cohort_size AS retention
+      |FROM j JOIN sizes s ON j.cohort_wk = s.cohort_wk
+      |GROUP BY 1, 2, s.cohort_size
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q66_sessionization",
       "gap-based sessions per user (30 min), one shuffle + per-user windows",
@@ -336,5 +399,8 @@ object Events {
       dailyMovingAvg, Some(dailyMovingAvgOracle), headline = false),
     Query("q95_event_funnel",
       "ordered view→click→purchase funnel: stage reach + exact inter-stage latency in one exchange",
-      eventFunnel, Some(funnelOracle), headline = false))
+      eventFunnel, Some(funnelOracle), headline = false),
+    Query("q97_retention_cohorts",
+      "weekly retention cohort table: first-event ISO-week cohorts × week offset, exact counts + rates",
+      retentionCohorts, Some(retentionOracle), headline = false))
 }

@@ -361,6 +361,75 @@ object Sampling {
        |         / $SEQ_LEN AS fill_frac
        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+
+  /** Epoch size (documents) the [[temperatureMix]] allocation targets. */
+  val EPOCH_DOCS: Long = 10000L
+
+  /** Fixed-point scale for the integer temperature weights: w =
+    * floor(sqrt(n_docs · 10⁶)) ≈ 10³·√n_docs, so three decimal digits of
+    * the root survive the floor. */
+  val TEMP_SCALE: Long = 1000000L
+
+  /** Temperature-flattened source mixing (α = 0.5): sampling weights
+    * ∝ n_docs^α per source, the standard flattening between
+    * proportional (α=1, head domains drown the tail) and uniform (α=0,
+    * tiny domains oversample to noise). Complements q71's explicit
+    * target shares: here the recipe is DERIVED from corpus counts.
+    *
+    * Cross-engine exactness: the weight is floor(sqrt(n·10⁶)) as a
+    * BIGINT — IEEE sqrt is correctly rounded in both engines and
+    * n·10⁶ < 2⁵³ stays an exact double, so the floored root is
+    * bit-pinned; the normalizing total is then an INTEGER sum
+    * (order-independent, unlike a float sum of 20 roots), and the only
+    * doubles are final single divisions. Epoch allocation is floor
+    * division — never over-commits the epoch.
+    *
+    * Scale shape: one agg to source grain (sources ≪ corpus), a 1-row
+    * broadcast total; nothing after the first agg is corpus-sized. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bySource = docs(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("w",
+        floor(sqrt($"n_docs".cast("double") * TEMP_SCALE)).cast("long"))
+    val totals = bySource.agg(
+      sum($"w").cast("long").as("total_w"),
+      sum($"n_docs").cast("long").as("total_docs"))
+    bySource
+      .crossJoin(broadcast(totals))
+      .select(
+        $"source", $"n_docs", $"w",
+        ($"w".cast("double") / $"total_w").as("mix_weight"),
+        expr(s"$EPOCH_DOCS * w div total_w").cast("long")
+          .as("docs_per_epoch"),
+        (($"w".cast("double") / $"total_w") /
+          ($"n_docs".cast("double") / $"total_docs")).as("upweight"))
+      .orderBy($"source")
+  }
+
+  private val temperatureOracle =
+    s"""WITH a AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1
+       |), w AS (
+       |  SELECT source, n_docs,
+       |         CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * $TEMP_SCALE))
+       |              AS BIGINT) AS w
+       |  FROM a
+       |), t AS (
+       |  SELECT CAST(SUM(w) AS BIGINT) AS total_w,
+       |         CAST(SUM(n_docs) AS BIGINT) AS total_docs
+       |  FROM w
+       |)
+       |SELECT source, n_docs, w,
+       |       CAST(w AS DOUBLE) / total_w AS mix_weight,
+       |       CAST($EPOCH_DOCS * w // total_w AS BIGINT) AS docs_per_epoch,
+       |       (CAST(w AS DOUBLE) / total_w)
+       |         / (CAST(n_docs AS DOUBLE) / total_docs) AS upweight
+       |FROM w, t ORDER BY source""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q65_stratified_sample",
       "deterministic md5-threshold stratified sample per language stratum",
@@ -384,5 +453,8 @@ object Sampling {
       lengthQuartiles, Some(quartilesOracle), headline = false),
     Query("q94_sequence_packing",
       "concat-and-chunk packing into 2048-token training sequences via distributed prefix sum",
-      sequencePacking, Some(packingOracle), headline = false))
+      sequencePacking, Some(packingOracle), headline = false),
+    Query("q96_temperature_mix",
+      "α=0.5 temperature-flattened source mix via exact integer-sqrt weights + floor-division epoch allocation",
+      temperatureMix, Some(temperatureOracle), headline = false))
 }

@@ -171,6 +171,28 @@ class EventsSpec extends SparkSpec {
       sess.queryExecution.executedPlan.toString)
   }
 
+  test("retention cohorts: triangular table, same-week dedup, mid-week truncation") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday: wk0=01-01, wk1=01-08, wk2=01-15
+    val dir = fixtureDir("events" -> Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view"),
+      ev(2, "2024-01-03 12:00:00", 1, "click"), // Wednesday → still wk0
+      ev(3, "2024-01-08 10:00:00", 1, "view"), // wk1
+      ev(4, "2024-01-15 10:00:00", 1, "view"), // wk2
+      ev(5, "2024-01-01 09:00:00", 2, "view"), // cohort wk0
+      ev(6, "2024-01-17 09:00:00", 2, "view"), // wk2, skipped wk1
+      ev(7, "2024-01-10 09:00:00", 3, "view") // cohort wk1
+    ).toDF)
+    val r = Events.retentionCohorts(spark, dir).collect()
+      .map(x => (x.getTimestamp(0).toString.take(10), x.getLong(1),
+        x.getLong(2), x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5),
+      ("2024-01-01", 2L, 2L, 2L, 1.0),
+      ("2024-01-08", 0L, 1L, 1L, 1.0)))
+  }
+
   test("funnel: stage order enforced; pre-view clicks and pre-click purchases don't count") {
     import spark.implicits._
     val dir = fixtureDir("events" -> Seq(

@@ -106,6 +106,24 @@ class SamplingSpec extends SparkSpec {
     assert(r.map(_.getLong(3)).sum == 2148L)
   }
 
+  test("temperature mix: hand-computed α=0.5 weights, floor-division epoch alloc") {
+    import spark.implicits._
+    // srcA: 4 docs → w = floor(sqrt(4·10⁶)) = 2000
+    // srcB: 1 doc  → w = floor(sqrt(1·10⁶)) = 1000; total_w 3000, docs 5
+    val docsDf = (Seq.fill(4)("srcA") :+ "srcB").zipWithIndex
+      .map { case (s, i) => Doc(i.toLong, "text", "en", s) }.toDF
+    val dir = fixtureDir("documents" -> docsDf)
+    val r = Sampling.temperatureMix(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getLong(4), x.getDouble(5))).toMap
+    assert(r("srcA") == ((4L, 2000L, 2000.0 / 3000, 6666L, (2000.0 / 3000) / 0.8)))
+    assert(r("srcB") == ((1L, 1000L, 1000.0 / 3000, 3333L, (1000.0 / 3000) / 0.2)))
+    // α=0.5 flattens: the head is downweighted (<1), the tail boosted (>1)
+    assert(r("srcA")._5 < 1.0 && r("srcB")._5 > 1.0)
+    // floor division never over-commits the epoch
+    assert(r.values.map(_._4).sum <= Sampling.EPOCH_DOCS)
+  }
+
   test("sequence packing: distributed prefix sum ≡ doc_id-ordered layout") {
     import spark.implicits._
     // 40 docs with varying token counts over the 4 shuffle partitions the

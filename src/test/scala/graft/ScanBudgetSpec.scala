@@ -74,6 +74,17 @@ class ScanBudgetSpec extends SparkSpec {
     assert(counts("q67_asof_attribution") == Map("events" -> 1))
   }
 
+  test("q95 funnel reads events once (layered windows, no per-stage self-join)") {
+    assert(counts("q95_event_funnel") == Map("events" -> 1))
+  }
+
+  test("q97 retention reads events once (window cohort, not the 3-scan join-back)") {
+    // the first cut of this operator joined back to a groupBy of the
+    // same distinct subtree and executed THREE events scans — this pin
+    // is what catches that shape returning
+    assert(counts("q97_retention_cohorts") == Map("events" -> 1))
+  }
+
   test("SCANBUDGET.json pin covers the registry and respects the ceilings") {
     // The exact-count pin (round-9 verdict item 7) is enforced against
     // executed plans by graft.Explain at every full regeneration; this

@@ -1404,6 +1404,85 @@ object Ann {
        |  FROM cos)
        |WHERE rnk <= $TOPK ORDER BY query_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+
+  /** SemDeDup (public: Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * dedup as the composition this module already proves piecewise:
+    * k-means-cluster the corpus embeddings, then WITHIN each cluster
+    * call any pair at cosine ≥ [[NEARDUP_COS]] a semantic duplicate and
+    * greedily keep the lower `vec_id` (q57's drop convention). The
+    * cluster pass is what makes the method linear-ish: candidate pairs
+    * are confined to cells, and the quantizer is the SAME trained model
+    * q85/q91 serve — one artifact drives retrieval AND curation.
+    *
+    * Differences from the SRP path (q47/q88): buckets there are random
+    * hyperplane signs — data-independent, exactness via probes; cells
+    * here are LEARNED, so dup pairs land in one cell except exactly at a
+    * Voronoi boundary (the standard SemDeDup approximation, stated in
+    * the paper; the oracle replays the same cells so the contract is
+    * still exact cross-engine).
+    *
+    * Scale shape: ONE embeddings scan (the [[vecsTag]] cached
+    * projection, shared with training); assignment is a broadcast-
+    * centroid argmin (one row per vector to the cell exchange); the
+    * pair join is cell-keyed with E[occupancy] = n/k held constant by
+    * sizing k via [[ncentroidsFor]] at deploy (k is fixture-pinned to
+    * [[IVF_NCENTROIDS]] here for oracle replayability); a pathological
+    * cell composes with the q88 delegate-cap + rank-chain device. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = graft.Caches.track(vecsTag(dir), embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
+    val cents = trainedCents(spark, dir, vecs)
+    val asg = assignCells(vecs, cents, exactMetric = true)
+      .select($"vec_id", $"embedding", $"cent_id")
+      .withColumn("nrm_dec", dotDec("embedding", "embedding"))
+    val a = asg.select($"cent_id", $"vec_id".as("vec_a"),
+      $"embedding".as("emb_a"), $"nrm_dec".as("nrm_a"))
+    val b = asg.select($"cent_id", $"vec_id".as("vec_b"),
+      $"embedding".as("emb_b"), $"nrm_dec".as("nrm_b"))
+    val dups = a.join(b, Seq("cent_id"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cosine", dotDec("emb_a", "emb_b").cast("double") /
+        (sqrt($"nrm_a".cast("double")) * sqrt($"nrm_b".cast("double"))))
+      .filter($"cosine" >= NEARDUP_COS)
+      .select($"vec_b".as("vec_id")).distinct()
+    asg.select($"vec_id", $"cent_id")
+      .join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .withColumn("keep", $"is_dup".isNull)
+      .select($"vec_id", $"cent_id".cast("long").as("cent_id"), $"keep")
+  }
+
+  private def semDedupOracle: String =
+    s"""WITH $kmeansCtesSql,
+       |${kmeansRoundSql(2, "cel2")},
+       |norms AS (
+       |  SELECT vec_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM el GROUP BY 1),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM asn2 a JOIN asn2 b
+       |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT p.vec_a, p.vec_b, SUM(${prodDec.format("a.x", "e.x")}) AS dot
+       |  FROM p
+       |  JOIN el a ON a.vec_id = p.vec_a
+       |  JOIN el e ON e.vec_id = p.vec_b AND e.i = a.i
+       |  GROUP BY 1, 2),
+       |dups AS (
+       |  SELECT DISTINCT d.vec_b AS vec_id
+       |  FROM dots d
+       |  JOIN norms na ON na.vec_id = d.vec_a
+       |  JOIN norms nb ON nb.vec_id = d.vec_b
+       |  WHERE CAST(dot AS DOUBLE)
+       |          / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+       |        >= $NEARDUP_COS)
+       |SELECT a.vec_id, CAST(a.cent_id AS BIGINT) AS cent_id,
+       |       (u.vec_id IS NULL) AS keep
+       |FROM asn2 a LEFT JOIN dups u USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Seq[Query] = Seq(
@@ -1448,5 +1527,10 @@ object Ann {
       ivfTopKTrained, Some(ivfTrainedOracle(EMBED_DIM)), headline = false),
     Query("q91_ivf_serve_index",
       "maintain→serve: top-k over the cell-partitioned parquet index the StreamingAnn maintain path writes, PartitionFilters-pruned cell reads, full oracle replay",
-      ivfServeFromIndex, Some(indexServeOracle(EMBED_DIM)), headline = false))
+      ivfServeFromIndex, Some(indexServeOracle(EMBED_DIM)), headline = false),
+    Query("q100_semdedup",
+      "SemDeDup: within-trained-cluster cosine dedup verdict over the q85 quantizer, full train+assign+pair oracle replay",
+      (s, d) => semDedup(s, d).orderBy("vec_id"),
+      Some(semDedupOracle), headline = false,
+      benchFn = Some(semDedup)))
 }

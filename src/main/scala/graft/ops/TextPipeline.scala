@@ -1420,6 +1420,217 @@ object TextPipeline {
        |FROM s JOIN df ON df.source = s.source AND df.sh = s.sh
        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+
+  /** Span width for corpus-duplicated-span scrubbing. Longer than
+    * [[SHINGLE_K]] on purpose: near-dup detection wants SENSITIVE grams
+    * (3 tokens) because a single collision only nominates a candidate
+    * that an exact Jaccard then vets; span REMOVAL edits the text
+    * directly on each gram hit, so the gram must be long enough that a
+    * match IS evidence of duplicated material, not vocabulary
+    * coincidence (8 tokens ≈ the fixture's signal knee; production runs
+    * 50-token spans per the exact-substring-dedup literature, a
+    * constant, not a shape change). */
+  val SPAN_K = 8
+
+  /** A span is corpus-duplicated when ≥ this many DISTINCT documents
+    * contain it — the global-corpus twin of [[BOILER_MIN_DOCS]]'s
+    * per-source gate. Within-doc repetition is deliberately excluded
+    * (q64 scores it); cross-doc repetition is what leaks one document's
+    * text into another's training loss. */
+  val SPAN_MIN_DOCS = 2
+
+  /** Corpus-duplicated SPAN REMOVAL — the edit q57/q60 cannot make: a
+    * dedup verdict keeps or drops WHOLE documents, but a mostly-original
+    * document quoting one widely-duplicated passage (a license block, a
+    * boilerplate footer, a viral paragraph) should keep its original
+    * text and lose the passage. Exact-substring dedup at [[SPAN_K]]-gram
+    * grain: a token is covered iff SOME duplicated gram (≥
+    * [[SPAN_MIN_DOCS]] distinct docs) contains it, and the cleaned text
+    * is the uncovered tokens in original order. Output per document:
+    * token/coverage counts, coverage fraction, and the rebuilt
+    * `cleaned_text`.
+    *
+    * Scale shape: ONE documents scan — token stream AND gram starts come
+    * out of a single `transform`+`explode` (pos, tok, gram) projection,
+    * so the corpus text is never read twice. Two exchanges: (1) gram-df
+    * as two window passes over one gram-keyed shuffle (dense_rank +
+    * max = COUNT(DISTINCT doc) without a groupBy+join-back second scan —
+    * the q27/q92 device); non-start rows ride the same exchange under a
+    * per-row sentinel key, so there is no NULL mega-partition to skew a
+    * reducer at corpus scale. (2) coverage as a [[SPAN_K]]-row sliding
+    * `max` over a doc-keyed window — covered(pos) ⇔ a duplicated gram
+    * starts in [pos−K+1, pos] — and the final per-doc aggregation rides
+    * that same exchange's partitioning (no third shuffle). The rebuild
+    * is a per-doc `array_sort`+`array_join`, bounded by document size. */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter($"doc_id".isNotNull)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, size(ws) - 1), i -> struct(" +
+          s"i AS pos, ws[i] AS tok, " +
+          s"IF(i + $SPAN_K <= size(ws), " +
+          s"concat_ws(' ', slice(ws, i + 1, $SPAN_K)), NULL) AS sh))"))
+        .as("t"))
+      .select($"doc_id", $"t.pos".as("pos"), $"t.tok".as("tok"),
+        $"t.sh".as("sh"))
+      // tail positions start no gram; a unique sentinel key keeps them in
+      // the SAME exchange with singleton partitions (sdf = 1, never
+      // covered) instead of one NULL partition holding 2·(K−1)·ndocs rows
+      .withColumn("shk", coalesce($"sh",
+        concat(lit("\u0000"), $"doc_id", lit(":"), $"pos")))
+    val bySh = Window.partitionBy($"shk")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(-(SPAN_K - 1), Window.currentRow)
+    toks
+      .withColumn("dr", dense_rank().over(bySh.orderBy($"doc_id")))
+      .withColumn("sdf", max($"dr").over(bySh))
+      .withColumn("dup_start",
+        when($"sdf" >= SPAN_MIN_DOCS, lit(1)).otherwise(lit(0)))
+      .withColumn("covered", max($"dup_start").over(byDoc))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum($"covered").cast("long").as("n_covered"),
+        array_join(expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN covered = 0 THEN struct(pos, tok) END)), " +
+            "x -> x.tok)"), " ").as("cleaned_text"))
+      .withColumn("cover_frac", $"n_covered".cast("double") / $"n_tokens")
+      .select($"doc_id", $"n_tokens", $"n_covered", $"cover_frac",
+        $"cleaned_text")
+  }
+
+  private def spanScrubOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tok AS (
+       |  SELECT doc_id, i - 1 AS pos, ws[i] AS tok,
+       |         CASE WHEN i + ${SPAN_K - 1} <= len(ws)
+       |              THEN array_to_string(ws[i:i+${SPAN_K - 1}], ' ') END AS sh
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM t)),
+       |df AS (SELECT sh, COUNT(DISTINCT doc_id) AS sdf
+       |       FROM tok WHERE sh IS NOT NULL GROUP BY 1),
+       |m AS (SELECT k.doc_id, k.pos, k.tok,
+       |             CASE WHEN d.sdf >= $SPAN_MIN_DOCS THEN 1 ELSE 0 END
+       |               AS dup_start
+       |      FROM tok k LEFT JOIN df d ON d.sh = k.sh),
+       |c AS (SELECT doc_id, pos, tok,
+       |             MAX(dup_start) OVER (PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN ${SPAN_K - 1} PRECEDING AND CURRENT ROW)
+       |               AS covered
+       |      FROM m)
+       |SELECT doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(covered) AS BIGINT) AS n_covered,
+       |       CAST(SUM(covered) AS DOUBLE) / COUNT(*) AS cover_frac,
+       |       COALESCE(string_agg(tok, ' ' ORDER BY pos)
+       |                  FILTER (WHERE covered = 0), '') AS cleaned_text
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q99
+
+  /** Containment threshold as an exact rational (9/10): the predicate is
+    * `shared / min(|A|,|B|) ≥ 0.9`, evaluated as the INTEGER comparison
+    * `10·shared ≥ 9·min` on both engines. The rational form is not
+    * pedantry — the prefix-filter candidate bound below must
+    * OVER-approximate the final predicate, and `floor((1−0.9)·n)` in
+    * binary floating point under-counts at every multiple of 10
+    * (1−0.9 = 0.09999…8), which would let a qualifying pair slip past
+    * candidate generation and break oracle exactness. */
+  val CONTAIN_NUM = 9
+  val CONTAIN_DEN = 10
+
+  /** Asymmetric CONTAINMENT near-dup — the doc-inside-doc case
+    * [[shingleNearDup]]'s Jaccard cannot see: a short document wholly
+    * quoted inside a long one has Jaccard |A|/|B| ≈ 0 but containment
+    * |A∩B|/min(|A|,|B|) = 1. Pairs are scored over the df-bounded
+    * (df ≤ `maxDf`) shingle sets: shingles hotter than the cap are
+    * template/boilerplate material (q92's subject) and are excluded from
+    * COPYING evidence by design — exactly the exclusion every production
+    * containment dedup makes, and the one that keeps the oracle
+    * replayable (brute force over the same capped sets).
+    *
+    * Candidate generation is the PREFIX FILTER of the similarity-join
+    * literature (public: Chaudhuri et al. ICDE'06; Xiao et al. WWW'08
+    * PPJoin): each doc posts its p = n − ⌈t·n⌉ + 1 smallest-by-hash rare
+    * shingles into the index and probes the FULL rare postings. For any
+    * pair with shared ≥ ⌈t·min⌉, the smaller side A has
+    * |A∖B| ≤ n_A − ⌈t·n_A⌉ < p, so SOME prefix shingle of A lies in
+    * A∩B ⊆ B and the pair meets — for ANY fixed global order, so the
+    * xxhash64 order is a load-balancing choice, not a correctness
+    * assumption. Unlike the bottom-K MinHash sketch (whose collision
+    * odds track JACCARD and so would miss low-Jaccard containment
+    * pairs), the prefix bound is deterministic and containment-complete.
+    *
+    * Scale shape: ONE documents scan — prefix, probe, top-up and size
+    * legs all branch above the one df-window exchange (the q27 device).
+    * Per-doc postings are ≤ (1−t)·n+1 ≈ 10% of the doc, each joining
+    * ≤ maxDf postings of its shingle: candidate volume is
+    * Σ_doc p_doc·(maxDf−1) — hard-linear in the corpus, the same budget
+    * class as q27's sketched path. `shared` then comes from a
+    * candidate-bounded top-up join, never a free rare⋈rare self-join. */
+  def containmentNearDup(spark: SparkSession, dir: String,
+      maxDf: Int = MAX_SHINGLE_DF): DataFrame = {
+    import spark.implicits._
+    val shDf = shingles(spark, dir).withColumn("df",
+      count(lit(1)).over(Window.partitionBy($"sh")))
+    val shRare = shDf.filter($"df" <= maxDf).select($"doc_id", $"sh")
+    val byDoc = Window.partitionBy($"doc_id")
+    val prefix = shRare
+      .withColumn("rnk", row_number().over(
+        byDoc.orderBy(xxhash64($"sh"), $"sh")))
+      .withColumn("nsh", count(lit(1)).over(byDoc))
+      // p = n − ⌈t·n⌉ + 1, all integer: ⌈9n/10⌉ = (9n+9) div 10
+      .filter($"rnk" <= $"nsh" -
+        expr(s"($CONTAIN_NUM * nsh + ${CONTAIN_DEN - 1}) div $CONTAIN_DEN")
+        + lit(1))
+      .select($"doc_id", $"sh")
+    val cand = prefix.select($"doc_id".as("pa"), $"sh")
+      .join(shRare.select($"doc_id".as("pb"), $"sh"), Seq("sh"))
+      .filter($"pa" =!= $"pb")
+      .select(least($"pa", $"pb").as("doc_a"),
+        greatest($"pa", $"pb").as("doc_b"))
+      .distinct()
+    val shared = cand
+      .join(shRare.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+      .join(shRare.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared"))
+    val sizes = shRare.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    shared
+      .join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("na")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"nsh".as("nb")), Seq("doc_b"))
+      .filter(lit(CONTAIN_DEN) * $"shared" >=
+        lit(CONTAIN_NUM) * least($"na", $"nb"))
+      .withColumn("containment",
+        $"shared".cast("double") / least($"na", $"nb"))
+      .select($"doc_a", $"doc_b", $"shared", $"na", $"nb", $"containment")
+  }
+
+  private def containmentOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT DISTINCT doc_id, sh FROM (
+       |        SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+       |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+       |        FROM t WHERE len(ws) >= $SHINGLE_K)),
+       |fr AS (SELECT sh, COUNT(*) AS df FROM s GROUP BY 1),
+       |r AS (SELECT s.doc_id, s.sh FROM s JOIN fr USING (sh)
+       |      WHERE fr.df <= $MAX_SHINGLE_DF),
+       |n AS (SELECT doc_id, COUNT(*) AS nsh FROM r GROUP BY 1),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |      FROM r a JOIN r b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+       |       CAST(na.nsh AS BIGINT) AS na, CAST(nb.nsh AS BIGINT) AS nb,
+       |       CAST(shared AS DOUBLE) / LEAST(na.nsh, nb.nsh) AS containment
+       |FROM p
+       |JOIN n na ON na.doc_id = p.doc_a
+       |JOIN n nb ON nb.doc_id = p.doc_b
+       |WHERE $CONTAIN_DEN * shared >= $CONTAIN_NUM * LEAST(na.nsh, nb.nsh)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- q70
 
   /** Incremental dedup verdict — T1 for curation: the corpus (doc_id <
@@ -1643,6 +1854,18 @@ object TextPipeline {
       (s, d) => sourceBoilerplate(s, d).orderBy("doc_id"),
       Some(sourceBoilerplateOracle), headline = false,
       benchFn = Some(sourceBoilerplate)),
+    Query("q98_span_scrub",
+      "corpus-duplicated span removal: tokens covered by a cross-doc duplicated 8-gram dropped, cleaned text rebuilt",
+      // compare-only orderBy (the q60/q62 convention); bench times the
+      // unordered operator
+      (s, d) => spanScrub(s, d).orderBy("doc_id"),
+      Some(spanScrubOracle), headline = false,
+      benchFn = Some(spanScrub)),
+    Query("q99_containment_neardup",
+      "asymmetric containment near-dup (doc-inside-doc) via prefix-filter candidates, exact over df-capped shingle sets",
+      (s, d) => containmentNearDup(s, d).orderBy("doc_a", "doc_b"),
+      Some(containmentOracle), headline = false,
+      benchFn = Some((s, d) => containmentNearDup(s, d))),
     Query("q49_token_counts",
       "whitespace + BPE-ish regex token counting per document",
       tokenCounts, Some(tokenCountsOracle), headline = false),

@@ -229,6 +229,25 @@ class AnnSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("SemDeDup keeps one representative per planted duplicate family") {
+    // q100 semantics over the planted clusters: each query's two ≈1-cosine
+    // companions land in the query's trained cell and drop (greedy lower-
+    // id-wins keeps the query); the identical filler twins (j, j+8) drop
+    // their higher id; everything else — queries, first-copy fillers —
+    // survives. This is the whole SemDeDup contract: exactly one
+    // representative per semantic family, chosen deterministically.
+    val rows = Ann.semDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(rows.size == 40, s"verdict must cover every vector, got ${rows.size}")
+    val expectedDrop = (16 until 24).map(_.toLong).toSet ++
+      (100 until 116).map(_.toLong).toSet
+    assert(rows.filterNot(_._2).keySet == expectedDrop,
+      s"dropped = ${rows.filterNot(_._2).keySet.toSeq.sorted}")
+    Ann.clearTrainedCache()
+    graft.Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
   test("IVF probes recover the planted companions and rank them first") {
     val top = Ann.ivfTopK(spark, dir)
       .filter($"rnk" <= 2)

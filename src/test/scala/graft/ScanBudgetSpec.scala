@@ -85,6 +85,24 @@ class ScanBudgetSpec extends SparkSpec {
     assert(counts("q97_retention_cohorts") == Map("events" -> 1))
   }
 
+  test("q98 span scrub reads documents once (token+gram single-explode pin)") {
+    // token stream and gram starts both derive from ONE transform+explode
+    // projection — a refactor that splits them into two consumers of the
+    // documents scan re-reads the corpus text and trips this.
+    assert(counts("q98_span_scrub") == Map("documents" -> 1))
+  }
+
+  test("q99 containment reads documents once (prefix/probe/top-up share one exchange)") {
+    assert(counts("q99_containment_neardup") == Map("documents" -> 1))
+  }
+
+  test("q100 semdedup reads embeddings once (shared trained-quantizer projection)") {
+    assert(counts("q100_semdedup") == Map("embeddings" -> 1))
+    ops.Ann.clearTrainedCache()
+    Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
   test("SCANBUDGET.json pin covers the registry and respects the ceilings") {
     // The exact-count pin (round-9 verdict item 7) is enforced against
     // executed plans by graft.Explain at every full regeneration; this

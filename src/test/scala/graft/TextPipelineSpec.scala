@@ -357,6 +357,71 @@ class TextPipelineSpec extends SparkSpec {
     assert(rows(4L)._2 == 0L, "same header, sole copy in its source")
   }
 
+  test("span scrub: only the duplicated span's tokens drop, order kept") {
+    // docs 1/2 share EXACTLY one 8-token passage (P) embedded in
+    // otherwise-unique text; every 8-gram that straddles the passage
+    // boundary contains unique context, so the only duplicated gram is P
+    // itself and coverage must be precisely P's 8 tokens in each doc.
+    val p = (1 to 8).map(i => s"P$i").mkString(" ")
+    val d = fixtureDir("documents" -> Seq(
+      Doc(1, ((1 to 10).map(i => s"a$i") ++ Seq(p) ++
+        (1 to 4).map(i => s"b$i")).mkString(" ")),
+      Doc(2, ((1 to 5).map(i => s"c$i") ++ Seq(p) ++
+        (1 to 6).map(i => s"d$i")).mkString(" ")),
+      Doc(3, (1 to 12).map(i => s"u$i").mkString(" ")), // unique soup
+      Doc(4, "x y"),                                    // shorter than one gram
+      Doc(5, p),                                        // exact 8-token dup pair:
+      Doc(6, p)                                         // fully covered, cleaned = ""
+    ).toDF())
+    val rows = TextPipeline.spanScrub(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(rows(1L) == ((22L, 8L, 8.0 / 22,
+      ((1 to 10).map(i => s"a$i") ++ (1 to 4).map(i => s"b$i")).mkString(" "))))
+    assert(rows(2L) == ((19L, 8L, 8.0 / 19,
+      ((1 to 5).map(i => s"c$i") ++ (1 to 6).map(i => s"d$i")).mkString(" "))))
+    assert(rows(3L) == ((12L, 0L, 0.0, (1 to 12).map(i => s"u$i").mkString(" "))))
+    assert(rows(4L) == ((2L, 0L, 0.0, "x y")), "sub-gram doc untouched")
+    assert(rows(5L) == ((8L, 8L, 1.0, "")), "fully duplicated doc scrubs empty")
+    assert(rows(6L) == ((8L, 8L, 1.0, "")))
+  }
+
+  test("containment near-dup finds the doc-inside-doc pair Jaccard misses") {
+    // doc 2 is an 8-token excerpt of doc 1's 40 tokens: its 6 shingles
+    // are ALL inside doc 1's 38, so containment is exactly 1.0 while
+    // Jaccard is 6/38 ≈ 0.16 — far under q27's 0.8. The containment
+    // operator must emit the pair; the Jaccard operator must not.
+    val big = (1 to 40).map(i => s"u$i").mkString(" ")
+    val excerpt = (5 to 12).map(i => s"u$i").mkString(" ")
+    val d = fixtureDir("documents" -> Seq(
+      Doc(1, big),
+      Doc(2, excerpt),
+      Doc(3, (1 to 12).map(i => s"z$i").mkString(" "))).toDF())
+    val pairs = TextPipeline.containmentNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(pairs.toSeq == Seq((1L, 2L, 6L, 38L, 6L, 1.0)), pairs.mkString(";"))
+    assert(TextPipeline.shingleNearDup(spark, d).count() == 0,
+      "Jaccard at 0.8 must not see the excerpt pair")
+  }
+
+  test("containment boundary: exactly 9/10 shared is kept (integer predicate)") {
+    // doc 4 has exactly 10 shingles; doc 5 shares exactly 9 of them and
+    // min(na, nb) = 10, so containment is exactly 0.9 — the boundary the
+    // rational 10·shared ≥ 9·min predicate must keep, and the case a
+    // floor((1−0.9)·n) floating-point prefix bound would have dropped
+    // from candidate generation at every multiple of 10.
+    val v = (1 to 12).map(i => s"v$i")           // 12 tokens → 10 shingles
+    val d = fixtureDir("documents" -> Seq(
+      Doc(4, v.mkString(" ")),
+      // v1..v11 → 9 shared shingles; w-tail pads nb to 13 ≥ 10
+      Doc(5, (v.init ++ (1 to 4).map(i => s"w$i")).mkString(" "))).toDF())
+    val pairs = TextPipeline.containmentNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(pairs.toSeq == Seq((4L, 5L, 9L, 10L, 13L, 0.9)), pairs.mkString(";"))
+  }
+
   test("malformed sketch-gate override fails with a named diagnosis") {
     // round-11 verdict item 6: the gate knob is the operator's deploy
     // control — a typo'd value must name the knob, not surface a bare

@@ -1052,17 +1052,23 @@ object Ann {
        |  FROM asn$n a JOIN el e USING (vec_id)
        |  GROUP BY 1, 2)""".stripMargin
 
-  /** Shared training prefix: element table + seed cells + both rounds. */
-  private def kmeansCtesSql: String =
+  /** Shared training prefix: element table + seed cells + both rounds.
+    * `seedEnd` is the exclusive upper bound of the seed id range as a
+    * SQL expression — a literal for the fixture-k queries, a sizing-rule
+    * subquery for the sized-k q101. */
+  private def kmeansCtesSqlSeed(seedEnd: String): String =
     s"""el AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |         CAST(unnest(embedding) AS DOUBLE) AS x
        |  FROM embeddings),
        |cel0 AS (
        |  SELECT vec_id AS cent_id, i, x FROM el
-       |  WHERE vec_id >= $NQUERIES AND vec_id < ${NQUERIES + IVF_NCENTROIDS}),
+       |  WHERE vec_id >= $NQUERIES AND vec_id < $seedEnd),
        |${kmeansRoundSql(0, "cel0")},
        |${kmeansRoundSql(1, "cel1")}""".stripMargin
+
+  private def kmeansCtesSql: String =
+    kmeansCtesSqlSeed((NQUERIES + IVF_NCENTROIDS).toString)
 
   private def kmeansOracle: String =
     s"""WITH $kmeansCtesSql
@@ -1165,14 +1171,17 @@ object Ann {
   }
 
   /** The trained coarse quantizer for `dir` (cached; see above). `vecs`
-    * must be the [[vecsTag]] double-lifted projection of `dir`. */
+    * must be the [[vecsTag]] double-lifted projection of `dir`. `k`
+    * sizes the seed set (`vec_id ∈ [NQUERIES, NQUERIES+k)`) — the
+    * default is the fixture-pinned [[IVF_NCENTROIDS]]; [[semDedupAuto]]
+    * passes [[ncentroidsFor]] so cell occupancy tracks corpus size. */
   private def trainedCents(spark: SparkSession, dir: String,
-      vecs: DataFrame): DataFrame = {
+      vecs: DataFrame, k: Int = IVF_NCENTROIDS): DataFrame = {
     import spark.implicits._
-    val key = s"$dir#k=$IVF_NCENTROIDS#iters=$KMEANS_ITERS"
+    val key = s"$dir#k=$k#iters=$KMEANS_ITERS"
     val rows = trainedCache.computeIfAbsent(key, { _ =>
       var cents = vecs
-        .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + IVF_NCENTROIDS)
+        .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + k)
         .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"))
         .withColumn("c_nrm_dec", dotDec("c_emb", "c_emb"))
       for (_ <- 1 to KMEANS_ITERS)
@@ -1429,12 +1438,13 @@ object Ann {
     * sizing k via [[ncentroidsFor]] at deploy (k is fixture-pinned to
     * [[IVF_NCENTROIDS]] here for oracle replayability); a pathological
     * cell composes with the q88 delegate-cap + rank-chain device. */
-  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+  def semDedup(spark: SparkSession, dir: String, dim: Int = EMBED_DIM,
+      k: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val vecs = graft.Caches.track(vecsTag(dir), embeddings(spark, dir)
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
-    val cents = trainedCents(spark, dir, vecs)
+    val cents = trainedCents(spark, dir, vecs, k.getOrElse(IVF_NCENTROIDS))
     val asg = assignCells(vecs, cents, exactMetric = true)
       .select($"vec_id", $"embedding", $"cent_id")
       .withColumn("nrm_dec", dotDec("embedding", "embedding"))
@@ -1442,8 +1452,16 @@ object Ann {
       $"embedding".as("emb_a"), $"nrm_dec".as("nrm_a"))
     val b = asg.select($"cent_id", $"vec_id".as("vec_b"),
       $"embedding".as("emb_b"), $"nrm_dec".as("nrm_b"))
-    val dups = a.join(b, Seq("cent_id"))
-      .filter($"vec_a" < $"vec_b")
+    // double prescreen + margin, decimal only on survivors — the q47/q88
+    // rerank device ([[rerankPairs]]'s shape, restated over the double-
+    // lifted arrays the quantizer path carries: [[dotDbl]] instead of the
+    // float-typed native expression); the final predicate stays
+    // decimal-exact, so the prescreen cannot change the verdict
+    val dups = a.join(b, Seq("cent_id")).filter($"vec_a" < $"vec_b")
+      .withColumn("cos_fast", dotDbl("emb_a", "emb_b") /
+        (sqrt($"nrm_a".cast("double")) * sqrt($"nrm_b".cast("double"))))
+      .filter($"cos_fast" >=
+        lit(NEARDUP_COS) - cosineMargin(dim, $"nrm_a", $"nrm_b"))
       .withColumn("cosine", dotDec("emb_a", "emb_b").cast("double") /
         (sqrt($"nrm_a".cast("double")) * sqrt($"nrm_b".cast("double"))))
       .filter($"cosine" >= NEARDUP_COS)
@@ -1454,8 +1472,36 @@ object Ann {
       .select($"vec_id", $"cent_id".cast("long").as("cent_id"), $"keep")
   }
 
+  /** [[semDedup]] with the quantizer sized to the corpus
+    * ([[ncentroidsFor]]: k ≈ √n, so E[cell occupancy] ≈ √n and the
+    * within-cell pair volume is Σ k·C(n/k,2) ≈ n^1.5/2 instead of the
+    * fixed-k n²/2k) — the deploy shape the scale bench runs, exactly as
+    * q88 is to q47. The count feeding the sizing rule is a parquet-
+    * footer statistic (the q27 gate device). The driver oracle replays
+    * the SAME rule in SQL — `GREATEST(1, LEAST(2^20, round(sqrt(n))))`
+    * over a scalar count subquery — so the sized shape carries its own
+    * end-to-end proof instead of inheriting q100's only at one k. */
+  def semDedupAuto(spark: SparkSession, dir: String,
+      dim: Int = EMBED_DIM): DataFrame = {
+    val n = embeddings(spark, dir).select("vec_id").count()
+    semDedup(spark, dir, dim, Some(ncentroidsFor(n)))
+  }
+
   private def semDedupOracle: String =
-    s"""WITH $kmeansCtesSql,
+    semDedupOracleFrom(kmeansCtesSql)
+
+  /** q101's oracle: identical replay, seeds sized by the SAME rule as
+    * [[ncentroidsFor]] evaluated in SQL over a scalar count subquery
+    * (GREATEST/LEAST mirror the rule's floor and broadcastability cap;
+    * both engines' round-half-up agree on positive values and sqrt is
+    * IEEE-correctly-rounded in both). */
+  private def semDedupAutoOracle: String =
+    semDedupOracleFrom(kmeansCtesSqlSeed(
+      s"$NQUERIES + GREATEST(1, LEAST(${1 << 20}, " +
+        "CAST(round(sqrt((SELECT COUNT(*) FROM embeddings))) AS BIGINT)))"))
+
+  private def semDedupOracleFrom(ctes: String): String =
+    s"""WITH $ctes,
        |${kmeansRoundSql(2, "cel2")},
        |norms AS (
        |  SELECT vec_id, SUM(${prodDec.format("x", "x")}) AS nrm
@@ -1532,5 +1578,10 @@ object Ann {
       "SemDeDup: within-trained-cluster cosine dedup verdict over the q85 quantizer, full train+assign+pair oracle replay",
       (s, d) => semDedup(s, d).orderBy("vec_id"),
       Some(semDedupOracle), headline = false,
-      benchFn = Some(semDedup)))
+      benchFn = Some((s, d) => semDedup(s, d))),
+    Query("q101_semdedup_auto",
+      "SemDeDup with the quantizer sized k≈sqrt(n) — the deploy shape; oracle replays the sizing rule in SQL",
+      (s, d) => semDedupAuto(s, d).orderBy("vec_id"),
+      Some(semDedupAutoOracle), headline = false,
+      benchFn = Some((s, d) => semDedupAuto(s, d))))
 }

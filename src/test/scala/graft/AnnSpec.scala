@@ -248,6 +248,25 @@ class AnnSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("sized-k SemDeDup drops the same planted families under a different quantizer") {
+    // q101 trains k = ncentroidsFor(40) = 6 cells instead of the fixture
+    // 16 — a different clustering, but the PLANTED families are
+    // invariant: identical twins share a cell under ANY centroid set
+    // (identical metric + deterministic tie-break), and each ≈1-cosine
+    // companion rides with its query. The verdict must therefore drop
+    // exactly the same set as the fixed-k q100.
+    val rows = Ann.semDedupAuto(spark, dir, dim = DIM).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(rows.size == 40)
+    val expectedDrop = (16 until 24).map(_.toLong).toSet ++
+      (100 until 116).map(_.toLong).toSet
+    assert(rows.filterNot(_._2).keySet == expectedDrop,
+      s"dropped = ${rows.filterNot(_._2).keySet.toSeq.sorted}")
+    Ann.clearTrainedCache()
+    graft.Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
   test("IVF probes recover the planted companions and rank them first") {
     val top = Ann.ivfTopK(spark, dir)
       .filter($"rnk" <= 2)

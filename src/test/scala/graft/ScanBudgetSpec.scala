@@ -103,6 +103,13 @@ class ScanBudgetSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q101 sized-k semdedup also reads embeddings once") {
+    assert(counts("q101_semdedup_auto") == Map("embeddings" -> 1))
+    ops.Ann.clearTrainedCache()
+    Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
   test("SCANBUDGET.json pin covers the registry and respects the ceilings") {
     // The exact-count pin (round-9 verdict item 7) is enforced against
     // executed plans by graft.Explain at every full regeneration; this

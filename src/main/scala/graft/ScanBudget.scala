@@ -75,7 +75,11 @@ object ScanBudget {
     // design, not that artifact of emptiness.)
     "q88_embedding_neardup_auto" -> Map("embeddings" -> 1),
     "q90_ivf_assignment" -> Map("embeddings" -> 2),
-    "q48_ann_ivf" -> Map("embeddings" -> 3))
+    "q48_ann_ivf" -> Map("embeddings" -> 3),
+    // Evaluation harness: composes the two 2-scan retrieval floors it
+    // compares (q29 exact + q30 approximate) — the comparison itself
+    // adds no scan.
+    "q103_ann_recall" -> Map("embeddings" -> 4))
     // q63s (round-12): the registered twin now executes the fused
     // single-scan SQL, so it rides the default 1-scan budget — the
     // round-10/11 two-scan dialect floor is retired. The oracle's

@@ -1438,6 +1438,35 @@ object Ann {
     * sizing k via [[ncentroidsFor]] at deploy (k is fixture-pinned to
     * [[IVF_NCENTROIDS]] here for oracle replayability); a pathological
     * cell composes with the q88 delegate-cap + rank-chain device. */
+  /** SemDeDup ASSIGNMENT-metric deploy knob — the q83/q90 `exactMetric`
+    * trade surfaced as a runtime control (the sketch-gate precedent):
+    * default true runs the decimal argmin the oracle replays; false runs
+    * the IEEE-double argmin, which at the 100× scale point cuts the
+    * dominant n·k assignment cost (the measured numbers live in
+    * SCALING.md) and can differ only on near-exact metric ties — the
+    * same contract [[graft.streaming.StreamingAnn]]'s ingest ships
+    * under, pinned verdict-identical on the fixture corpus by AnnSpec.
+    * Property `graft.semdedup.exactMetric` / env
+    * `SPARK_GRAFT_SEMDEDUP_EXACT`; malformed values fail with a named
+    * diagnosis, not a bare parse exception. Training itself always runs
+    * decimal — it executes once per (dir, k) and is driver-cached, so
+    * the knob governs the per-run assignment leg only. */
+  private[graft] def semDedupExactMetric: Boolean = {
+    def parse(src: String, v: String): Boolean = v.trim.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"$src = '$other': the semdedup metric knob takes true|false " +
+          "(default true; set via system property " +
+          "graft.semdedup.exactMetric or env SPARK_GRAFT_SEMDEDUP_EXACT)")
+    }
+    sys.props.get("graft.semdedup.exactMetric")
+      .map(parse("system property graft.semdedup.exactMetric", _))
+      .orElse(sys.env.get("SPARK_GRAFT_SEMDEDUP_EXACT")
+        .map(parse("environment variable SPARK_GRAFT_SEMDEDUP_EXACT", _)))
+      .getOrElse(true)
+  }
+
   def semDedup(spark: SparkSession, dir: String, dim: Int = EMBED_DIM,
       k: Option[Int] = None): DataFrame = {
     import spark.implicits._
@@ -1445,7 +1474,7 @@ object Ann {
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
     val cents = trainedCents(spark, dir, vecs, k.getOrElse(IVF_NCENTROIDS))
-    val asg = assignCells(vecs, cents, exactMetric = true)
+    val asg = assignCells(vecs, cents, exactMetric = semDedupExactMetric)
       .select($"vec_id", $"embedding", $"cent_id")
       .withColumn("nrm_dec", dotDec("embedding", "embedding"))
     val a = asg.select($"cent_id", $"vec_id".as("vec_a"),
@@ -1529,6 +1558,49 @@ object Ann {
        |FROM asn2 a LEFT JOIN dups u USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+
+  /** Retrieval-quality EVALUATION harness: per-query recall@k of the
+    * SRP-LSH approximate path ([[lshTopK]]) against the exact brute
+    * force ([[bruteForceTopK]]) — the metric every ANN trade-off in this
+    * module (planes, probes, occCap, nprobe) is argued with, as a
+    * first-class operator instead of a by-hand SCALING.md computation. A
+    * production pipeline runs exactly this after any index change:
+    * ground truth on a sampled query set, approximate path under test,
+    * per-query hit counts. Both legs are deterministic and fully
+    * DuckDB-replayable, so the EVALUATION itself carries an exact
+    * oracle — the judge of the approximation is not itself approximate.
+    *
+    * Scale shape: both legs are the already-audited retrieval plans
+    * (broadcast query set, bounded candidates); the comparison joins two
+    * k·|Q|-row outputs on (query_id, neighbor_id) — evaluation cost is
+    * output-sized, never corpus-sized. The 4-scan budget is the two
+    * composed 2-scan retrieval floors, stated in [[ScanBudget]]. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = bruteForceTopK(spark, dir)
+      .select($"query_id", $"neighbor_id")
+    val approx = lshTopK(spark, dir)
+      .select($"query_id", $"neighbor_id", lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        count($"hit").cast("long").as("n_hit"))
+      .withColumn("recall", $"n_hit".cast("double") / $"n_exact")
+      .select($"query_id", $"n_exact", $"n_hit", $"recall")
+  }
+
+  private def annRecallOracle: String =
+    s"""WITH bf AS ($bruteForceOracle),
+       |ap AS (${lshOracle(EMBED_DIM)})
+       |SELECT b.query_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       |       CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+       |FROM bf b LEFT JOIN ap a
+       |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Seq[Query] = Seq(
@@ -1583,5 +1655,10 @@ object Ann {
       "SemDeDup with the quantizer sized k≈sqrt(n) — the deploy shape; oracle replays the sizing rule in SQL",
       (s, d) => semDedupAuto(s, d).orderBy("vec_id"),
       Some(semDedupAutoOracle), headline = false,
-      benchFn = Some((s, d) => semDedupAuto(s, d))))
+      benchFn = Some((s, d) => semDedupAuto(s, d))),
+    Query("q103_ann_recall",
+      "recall@k evaluation of the SRP-LSH path against exact brute force — the ANN quality harness, exact oracle",
+      (s, d) => annRecall(s, d).orderBy("query_id"),
+      Some(annRecallOracle), headline = false,
+      benchFn = Some(annRecall)))
 }

@@ -1529,6 +1529,88 @@ object TextPipeline {
        |                  FILTER (WHERE covered = 0), '') AS cleaned_text
        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+
+  /** WITHIN-document span dedup — [[spanScrub]]'s twin for the other
+    * half of the exact-substring-dedup recipe: a gram repeated INSIDE
+    * one document (navigation chrome pasted twice, tandem boilerplate,
+    * copy-paste stutter) keeps its FIRST occurrence and loses the rest —
+    * q64 SCORES this repetition, this operator performs the edit. A
+    * start is duplicated when the same [[SPAN_K]]-gram already occurred
+    * earlier in the document (occurrence rank ≥ 2 by position), so the
+    * earliest copy always survives; coverage and text rebuild are
+    * exactly q98's. Tandem repeats collapse to one copy ("x y z x y z
+    * x y z" keeps "x y z"); self-overlapping runs keep their first
+    * uncovered prefix ("a"×N keeps "a") — deterministic by position.
+    *
+    * Scale shape: the whole plan rides ONE doc-keyed exchange — unlike
+    * q98's cross-doc df, no gram ever needs to meet its copies from
+    * OTHER documents, so the explicit `repartition(doc_id)` satisfies
+    * the occurrence-rank window's (doc_id, sh) clustering (hash(doc_id)
+    * co-locates a superset), the coverage window's (doc_id), AND the
+    * final aggregation: one shuffle, two sorts, no NULL-key skew
+    * (tail rows group within their own document). */
+  def spanScrubWithin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter($"doc_id".isNotNull)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, size(ws) - 1), i -> struct(" +
+          s"i AS pos, ws[i] AS tok, " +
+          s"IF(i + $SPAN_K <= size(ws), " +
+          s"concat_ws(' ', slice(ws, i + 1, $SPAN_K)), NULL) AS sh))"))
+        .as("t"))
+      .select($"doc_id", $"t.pos".as("pos"), $"t.tok".as("tok"),
+        $"t.sh".as("sh"))
+      .repartition($"doc_id")
+    val byOcc = Window.partitionBy($"doc_id", $"sh").orderBy($"pos")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(-(SPAN_K - 1), Window.currentRow)
+    toks
+      .withColumn("dup_start",
+        when($"sh".isNotNull && row_number().over(byOcc) >= 2, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("covered", max($"dup_start").over(byDoc))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum($"covered").cast("long").as("n_covered"),
+        array_join(expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN covered = 0 THEN struct(pos, tok) END)), " +
+            "x -> x.tok)"), " ").as("cleaned_text"))
+      .withColumn("cover_frac", $"n_covered".cast("double") / $"n_tokens")
+      .select($"doc_id", $"n_tokens", $"n_covered", $"cover_frac",
+        $"cleaned_text")
+  }
+
+  private def spanScrubWithinOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tok AS (
+       |  SELECT doc_id, i - 1 AS pos, ws[i] AS tok,
+       |         CASE WHEN i + ${SPAN_K - 1} <= len(ws)
+       |              THEN array_to_string(ws[i:i+${SPAN_K - 1}], ' ') END AS sh
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM t)),
+       |m AS (SELECT doc_id, pos, tok,
+       |             CASE WHEN sh IS NOT NULL AND
+       |                       ROW_NUMBER() OVER (PARTITION BY doc_id, sh
+       |                                          ORDER BY pos) >= 2
+       |                  THEN 1 ELSE 0 END AS dup_start
+       |      FROM tok),
+       |c AS (SELECT doc_id, pos, tok,
+       |             MAX(dup_start) OVER (PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN ${SPAN_K - 1} PRECEDING AND CURRENT ROW)
+       |               AS covered
+       |      FROM m)
+       |SELECT doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(covered) AS BIGINT) AS n_covered,
+       |       CAST(SUM(covered) AS DOUBLE) / COUNT(*) AS cover_frac,
+       |       COALESCE(string_agg(tok, ' ' ORDER BY pos)
+       |                  FILTER (WHERE covered = 0), '') AS cleaned_text
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q99
 
   /** Containment threshold as an exact rational (9/10): the predicate is
@@ -1866,6 +1948,11 @@ object TextPipeline {
       (s, d) => containmentNearDup(s, d).orderBy("doc_a", "doc_b"),
       Some(containmentOracle), headline = false,
       benchFn = Some((s, d) => containmentNearDup(s, d))),
+    Query("q102_span_scrub_within",
+      "within-doc span dedup: repeated 8-grams keep their first occurrence, later copies scrubbed, text rebuilt",
+      (s, d) => spanScrubWithin(s, d).orderBy("doc_id"),
+      Some(spanScrubWithinOracle), headline = false,
+      benchFn = Some(spanScrubWithin)),
     Query("q49_token_counts",
       "whitespace + BPE-ish regex token counting per document",
       tokenCounts, Some(tokenCountsOracle), headline = false),

@@ -267,6 +267,44 @@ class AnnSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semdedup metric knob: double leg matches decimal, malformed value diagnosed") {
+    // The deploy knob can flip the assignment to IEEE doubles; on the
+    // fixture (well-separated planted clusters — no near-exact metric
+    // ties) the verdict must be identical to the decimal leg, and a
+    // typo'd value must name the knob.
+    def verdict() = Ann.semDedup(spark, dir, dim = DIM).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val dec = verdict()
+    System.setProperty("graft.semdedup.exactMetric", "false")
+    try assert(verdict() == dec, "double-metric verdict must match decimal")
+    finally System.clearProperty("graft.semdedup.exactMetric")
+    System.setProperty("graft.semdedup.exactMetric", "maybe")
+    try {
+      val e = intercept[IllegalArgumentException](Ann.semDedupExactMetric)
+      assert(e.getMessage.contains("graft.semdedup.exactMetric")
+        && e.getMessage.contains("maybe"), e.getMessage)
+    } finally System.clearProperty("graft.semdedup.exactMetric")
+    Ann.clearTrainedCache()
+    graft.Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
+  test("ANN recall harness: per-query recall@k with the companions always hit") {
+    // The LSH-recall test above proves the companions survive the
+    // approximate path; the recall harness must therefore report
+    // n_hit ≥ 2 of n_exact = 10 for every query, with recall the exact
+    // ratio — and never exceed 1 (the join can only count ground-truth
+    // rows once).
+    val rows = Ann.annRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 8)
+    rows.foreach { case (q, nExact, nHit, recall) =>
+      assert(nExact == 10L, s"query $q ground truth must be top-10")
+      assert(nHit >= 2L, s"query $q lost a planted companion")
+      assert(recall == nHit.toDouble / nExact && recall <= 1.0)
+    }
+  }
+
   test("IVF probes recover the planted companions and rank them first") {
     val top = Ann.ivfTopK(spark, dir)
       .filter($"rnk" <= 2)

@@ -110,6 +110,10 @@ class ScanBudgetSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q102 within-doc scrub reads documents once (single doc-keyed exchange)") {
+    assert(counts("q102_span_scrub_within") == Map("documents" -> 1))
+  }
+
   test("SCANBUDGET.json pin covers the registry and respects the ceilings") {
     // The exact-count pin (round-9 verdict item 7) is enforced against
     // executed plans by graft.Explain at every full regeneration; this

@@ -386,6 +386,29 @@ class TextPipelineSpec extends SparkSpec {
     assert(rows(6L) == ((8L, 8L, 1.0, "")))
   }
 
+  test("within-doc span scrub keeps the first copy, ignores cross-doc repeats") {
+    val p = (1 to 8).map(i => s"P$i").mkString(" ")
+    val d = fixtureDir("documents" -> Seq(
+      // p pasted twice inside one doc: second copy scrubs, first stays
+      Doc(10, s"$p mid1 mid2 $p"),
+      Doc(11, (1 to 12).map(i => s"u$i").mkString(" ")), // unique soup
+      // tandem self-overlap: "a"×10 → every later gram is a repeat of
+      // the pos-0 gram; only the first token survives
+      Doc(12, Seq.fill(10)("a").mkString(" ")),
+      // contains p ONCE — a cross-doc duplicate of doc 10's passage, but
+      // no within-doc repeat: q102 must leave it whole (q98's job, not
+      // this operator's)
+      Doc(13, ((1 to 5).map(i => s"c$i") :+ p).mkString(" "))).toDF())
+    val rows = TextPipeline.spanScrubWithin(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(rows(10L) == ((18L, 8L, s"$p mid1 mid2")), rows(10L).toString)
+    assert(rows(11L) == ((12L, 0L, (1 to 12).map(i => s"u$i").mkString(" "))))
+    assert(rows(12L) == ((10L, 9L, "a")), rows(12L).toString)
+    assert(rows(13L) == ((13L, 0L, ((1 to 5).map(i => s"c$i") :+ p).mkString(" "))),
+      "single within-doc occurrence must not scrub")
+  }
+
   test("containment near-dup finds the doc-inside-doc pair Jaccard misses") {
     // doc 2 is an 8-token excerpt of doc 1's 40 tokens: its 6 shingles
     // are ALL inside doc 1's 38, so containment is exactly 1.0 while

@@ -1810,6 +1810,152 @@ object TextPipeline {
        |WHERE CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+
+  /** One live temp index dir per JVM (the q91 lifecycle: previous dir
+    * deleted on the next invocation, last one on JVM exit). */
+  private val liveIdxDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private lazy val idxReaper: Unit = {
+    sys.addShutdownHook(Option(liveIdxDir.get).foreach(deleteLocalDir))
+    ()
+  }
+  private def deleteLocalDir(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+  private def nextIdxDir(): String = {
+    idxReaper
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_q104_index").toString
+    Option(liveIdxDir.getAndSet(d)).foreach(deleteLocalDir)
+    d
+  }
+
+  /** Incremental containment-index maintenance — T1 for the INVERTED
+    * INDEX, the way q70 is T1 for the dedup VERDICT and q91 for the ANN
+    * index: the corpus (doc_id < split) has a persisted posting index
+    * (postings + per-shingle df + per-doc rare-set size — written here
+    * to a temp dir because the testdata has no side store; a production
+    * pipeline owns this artifact across increments); a NEW BATCH
+    * (doc_id ≥ split) arrives and every q99-semantics containment pair
+    * INVOLVING a batch document is emitted WITHOUT re-reading or
+    * re-exploding the corpus text.
+    *
+    * The non-monotone hazard, handled exactly: batch postings can push a
+    * stored shingle's df over `maxDf`, FLIPPING it hot — which shrinks
+    * the rare-set size of every corpus document containing it. The
+    * stored per-doc size is therefore corrected, not trusted:
+    * na′(doc) = n_rare_stored(doc) − |{sh ∈ doc : df_stored ≤ maxDf <
+    * df′}|, where the correction term touches only flipped shingles —
+    * a batch-bounded set (df only grows through the batch) — so the
+    * increment equals the full recompute restricted to batch pairs,
+    * which is exactly what the oracle states.
+    *
+    * Scale shape: the corpus text is NEVER rescanned — one batch text
+    * scan plus sh-equi probes into the posting/df artifacts (bucket the
+    * index by `sh` at deploy and the probes prune to batch shingles);
+    * candidate volume is bounded by Σ_batch-posting df′ ≤ maxDf each;
+    * the flip correction reads ≤ |batch shingles|·maxDf stored
+    * postings; every join is batch-keyed or pair-keyed. The split is a
+    * data-derived checkpoint (max·4/5, the q70 device) taken as a
+    * planning input — a production increment inlines its checkpoint
+    * id. */
+  def containmentIncrement(spark: SparkSession, dir: String,
+      maxDf: Int = MAX_SHINGLE_DF): DataFrame = {
+    import spark.implicits._
+    val split = docs(spark, dir)
+      .agg(expr("max(doc_id) * 4 div 5")).head().getLong(0)
+    val sh = shingles(spark, dir)
+    // ---- index build: ONE corpus-text scan, then index-derived stats
+    val idx = nextIdxDir()
+    sh.filter($"doc_id" < split)
+      .write.mode("overwrite").parquet(s"$idx/postings")
+    val post0 = spark.read.parquet(s"$idx/postings")
+    post0.groupBy($"sh").agg(count(lit(1)).as("df_s"))
+      .write.mode("overwrite").parquet(s"$idx/df")
+    val df0 = spark.read.parquet(s"$idx/df")
+    post0.join(df0.filter($"df_s" <= maxDf), Seq("sh"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_rare"))
+      .write.mode("overwrite").parquet(s"$idx/n_rare")
+    val postS = spark.read.parquet(s"$idx/postings")
+    val dfS = spark.read.parquet(s"$idx/df")
+    val nrS = spark.read.parquet(s"$idx/n_rare")
+    // ---- the increment: batch text + index probes only
+    val batchPost = sh.filter($"doc_id" >= split)
+    val dfAll = batchPost.groupBy($"sh").agg(count(lit(1)).as("df_b"))
+      .join(dfS, Seq("sh"), "left")
+      .withColumn("df_all", $"df_b" + coalesce($"df_s", lit(0L)))
+    val batchRare = batchPost
+      .join(dfAll.filter($"df_all" <= maxDf).select($"sh"), Seq("sh"))
+    val nb = batchRare.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    // flipped: stored-rare shingles the batch pushed hot
+    val flipped = dfAll
+      .filter($"df_all" > maxDf && $"df_s".isNotNull && $"df_s" <= maxDf)
+      .select($"sh")
+    val naCorpus = nrS
+      .join(postS.join(flipped, Seq("sh"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_flip")),
+        Seq("doc_id"), "left")
+      .select($"doc_id",
+        ($"n_rare" - coalesce($"n_flip", lit(0L))).as("nsh"))
+    // corpus×batch: every shared shingle of such a pair is a batch
+    // shingle, and a joined shingle's ONE global df′ is ≤ maxDf by the
+    // batchRare filter — so the unfiltered stored-posting side still
+    // counts exactly |rare′(A) ∩ rare′(B)|
+    val cb = batchRare.select($"doc_id".as("doc_b"), $"sh")
+      .join(postS.select($"doc_id".as("doc_a"), $"sh"), Seq("sh"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+    val bb = batchRare.select($"doc_id".as("pa"), $"sh")
+      .join(batchRare.select($"doc_id".as("pb"), $"sh"), Seq("sh"))
+      .filter($"pa" < $"pb")
+      .select($"pa".as("doc_a"), $"pb".as("doc_b"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+    // corpus ids < split ≤ batch ids, so the size tables are disjoint
+    val sizes = naCorpus.unionByName(nb)
+    cb.unionByName(bb)
+      .join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("na")),
+        Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"nsh".as("nb")),
+        Seq("doc_b"))
+      .filter(lit(CONTAIN_DEN) * $"shared" >=
+        lit(CONTAIN_NUM) * least($"na", $"nb"))
+      .withColumn("containment",
+        $"shared".cast("double") / least($"na", $"nb"))
+      .select($"doc_a", $"doc_b", $"shared", $"na", $"nb", $"containment")
+  }
+
+  /** Oracle for q104: the FULL q99 recompute restricted to pairs whose
+    * drop side is in the new batch — increment ≡ full is the contract. */
+  private def containmentIncrementOracle =
+    s"""WITH split AS (SELECT MAX(doc_id) * 4 // 5 AS split_id FROM documents),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT DISTINCT doc_id, sh FROM (
+       |        SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+       |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+       |        FROM t WHERE len(ws) >= $SHINGLE_K)),
+       |fr AS (SELECT sh, COUNT(*) AS df FROM s GROUP BY 1),
+       |r AS (SELECT s.doc_id, s.sh FROM s JOIN fr USING (sh)
+       |      WHERE fr.df <= $MAX_SHINGLE_DF),
+       |n AS (SELECT doc_id, COUNT(*) AS nsh FROM r GROUP BY 1),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |      FROM r a JOIN r b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+       |       CAST(na.nsh AS BIGINT) AS na, CAST(nb.nsh AS BIGINT) AS nb,
+       |       CAST(shared AS DOUBLE) / LEAST(na.nsh, nb.nsh) AS containment
+       |FROM p
+       |JOIN n na ON na.doc_id = p.doc_a
+       |JOIN n nb ON nb.doc_id = p.doc_b
+       |WHERE $CONTAIN_DEN * shared >= $CONTAIN_NUM * LEAST(na.nsh, nb.nsh)
+       |  AND doc_b >= (SELECT split_id FROM split)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- q28
 
   /** MinHash signature width and banding: 64 hashes in 16 bands of 4.
@@ -1948,6 +2094,11 @@ object TextPipeline {
       (s, d) => containmentNearDup(s, d).orderBy("doc_a", "doc_b"),
       Some(containmentOracle), headline = false,
       benchFn = Some((s, d) => containmentNearDup(s, d))),
+    Query("q104_containment_index_increment",
+      "incremental containment pairs for a new batch served from the persisted posting index — corpus text never rescanned",
+      (s, d) => containmentIncrement(s, d).orderBy("doc_a", "doc_b"),
+      Some(containmentIncrementOracle), headline = false,
+      benchFn = Some((s, d) => containmentIncrement(s, d))),
     Query("q102_span_scrub_within",
       "within-doc span dedup: repeated 8-grams keep their first occurrence, later copies scrubbed, text rebuilt",
       (s, d) => spanScrubWithin(s, d).orderBy("doc_id"),

@@ -114,6 +114,13 @@ class ScanBudgetSpec extends SparkSpec {
     assert(counts("q102_span_scrub_within") == Map("documents" -> 1))
   }
 
+  test("q104 index increment scans documents once (batch leg only; corpus via index)") {
+    // the corpus text must come back from the persisted posting index —
+    // a second documents scan here means the increment re-read the
+    // corpus, the exact cost the operator exists to avoid
+    assert(counts("q104_containment_index_increment") == Map("documents" -> 1))
+  }
+
   test("SCANBUDGET.json pin covers the registry and respects the ceilings") {
     // The exact-count pin (round-9 verdict item 7) is enforced against
     // executed plans by graft.Explain at every full regeneration; this

@@ -428,6 +428,32 @@ class TextPipelineSpec extends SparkSpec {
       "Jaccard at 0.8 must not see the excerpt pair")
   }
 
+  test("containment index increment corrects stored sizes when the batch flips a shingle hot") {
+    // maxDf = 2. Corpus (ids < 8): doc 1 has shingles {S, A1..A10}
+    // (11 rare stored); doc 2 is a second copy of S (df_s(S) = 2, still
+    // rare). Batch doc 8 carries S a third time → df′(S) = 3 > 2: S
+    // flips hot, so na′(1) = 10 and na′(2) = 0. Batch doc 9 shares
+    // exactly A1..A9 with doc 1 and pads to nb = 13, so min = na′(1):
+    // corrected, 10·9 ≥ 9·10 holds and (1, 9) is emitted at exactly 0.9
+    // — a stale stored size (11) would compare 90 ≥ 99 and MISS the
+    // pair. This is the non-monotone hazard the operator exists to
+    // handle; the q70-style monotone cases ride the same plan.
+    val w = (1 to 13).map(i => s"w$i")
+    val d = fixtureDir("documents" -> Seq(
+      Doc(1, w.mkString(" ")),                      // S + A1..A10
+      Doc(2, w.take(3).mkString(" ")),              // S alone
+      Doc(3, (1 to 9).map(i => s"z$i").mkString(" ")), // corpus filler
+      Doc(8, (w.take(3) ++ Seq("x1", "x2", "x3")).mkString(" ")), // flips S
+      Doc(9, (w.slice(1, 12) ++ (1 to 4).map(i => s"y$i")).mkString(" ")),
+      Doc(10, (1 to 9).map(i => s"q$i").mkString(" "))). // batch filler
+      toDF())
+    val rows = TextPipeline.containmentIncrement(spark, d, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq((1L, 9L, 9L, 10L, 13L, 0.9)),
+      rows.mkString(";"))
+  }
+
   test("containment boundary: exactly 9/10 shared is kept (integer predicate)") {
     // doc 4 has exactly 10 shingles; doc 5 shares exactly 9 of them and
     // min(na, nb) = 10, so containment is exactly 0.9 — the boundary the

@@ -79,7 +79,12 @@ object ScanBudget {
     // Evaluation harness: composes the two 2-scan retrieval floors it
     // compares (q29 exact + q30 approximate) — the comparison itself
     // adds no scan.
-    "q103_ann_recall" -> Map("embeddings" -> 4))
+    "q103_ann_recall" -> Map("embeddings" -> 4),
+    // Vocabulary coverage: train-the-vocab pass + score-the-corpus pass —
+    // the honest tokenizer-build shape (the vocab artifact is V rows and
+    // broadcast back; persisting the corpus-sized occurrence stream to
+    // save the second pass would cost more than it saves at scale).
+    "q107_vocab_coverage" -> Map("documents" -> 2))
     // q63s (round-12): the registered twin now executes the fused
     // single-scan SQL, so it rides the default 1-scan budget — the
     // round-10/11 two-scan dialect floor is retired. The oracle's

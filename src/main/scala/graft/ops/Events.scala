@@ -384,6 +384,76 @@ object Events {
       |GROUP BY 1, 2, s.cohort_size
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+
+  /** Within-session event-type transition matrix — the first-order Markov
+    * view of user behavior (what follows what), the behavioral-analytics
+    * twin of q95's fixed funnel: every adjacent pair inside a session
+    * (q66's boundaries: same user, gap ≤ 30 min, (ts, event_id) order)
+    * counts one (from_type, to_type) transition; `share` is each cell's
+    * exact fraction of all transitions.
+    *
+    * 100 TB shape: the SAME single user-keyed exchange as q66 — session
+    * index, the lead() pair, and the boundary filter all ride the one
+    * per-user window stack; the transition agg collapses to |types|² ≤ 25
+    * rows, so the global share window runs over a dimension-sized frame
+    * (one tiny task), never over event-sized data. */
+  def sessionTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val order = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type",
+        (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(order))
+          .as("gap_us"))
+      .withColumn("session_idx",
+        sum(when($"gap_us".isNull || $"gap_us" > SESSION_GAP_US, 1)
+          .otherwise(0)).over(run).cast("long"))
+      .withColumn("to_type", lead($"event_type", 1).over(order))
+      .withColumn("to_session", lead($"session_idx", 1).over(order))
+    val cells = tagged
+      .filter($"to_type".isNotNull && $"to_session" === $"session_idx")
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).cast("long").as("transitions"))
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("share",
+        $"transitions".cast("double") / sum($"transitions").over(all))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  private val transitionsOracle =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), si AS (
+       |  SELECT *,
+       |         SUM(CASE WHEN gap_us IS NULL OR gap_us > $SESSION_GAP_US
+       |                  THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS session_idx
+       |  FROM e
+       |), s AS (
+       |  SELECT *,
+       |         LEAD(event_type) OVER w AS to_type,
+       |         LEAD(session_idx) OVER w AS to_session
+       |  FROM si
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), c AS (
+       |  SELECT event_type AS from_type, to_type,
+       |         CAST(COUNT(*) AS BIGINT) AS transitions
+       |  FROM s
+       |  WHERE to_type IS NOT NULL AND to_session = session_idx
+       |  GROUP BY 1, 2
+       |)
+       |SELECT from_type, to_type, transitions,
+       |       CAST(transitions AS DOUBLE) / SUM(transitions) OVER () AS share
+       |FROM c ORDER BY from_type, to_type""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q66_sessionization",
       "gap-based sessions per user (30 min), one shuffle + per-user windows",
@@ -402,5 +472,8 @@ object Events {
       eventFunnel, Some(funnelOracle), headline = false),
     Query("q97_retention_cohorts",
       "weekly retention cohort table: first-event ISO-week cohorts × week offset, exact counts + rates",
-      retentionCohorts, Some(retentionOracle), headline = false))
+      retentionCohorts, Some(retentionOracle), headline = false),
+    Query("q109_session_transitions",
+      "within-session event-type transition matrix (first-order Markov counts + exact shares)",
+      sessionTransitions, Some(transitionsOracle), headline = false))
 }

@@ -430,6 +430,71 @@ object Sampling {
        |         / (CAST(n_docs AS DOUBLE) / total_docs) AS upweight
        |FROM w, t ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+
+  /** Output shard count for the training-order shuffle. 16 against the
+    * fixture; a deploy sets this ≥ cluster write parallelism (e.g. 4096 at
+    * 100 TB) — shards are independent, so the constant trades file count
+    * against per-shard task size, nothing else. */
+  val N_SHARDS = 16L
+
+  /** Salt pinning shuffle order independent of every other hash use. */
+  val SHUFFLE_SALT = "graft-shuffle:"
+
+  /** Deterministic global training shuffle + shard packing — the step
+    * between curation and the data loader: every document gets a shard, a
+    * position within the shard, and its exclusive token offset, all pure
+    * functions of doc_id. `rand()`-free: the order is the md5 keyspace
+    * order, so a re-run, an incremental append, or a different cluster
+    * produces the SAME training order (and a loader can seek any (shard,
+    * offset) reproducibly).
+    *
+    * 100 TB shape: one projection computes (key, shard, n_tokens); ONE
+    * exchange keys by shard; position and token offset are per-shard
+    * windows — each shard is one reducer's ordered stream, and shard
+    * count is the parallelism knob (see [[N_SHARDS]]). A shard too big
+    * for one reducer swaps the window for [[Scale.prefixSum]]'s two-pass
+    * form (the q08/q94 precedent) — contract unchanged. */
+  def trainingShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = docs(spark, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("shuffle_key", Dx.hashKey(SHUFFLE_SALT, $"doc_id"))
+      .withColumn("shard", pmod($"shuffle_key", lit(N_SHARDS)).cast("long"))
+    val order = Window.partitionBy($"shard")
+      .orderBy($"shuffle_key", $"doc_id")
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("pos", (row_number().over(order) - 1).cast("long"))
+      .withColumn("token_offset",
+        (sum($"n_tokens").over(run) - $"n_tokens").cast("long"))
+      .select($"doc_id", $"shard", $"pos", $"n_tokens", $"token_offset")
+      .orderBy($"shard", $"pos")
+  }
+
+  private val trainingShuffleOracle = {
+    val hex = Dx.sqlHex2Long(
+      s"md5('$SHUFFLE_SALT' || CAST(doc_id AS VARCHAR))", 8)
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         $hex AS shuffle_key,
+       |         CAST($hex % $N_SHARDS AS BIGINT) AS shard
+       |  FROM documents
+       |)
+       |SELECT doc_id, shard,
+       |       CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS pos,
+       |       n_tokens,
+       |       CAST(SUM(n_tokens) OVER (PARTITION BY shard
+       |              ORDER BY shuffle_key, doc_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            - n_tokens AS BIGINT) AS token_offset
+       |FROM k
+       |WINDOW w AS (PARTITION BY shard ORDER BY shuffle_key, doc_id)
+       |ORDER BY shard, pos""".stripMargin
+  }
+
   val all: Seq[Query] = Seq(
     Query("q65_stratified_sample",
       "deterministic md5-threshold stratified sample per language stratum",
@@ -456,5 +521,8 @@ object Sampling {
       sequencePacking, Some(packingOracle), headline = false),
     Query("q96_temperature_mix",
       "α=0.5 temperature-flattened source mix via exact integer-sqrt weights + floor-division epoch allocation",
-      temperatureMix, Some(temperatureOracle), headline = false))
+      temperatureMix, Some(temperatureOracle), headline = false),
+    Query("q105_training_shuffle",
+      "deterministic md5-order training shuffle: shard + position + exclusive token offset per document",
+      trainingShuffle, Some(trainingShuffleOracle), headline = false))
 }

@@ -246,6 +246,230 @@ object Terms {
        |         AS chunk_tokens
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+
+  /** Collocation extraction floor and result width: pairs seen fewer than
+    * [[COLLOC_MIN_PAIR]] times carry no statistical signal (and at 100 TB
+    * the floor is what keeps the scored pair table vocabulary-sized, not
+    * corpus-sized); [[COLLOC_TOP_K]] bounds the ranked output. */
+  val COLLOC_MIN_PAIR = 10L
+  val COLLOC_TOP_K = 50
+
+  /** Top bigram collocations by pointwise lift — the vocabulary/tokenizer-
+    * prep step that surfaces multi-word units worth merging. Score is the
+    * PMI argument WITHOUT the log: lift = N·c(ab) / (c(a)·c(b)) (N = total
+    * bigrams; c(·) = token occurrences). The log is monotone, so the
+    * RANKING is exactly PMI's, and skipping it keeps the score a pinned
+    * left-associated double chain (`CAST(N AS DOUBLE) * c_ab / c_a / c_b`)
+    * both engines evaluate bit-identically — no libm in the plan.
+    *
+    * 100 TB shape: one corpus scan fans into the unigram+bigram gram
+    * stream (the q64 single-explode trick); counts shuffle keyed by gram;
+    * the min-count filter collapses the pair table to signal-bearing pairs
+    * BEFORE the marginal joins; N rides a 1-row broadcast; the final
+    * top-K is `orderBy.limit` ⇒ TakeOrderedAndProject (per-partition
+    * heaps + driver merge of K rows, never a global sort). */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir).select(split($"text", " ").as("l"))
+    // One explode carries unigrams (n=1, w2='') and bigrams (n=2).
+    val grams = toks.select(explode(concat(
+      expr("transform(l, w -> struct(1 as n, w as w1, '' as w2))"),
+      when(size($"l") >= 2, expr(
+        """transform(sequence(1, size(l)-1),
+          |  i -> struct(2 as n, element_at(l, i) as w1,
+          |              element_at(l, i+1) as w2))""".stripMargin))
+        .otherwise(expr("array()")))).as("g"))
+      .select($"g.n", $"g.w1", $"g.w2")
+    // Persisted at GRAM grain (distinct unigrams+bigrams with counts —
+    // vocabulary-sized, ≪ the occurrence stream): three consumers (pair
+    // counts, marginals, N) branch here, and without the cache their
+    // differing column pruning defeats AQE stage reuse and the corpus is
+    // scanned three times (measured; the Scale.prefixSum precedent and
+    // cache-lifetime contract — the harness mains clear the cache per
+    // query).
+    val cnt = grams.groupBy($"n", $"w1", $"w2")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .persist()
+    val uni = cnt.filter($"n" === 1)
+      .select($"w1".as("term"), $"c".as("uc"))
+    val pairs = cnt.filter($"n" === 2 && $"c" >= COLLOC_MIN_PAIR)
+      .select($"w1", $"w2", $"c".as("pair_count"))
+    val nBigrams = cnt.filter($"n" === 2)
+      .agg(sum($"c").cast("long").as("n_bigrams"))
+    pairs
+      .join(uni.select($"term".as("w1"), $"uc".as("c1")), Seq("w1"))
+      .join(uni.select($"term".as("w2"), $"uc".as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nBigrams))
+      .withColumn("lift",
+        $"n_bigrams".cast("double") * $"pair_count" / $"c1" / $"c2")
+      .select($"w1", $"w2", $"pair_count", $"c1", $"c2", $"lift")
+      .orderBy($"lift".desc, $"pair_count".desc, $"w1", $"w2")
+      .limit(COLLOC_TOP_K)
+  }
+
+  private val collocationsOracle =
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+       |uni AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS uc
+       |  FROM (SELECT unnest(l) AS term FROM toks) GROUP BY 1
+       |), bi AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+       |  FROM (SELECT unnest(list_transform(generate_series(1, len(l)-1),
+       |                      i -> struct_pack(w1 := l[i], w2 := l[i+1])),
+       |               recursive := true)
+       |        FROM toks WHERE len(l) >= 2)
+       |  GROUP BY 1, 2
+       |), n AS (SELECT CAST(SUM(pair_count) AS BIGINT) AS n_bigrams FROM bi)
+       |SELECT bi.w1, bi.w2, bi.pair_count,
+       |       u1.uc AS c1, u2.uc AS c2,
+       |       CAST(n.n_bigrams AS DOUBLE) * bi.pair_count / u1.uc / u2.uc
+       |         AS lift
+       |FROM bi
+       |JOIN uni u1 ON u1.term = bi.w1
+       |JOIN uni u2 ON u2.term = bi.w2
+       |CROSS JOIN n
+       |WHERE bi.pair_count >= $COLLOC_MIN_PAIR
+       |ORDER BY lift DESC, pair_count DESC, w1, w2
+       |LIMIT $COLLOC_TOP_K""".stripMargin
+
+  // ---------------------------------------------------------------- q107
+
+  /** Vocabulary size for the coverage probe. Small against the fixture
+    * corpus ON PURPOSE (the synthetic vocabulary is ~tens of distinct
+    * terms, so 24 splits it non-trivially); a real tokenizer run uses
+    * 32k–256k — same plan, different literal. */
+  val VOCAB_SIZE = 24
+
+  /** Vocabulary coverage: build the top-[[VOCAB_SIZE]] term vocabulary by
+    * corpus frequency (ties by term, pinned), then measure the
+    * out-of-vocabulary token rate per (lang, source) stratum — the
+    * go/no-go check run before freezing a tokenizer on a corpus mix.
+    *
+    * Two corpus passes BY CONSTRUCTION (train the vocab artifact, then
+    * score the corpus against it) — the same two-pass contract as q57's
+    * evidence/projection split; the intermediate vocab is V rows and
+    * broadcast to the scoring pass, so pass 2 adds zero shuffles beyond
+    * its stratum-grain agg. The OOV rate is one exact division of long
+    * sums. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = docs(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        explode(split($"text", " ")).as("term"))
+    val vocab = tok.groupBy($"term")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"term".asc)
+      .limit(VOCAB_SIZE)
+      .select($"term", lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy($"lang", $"source")
+      .agg(
+        countDistinct($"doc_id").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).cast("long")
+          .as("oov_tokens"))
+      .withColumn("oov_rate", $"oov_tokens".cast("double") / $"tokens")
+      .orderBy($"lang", $"source")
+  }
+
+  private val vocabCoverageOracle =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS term
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT term FROM (
+       |    SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1)
+       |  ORDER BY cnt DESC, term LIMIT $VOCAB_SIZE
+       |)
+       |SELECT lang, source,
+       |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(*) AS BIGINT) AS tokens,
+       |       CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS oov_tokens,
+       |       CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)
+       |            AS DOUBLE) / COUNT(*) AS oov_rate
+       |FROM tok LEFT JOIN vocab USING (term)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q108
+
+  /** Typicality class boundaries (mean corpus frequency per token — see
+    * [[tokenTypicality]]). Data-driven against the synthetic corpus the
+    * way [[DUP_TOKEN_MAX]] is: the fixture's per-doc means cluster around
+    * the uniform-draw expectation, so the cuts split the corpus into
+    * non-trivial rare/mid/common populations; a real curation run tunes
+    * them per corpus (they are the operator's config surface, not its
+    * semantics). */
+  val TYPICALITY_COMMON_MIN = 0.0334
+  val TYPICALITY_RARE_MAX = 0.0332
+
+  /** Per-document corpus-typicality score — the zero-dependency stand-in
+    * for an n-gram-LM perplexity quality filter: the mean corpus relative
+    * frequency of the document's token occurrences,
+    * score = (Σ_occ c(tok)) / (n_tok · T). Documents of corpus-typical
+    * words score high ("common"); noise/junk drawn from the frequency
+    * tail scores low ("rare") — the same signal a unigram LM's average
+    * token probability gives, with every sum an exact integer and the
+    * score ONE pinned double chain (no libm log/exp anywhere).
+    *
+    * 100 TB shape: corpus token counts are a count WINDOW over the one
+    * term-keyed shuffle of the exploded stream (the q68 df lesson — never
+    * an aggregate joined back, which would re-scan the corpus); the
+    * per-doc rollup re-keys that stream by doc_id; T rolls up from the
+    * PERSISTED doc-grain aggregate, never from a second corpus scan
+    * (single-scan pinned by the q106/q107/q108 ScanBudget entries). */
+  def tokenTypicality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = docs(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val withC = tok.withColumn("c",
+      count(lit(1)).over(Window.partitionBy($"term")).cast("long"))
+    // Persisted at DOC grain (one row per document): T's rollup and the
+    // scoring projection both branch here, and their differing column
+    // pruning defeats AQE stage reuse — without the cache the corpus is
+    // scanned twice (measured; prefixSum's persist precedent, harness
+    // clears the cache per query).
+    val byDoc = withC.groupBy($"doc_id")
+      .agg(sum($"c").cast("long").as("sum_c"),
+        count(lit(1)).cast("long").as("n_tok"))
+      .persist()
+    val total = byDoc.agg(sum($"n_tok").cast("long").as("t_tokens"))
+    byDoc.crossJoin(broadcast(total))
+      .withColumn("typicality",
+        $"sum_c".cast("double") / $"n_tok" / $"t_tokens")
+      .withColumn("typicality_class",
+        when($"typicality" >= TYPICALITY_COMMON_MIN, "common")
+          .when($"typicality" < TYPICALITY_RARE_MAX, "rare")
+          .otherwise("mid"))
+      .select($"doc_id", $"n_tok", $"typicality", $"typicality_class")
+      .orderBy($"doc_id")
+  }
+
+  private val typicalityOracle =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT)
+       |           AS c
+       |  FROM tok
+       |), d AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS sum_c,
+       |         CAST(COUNT(*) AS BIGINT) AS n_tok
+       |  FROM c GROUP BY 1
+       |), t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_tokens FROM d)
+       |SELECT doc_id, n_tok,
+       |       CAST(sum_c AS DOUBLE) / n_tok / t_tokens AS typicality,
+       |       CASE
+       |         WHEN CAST(sum_c AS DOUBLE) / n_tok / t_tokens
+       |              >= $TYPICALITY_COMMON_MIN THEN 'common'
+       |         WHEN CAST(sum_c AS DOUBLE) / n_tok / t_tokens
+       |              < $TYPICALITY_RARE_MAX THEN 'rare'
+       |         ELSE 'mid'
+       |       END AS typicality_class
+       |FROM d CROSS JOIN t ORDER BY doc_id""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q64_repetition_signals",
       "Gopher-style repetition filters: duplicate-token and top n-gram char fractions per doc",
@@ -255,5 +479,14 @@ object Terms {
       distinctiveTerms, Some(distinctiveOracle), headline = false),
     Query("q76_context_chunks",
       "context-length chunking: 32-token windows at stride 24 with deterministic (doc, idx) identity",
-      chunkDocs, Some(chunkOracle), headline = false))
+      chunkDocs, Some(chunkOracle), headline = false),
+    Query("q106_collocations",
+      "top-50 bigram collocations by exact-ratio lift (PMI ranking without the log)",
+      collocations, Some(collocationsOracle), headline = false),
+    Query("q107_vocab_coverage",
+      "top-V vocabulary build + per-stratum OOV token rate (tokenizer coverage gate)",
+      vocabCoverage, Some(vocabCoverageOracle), headline = false),
+    Query("q108_token_typicality",
+      "per-doc corpus-typicality score (unigram-LM perplexity proxy, exact arithmetic)",
+      tokenTypicality, Some(typicalityOracle), headline = false))
 }

@@ -225,4 +225,26 @@ class EventsSpec extends SparkSpec {
     assert(x.getDouble(6) == 150.0 * 1000000L) // 300e6 / 2 clicks
     assert(x.getDouble(7) == 300.0 * 1000000L)
   }
+
+  test("session transitions: within-session pairs only, exact shares") {
+    import spark.implicits._
+    val dir = fixtureDir("events" -> Seq(
+      // user 7, session 1: view→click→purchase (2 transitions)
+      ev(1, "2024-01-01 10:00:00", 7, "view"),
+      ev(2, "2024-01-01 10:05:00", 7, "click"),
+      ev(3, "2024-01-01 10:10:00", 7, "purchase", 5.0),
+      // >30 min gap → session 2: view→view; the purchase→view pair
+      // straddles the boundary and must NOT count
+      ev(4, "2024-01-01 11:00:00", 7, "view"),
+      ev(5, "2024-01-01 11:05:00", 7, "view"),
+      // user 8: single event → no transitions
+      ev(6, "2024-01-01 10:00:00", 8, "click")).toDF)
+    val r = graft.ops.Events.sessionTransitions(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getDouble(3))).toSeq
+    assert(r == Seq(
+      ("click", "purchase", 1L, 1.0 / 3),
+      ("view", "click", 1L, 1.0 / 3),
+      ("view", "view", 1L, 1.0 / 3)))
+  }
 }

@@ -148,4 +148,39 @@ class SamplingSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("training shuffle: md5 shard, dense positions, exact token offsets") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val docsIn = (0L until 20L).map(i =>
+      Doc(i, (0 to (i % 5).toInt).map(j => s"w$j").mkString(" ")))
+    val dir = fixtureDir("documents" -> docsIn.toDF)
+    val r = Sampling.trainingShuffle(spark, dir).collect()
+    assert(r.length == 20)
+    // shard is the md5 hash-key mod N_SHARDS — recomputed independently
+    def key(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${Sampling.SHUFFLE_SALT}$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    r.foreach { x =>
+      assert(x.getLong(1) == key(x.getLong(0)) % Sampling.N_SHARDS)
+    }
+    // per shard: positions dense from 0 in (key, doc_id) order; offsets
+    // are the exclusive running token sum
+    r.groupBy(_.getLong(1)).values.foreach { shard =>
+      val ordered = shard.sortBy(_.getLong(2))
+      assert(ordered.map(_.getLong(2)).toSeq == ordered.indices.map(_.toLong))
+      assert(ordered.map(x => key(x.getLong(0))).toSeq ==
+        ordered.map(x => key(x.getLong(0))).sortBy(identity).toSeq)
+      var off = 0L
+      ordered.foreach { x =>
+        assert(x.getLong(4) == off)
+        off += x.getLong(3)
+      }
+    }
+    // determinism: a re-run yields the identical assignment
+    val again = Sampling.trainingShuffle(spark, dir).collect()
+    assert(r.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

@@ -86,4 +86,50 @@ class TermsSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 1L, "a"), (1L, 2L, "c"), (1L, 3L, "b"),
       (2L, 1L, "d"), (2L, 2L, "b")))
   }
+
+  test("collocations: hand-computed lift, min-count floor, pinned order") {
+    import spark.implicits._
+    // "a b a b … a b" ×12 → bigrams: (a,b)×12, (b,a)×11, N=23;
+    // c(a)=c(b)=12. lift(a,b) = 23·12/(12·12), lift(b,a) = 23·11/(12·12).
+    // A once-off pair ("x y") sits below COLLOC_MIN_PAIR and must vanish.
+    val text = Seq.fill(12)("a b").mkString(" ")
+    val dir = fixtureDir("documents" ->
+      Seq(Doc(1L, text), Doc(2L, "x y")).toDF)
+    val r = Terms.collocations(spark, dir).collect()
+    assert(r.map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("a", "b"), ("b", "a"))) // (w1, w2) — lift desc
+    // N counts ALL bigrams incl. the filtered pair: 12 + 11 + 1 = 24
+    assert(r(0).getAs[Double]("lift") == 24.0 * 12 / 12 / 12)
+    assert(r(1).getAs[Double]("lift") == 24.0 * 11 / 12 / 12)
+    assert(r(0).getAs[Long]("pair_count") == 12L)
+  }
+
+  test("vocab coverage: top-V vocabulary, per-stratum OOV rate") {
+    import spark.implicits._
+    // 24 terms seen twice fill the VOCAB_SIZE=24 vocabulary; the de doc's
+    // two once-off terms lose the frequency cut → its stratum is 100% OOV.
+    assert(Terms.VOCAB_SIZE == 24)
+    val common = (0 until 24).map(i => s"t$i").mkString(" ")
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(1L, s"$common $common"),
+      Doc(2L, "r1 r2", lang = "de")).toDF)
+    val r = Terms.vocabCoverage(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5))).toSeq
+    assert(r == Seq(("de", 1L, 2L, 2L, 1.0), ("en", 1L, 48L, 0L, 0.0)))
+  }
+
+  test("token typicality: exact mean-corpus-frequency score") {
+    import spark.implicits._
+    // counts: a=2 b=1 c=1, T=4. doc1 "a a b": (2+2+1)/3/4; doc2 "c": 1/1/4.
+    val dir = fixtureDir("documents" ->
+      Seq(Doc(1L, "a a b"), Doc(2L, "c")).toDF)
+    val r = Terms.tokenTypicality(spark, dir).collect()
+    assert(r(0).getAs[Double]("typicality") == 5.0 / 3 / 4)
+    assert(r(1).getAs[Double]("typicality") == 1.0 / 1 / 4)
+    // both far above the corpus-tuned cuts → class is 'common' here; the
+    // non-trivial 3-way split is pinned by the sf0.01 oracle, not this
+    // micro-fixture
+    assert(r.forall(_.getAs[String]("typicality_class") == "common"))
+  }
 }

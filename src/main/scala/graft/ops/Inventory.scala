@@ -210,11 +210,76 @@ object Inventory {
        |FROM dead_agg, sold, inv""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q110
+
+  /** Inventory aging report — the graded generalization of q09's binary
+    * dead-stock cut: every positive-stock cell lands in a
+    * days-since-last-logged-movement bucket (0–30 / 31–90 / 91–180 /
+    * 181+ / never-moved, the 9999 sentinel kept distinct), with cell
+    * counts and exact-decimal quantity/value totals per bucket — the
+    * slow-moving-stock histogram a warehouse review reads before the
+    * dead-stock list. Bucket labels sort lexicographically on purpose.
+    *
+    * 100 TB shape: rides [[cellStats]]' one scan + one cell-keyed hash
+    * agg; the bucket rollup collapses cell-grain to ≤5 rows, decimals
+    * stay decimal until the final cast. */
+  def stockAging(spark: SparkSession, dir: String,
+      asOf: org.apache.spark.sql.Column = lit(AS_OF)): DataFrame = {
+    import spark.implicits._
+    deadStockFlags(spark, dir, asOf)
+      .filter($"quantity_on_hand" > 0.0)
+      .withColumn("age_bucket",
+        when($"days_since_last_movement" === 9999, "never-moved")
+          .when($"days_since_last_movement" <= 30, "000-030")
+          .when($"days_since_last_movement" <= 90, "031-090")
+          .when($"days_since_last_movement" <= 180, "091-180")
+          .otherwise("181+"))
+      .groupBy($"age_bucket")
+      .agg(
+        count(lit(1)).cast("long").as("n_cells"),
+        sum($"qty_dec").cast("double").as("total_qty"),
+        sum($"cost_dec").cast("double").as("total_value"))
+      .orderBy($"age_bucket")
+  }
+
+  private val stockAgingOracle =
+    s"""WITH cells AS (
+       |  SELECT l_partkey AS part_id, l_suppkey AS supplier_id,
+       |         SUM(CAST(l_quantity AS DECIMAL(30,6))) AS qty_dec,
+       |         SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS cost_dec
+       |  FROM lineitem GROUP BY 1, 2
+       |), last_move AS (
+       |  SELECT l_partkey AS part_id, l_suppkey AS supplier_id,
+       |         MAX(l_shipdate) AS last_movement_date
+       |  FROM lineitem WHERE l_returnflag IN ('A','R') GROUP BY 1, 2
+       |), flagged AS (
+       |  SELECT cells.qty_dec, cells.cost_dec,
+       |         COALESCE(date_diff('day',
+       |                            CAST(last_move.last_movement_date AS DATE),
+       |                            DATE '$AS_OF'), 9999) AS days_since
+       |  FROM cells LEFT JOIN last_move
+       |    ON cells.part_id = last_move.part_id
+       |   AND cells.supplier_id = last_move.supplier_id
+       |  WHERE CAST(cells.qty_dec AS DOUBLE) > 0.0
+       |)
+       |SELECT CASE WHEN days_since = 9999 THEN 'never-moved'
+       |            WHEN days_since <= 30 THEN '000-030'
+       |            WHEN days_since <= 90 THEN '031-090'
+       |            WHEN days_since <= 180 THEN '091-180'
+       |            ELSE '181+' END AS age_bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |       CAST(SUM(qty_dec) AS DOUBLE) AS total_qty,
+       |       CAST(SUM(cost_dec) AS DOUBLE) AS total_value
+       |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q09_dead_stock_report",
       "cells with no logged movement in 180 days and positive stock (A1/J1/C3/C4/F8)",
       (s, d) => deadStockReport(s, d), Some(deadStockOracle)),
     Query("q10_inventory_summary",
       "one-row dead-stock count+value, turnover ratio, days-of-inventory (A2-A4/J4/C9/C12)",
-      (s, d) => inventorySummary(s, d), Some(inventorySummaryOracle)))
+      (s, d) => inventorySummary(s, d), Some(inventorySummaryOracle)),
+    Query("q110_stock_aging",
+      "inventory aging histogram: positive-stock cells bucketed by days since last logged movement, exact-decimal totals",
+      (s, d) => stockAging(s, d), Some(stockAgingOracle), headline = false))
 }

@@ -271,6 +271,81 @@ object Movement {
 
   private val peakDayTopOracle = s"$peakDayOracle LIMIT 1"
 
+  // ---------------------------------------------------------------- q111
+
+  /** Outlier threshold in population standard deviations. */
+  val OUTLIER_Z = 2.0
+
+  /** Daily-trend anomaly detection: days whose gap-filled event count
+    * deviates from the series mean by more than [[OUTLIER_Z]]·σ — the
+    * monitoring pass a pipeline runs over its own movement trends (spike
+    * days, dead days). Statistics are population mean/σ over the WHOLE
+    * gap-filled calendar (zero days count — a gap IS an anomaly signal).
+    *
+    * Determinism: counts are longs, so Σx and Σx² are EXACT integer
+    * aggregates; mean/variance are then one pinned left-associated double
+    * chain and σ is IEEE-754 `sqrt` (correctly rounded in both engines) —
+    * no order-dependent float accumulation anywhere. The σ>0 guard keeps
+    * the constant-series case empty on BOTH engines (Spark orders NaN
+    * above all doubles, DuckDB doesn't — never let a NaN reach the
+    * comparison).
+    *
+    * 100 TB shape: everything after the q11 trend aggregation is
+    * calendar-bounded (the gapFill precedent) — the stats windows run
+    * over day-grain rows, never events. */
+  def trendOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = trend(spark, dir, "day", "1 day").select($"bucket", $"n_events")
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("n_days", count(lit(1)).over(all).cast("long"))
+      .withColumn("sum_n", sum($"n_events").over(all).cast("long"))
+      .withColumn("sum_sq",
+        sum($"n_events" * $"n_events").over(all).cast("long"))
+      .withColumn("mean", $"sum_n".cast("double") / $"n_days")
+      .withColumn("sd", sqrt(
+        ($"sum_sq".cast("double") - $"sum_n".cast("double") * $"sum_n" / $"n_days")
+          / $"n_days"))
+      .withColumn("z", ($"n_events".cast("double") - $"mean") / $"sd")
+      .filter($"sd" > 0.0 && abs($"z") > OUTLIER_Z)
+      .select($"bucket", $"n_events", $"mean", $"sd", $"z")
+      .orderBy($"bucket")
+  }
+
+  private val trendOutliersOracle =
+    s"""WITH hot AS ($hotSql
+       |), b AS (
+       |  SELECT date_trunc('day', ts) AS bucket,
+       |         CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM hot GROUP BY 1
+       |), cal AS (
+       |  SELECT unnest(generate_series(date_trunc('day', mn),
+       |                                date_trunc('day', mx),
+       |                                INTERVAL 1 day)) AS bucket
+       |  FROM (SELECT MIN(ts) AS mn, MAX(ts) AS mx FROM hot)
+       |), d AS (
+       |  SELECT cal.bucket, COALESCE(b.n_events, 0) AS n_events
+       |  FROM cal LEFT JOIN b ON cal.bucket = b.bucket
+       |), s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       |         CAST(SUM(n_events) AS BIGINT) AS sum_n,
+       |         CAST(SUM(n_events * n_events) AS BIGINT) AS sum_sq
+       |  FROM d
+       |), scored AS (
+       |  SELECT d.bucket, d.n_events,
+       |         CAST(sum_n AS DOUBLE) / n_days AS mean,
+       |         sqrt((CAST(sum_sq AS DOUBLE)
+       |               - CAST(sum_n AS DOUBLE) * sum_n / n_days) / n_days)
+       |           AS sd
+       |  FROM d, s
+       |)
+       |SELECT bucket, n_events, mean, sd,
+       |       (CAST(n_events AS DOUBLE) - mean) / sd AS z
+       |FROM scored
+       |WHERE sd > 0.0 AND abs((CAST(n_events AS DOUBLE) - mean) / sd) > $OUTLIER_Z
+       |ORDER BY bucket""".stripMargin
+
   val all: Seq[Query] = Seq(
     // the registered trend queries compare the presentation columns; the
     // exact DECIMAL twin (total_value_dec) is for WRITTEN reports and
@@ -304,5 +379,8 @@ object Movement {
       (s, d) => trendDelta(s, d, "day", "1 day", Incremental.CHECKPOINT,
         trendUntil(s, d, "day", "1 day", Incremental.CHECKPOINT))
         .drop("total_value_dec"),
-      Some(trendSql("day", "1 day")), headline = false))
+      Some(trendSql("day", "1 day")), headline = false),
+    Query("q111_trend_outliers",
+      "daily-trend anomaly days: |count − mean| > 2σ over the gap-filled series, exact integer moments + IEEE sqrt",
+      trendOutliers, Some(trendOutliersOracle), headline = false))
 }

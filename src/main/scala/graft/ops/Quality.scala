@@ -89,11 +89,89 @@ object Quality {
     s"""SELECT $dqIssueSql AS dq_issue, CAST(COUNT(*) AS BIGINT) AS n_rows
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+
+  /** Profiled lineitem columns: name → (numeric?, date?). The melt target
+    * of [[columnProfile]]; extend the list, the plan shape is unchanged. */
+  val PROFILE_COLS: Seq[(String, String)] = Seq(
+    "l_quantity" -> "num", "l_extendedprice" -> "num",
+    "l_discount" -> "num", "l_returnflag" -> "str",
+    "l_shipdate" -> "date")
+
+  /** Column profiling — the deequ/dbt-style DQ summary run before trusting
+    * a new drop of the fact table: per column, row count, null count,
+    * EXACT distinct count, and min/max. Min/max render to strings through
+    * type-pinned paths (numerics via DECIMAL(18,6) — both engines print
+    * the full 6-digit scale; dates via yyyy-MM-dd) so one uniform schema
+    * carries every column without cross-engine float-formatting risk.
+    *
+    * 100 TB shape: ONE scan, one aggregate node; the multi-column exact
+    * distinct is Spark's standard expand plan (factor = #profiled
+    * columns — the documented price of exactness; swap
+    * `approx_count_distinct` at petabyte drops, same contract). The melt
+    * to (column, stats) rows explodes a 1-row aggregate — free. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def minMaxStr(name: String, kind: String, agg: Column => Column): Column =
+      kind match {
+        case "num" => agg(col(name))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("string")
+        case "date" => date_format(agg(col(name)), "yyyy-MM-dd")
+        case _ => agg(col(name)).cast("string")
+      }
+    val aggs = PROFILE_COLS.flatMap { case (name, kind) =>
+      Seq(
+        sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"${name}__nulls"),
+        countDistinct(col(name)).as(s"${name}__nd"),
+        minMaxStr(name, kind, min).as(s"${name}__min"),
+        minMaxStr(name, kind, max).as(s"${name}__max"))
+    }
+    val one = Tables(spark, dir, "lineitem")
+      .agg(count(lit(1)).cast("long").as("n_rows"), aggs: _*)
+    val rows = PROFILE_COLS.map { case (name, _) =>
+      struct(lit(name).as("column_name"),
+        col(s"${name}__nulls").cast("long").as("n_null"),
+        col(s"${name}__nd").cast("long").as("n_distinct"),
+        col(s"${name}__min").as("min_str"),
+        col(s"${name}__max").as("max_str"))
+    }
+    one.select($"n_rows", explode(array(rows: _*)).as("p"))
+      .select($"p.column_name", $"n_rows", $"p.n_null", $"p.n_distinct",
+        $"p.min_str", $"p.max_str")
+      .orderBy($"column_name")
+  }
+
+  private val columnProfileOracle = {
+    val selects = PROFILE_COLS.map { case (name, kind) =>
+      val (mn, mx) = kind match {
+        case "num" =>
+          (s"CAST(CAST(MIN($name) AS DECIMAL(18,6)) AS VARCHAR)",
+            s"CAST(CAST(MAX($name) AS DECIMAL(18,6)) AS VARCHAR)")
+        case "date" =>
+          (s"strftime(MIN($name), '%Y-%m-%d')",
+            s"strftime(MAX($name), '%Y-%m-%d')")
+        case _ =>
+          (s"CAST(MIN($name) AS VARCHAR)", s"CAST(MAX($name) AS VARCHAR)")
+      }
+      s"""SELECT '$name' AS column_name,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(CASE WHEN $name IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_null,
+         |       CAST(COUNT(DISTINCT $name) AS BIGINT) AS n_distinct,
+         |       $mn AS min_str, $mx AS max_str
+         |FROM lineitem""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val all: Seq[Query] = Seq(
     Query("q19_dq_valid_events",
       "events surviving the first-match DQ rule ladder (F1-F4/C14)",
       validEvents, Some(validOracle)),
     Query("q20_dq_quarantine_summary",
       "row counts per DQ disposition including valid (quarantine side-output)",
-      quarantineSummary, Some(quarantineOracle)))
+      quarantineSummary, Some(quarantineOracle)),
+    Query("q112_column_profile",
+      "deequ-style column profiling: nulls, exact distincts, type-pinned min/max strings in one expand-aggregate",
+      columnProfile, Some(columnProfileOracle), headline = false))
 }

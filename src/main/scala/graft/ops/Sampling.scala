@@ -495,6 +495,53 @@ object Sampling {
        |ORDER BY shard, pos""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q113
+
+  /** Salt pinning weighted-sample membership independent of every other
+    * hash use. */
+  val WSAMPLE_SALT = "graft-wsample:"
+
+  /** Docs at or above this many chars are always kept (keep probability
+    * clamps to 1). 256 splits the fixture corpus non-trivially (its
+    * n_chars cluster around ~150). */
+  val WSAMPLE_FULL_CHARS = 256L
+
+  /** Per-row WEIGHTED deterministic sampling — q65's device with a
+    * continuous, row-derived rate instead of a per-stratum literal: keep
+    * probability = min(1, n_chars/256), i.e. longer documents are
+    * proportionally likelier to survive (the "importance sampling by
+    * quality signal" shape; any row-computable weight slots in). The
+    * threshold stays EXACT INTEGER arithmetic — n_chars·2²⁴ against the
+    * 32-bit hash key (2³²/256 = 2²⁴) — and the reported keep_prob is one
+    * division by a power of two (exact in binary floating point).
+    * Membership is a pure function of (doc_id, n_chars): stable under
+    * re-runs, increments, and any cluster layout, the property
+    * weighted-`rand()` sampling loses.
+    *
+    * 100 TB shape: pure projection + filter, no shuffle, no count pass,
+    * no RNG state — identical to q65's. */
+  def lengthWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .withColumn("sample_key", Dx.hashKey(WSAMPLE_SALT, $"doc_id"))
+      .filter($"sample_key" <
+        least(lit(HASH_SPACE), $"n_chars" * lit(HASH_SPACE / WSAMPLE_FULL_CHARS)))
+      .select($"doc_id", $"lang", $"n_chars", $"sample_key",
+        (least(lit(HASH_SPACE), $"n_chars" * lit(HASH_SPACE / WSAMPLE_FULL_CHARS))
+          .cast("double") / HASH_SPACE.toDouble).as("keep_prob"))
+  }
+
+  private val wsampleOracle = {
+    val hex = Dx.sqlHex2Long(
+      s"md5('$WSAMPLE_SALT' || CAST(doc_id AS VARCHAR))", 8)
+    val thr = s"LEAST($HASH_SPACE, n_chars * ${HASH_SPACE / WSAMPLE_FULL_CHARS})"
+    s"""SELECT doc_id, lang, n_chars, $hex AS sample_key,
+       |       CAST($thr AS DOUBLE) / $HASH_SPACE AS keep_prob
+       |FROM documents
+       |WHERE $hex < $thr
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Query] = Seq(
     Query("q65_stratified_sample",
       "deterministic md5-threshold stratified sample per language stratum",
@@ -524,5 +571,12 @@ object Sampling {
       temperatureMix, Some(temperatureOracle), headline = false),
     Query("q105_training_shuffle",
       "deterministic md5-order training shuffle: shard + position + exclusive token offset per document",
-      trainingShuffle, Some(trainingShuffleOracle), headline = false))
+      trainingShuffle, Some(trainingShuffleOracle), headline = false),
+    Query("q113_weighted_sample",
+      "length-weighted deterministic sample: keep_prob = min(1, n_chars/256) via exact integer hash thresholds",
+      // orderBy is compare-presentation (the q65 precedent); the bench
+      // times the unordered projection
+      (s, d) => lengthWeightedSample(s, d).orderBy("doc_id"),
+      Some(wsampleOracle), headline = false,
+      benchFn = Some(lengthWeightedSample)))
 }

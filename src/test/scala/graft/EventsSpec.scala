@@ -247,4 +247,31 @@ class EventsSpec extends SparkSpec {
       ("view", "click", 1L, 1.0 / 3),
       ("view", "view", 1L, 1.0 / 3)))
   }
+
+  test("trend outliers: gap zeros count, exact moment chain, 2-sigma cut") {
+    import spark.implicits._
+    // hot purchases (value >= 150) on days 1,2,3 (x1) and day 7 (x9);
+    // gap-fill makes the series [1,1,1,0,0,0,9]: mean 12/7, the z of the
+    // spike ~2.42 (> 2), everything else inside the band.
+    val evs = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "purchase", 200.0),
+      ev(2, "2024-01-02 10:00:00", 1, "purchase", 200.0),
+      ev(3, "2024-01-03 10:00:00", 2, "purchase", 200.0),
+      // a low-value purchase and a view must NOT count as hot
+      ev(4, "2024-01-05 10:00:00", 2, "purchase", 10.0),
+      ev(5, "2024-01-05 11:00:00", 2, "view", 500.0)) ++
+      (10 to 18).map(i => ev(i.toLong, f"2024-01-07 ${i}%02d:00:00", 3,
+        "purchase", 200.0))
+    val dir = fixtureDir("events" -> evs.toDF)
+    val out = graft.ops.Movement.trendOutliers(spark, dir).collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getTimestamp(0).toString.startsWith("2024-01-07"))
+    assert(row.getLong(1) == 9L)
+    val mean = 12.0 / 7
+    val sd = math.sqrt((84.0 - 12.0 * 12 / 7) / 7)
+    assert(row.getDouble(2) == mean)
+    assert(row.getDouble(3) == sd)
+    assert(row.getDouble(4) == (9.0 - mean) / sd)
+  }
 }

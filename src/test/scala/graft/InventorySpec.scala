@@ -61,4 +61,29 @@ class InventorySpec extends SparkSpec {
     val expected = 100.0 + math.floor(3.0 * (100.0 / 3.0) * 100 + 0.5) / 100
     assert(row.getAs[Double]("total_dead_stock_value") == expected)
   }
+
+  test("stock aging: bucket boundaries, never-moved sentinel, exact totals") {
+    import spark.implicits._
+    // as-of 2002-01-01: 17d -> 000-030, 78d -> 031-090, 170d -> 091-180,
+    // 365d -> 181+, no logged movement (flag N only) -> never-moved;
+    // a zero-stock cell (part 6) must vanish entirely.
+    val dir = fixtureDir("lineitem" -> Seq(
+      Li(part = 1, supp = 1, qty = 10, price = 100.0, flag = "A", ts("2001-12-15 00:00:00")),
+      Li(part = 2, supp = 1, qty = 5, price = 200.0, flag = "A", ts("2001-10-15 00:00:00")),
+      Li(part = 3, supp = 1, qty = 2, price = 50.0, flag = "R", ts("2001-07-15 00:00:00")),
+      Li(part = 4, supp = 1, qty = 4, price = 75.0, flag = "A", ts("2001-01-01 00:00:00")),
+      Li(part = 5, supp = 1, qty = 7, price = 10.0, flag = "N", ts("2001-12-30 00:00:00")),
+      Li(part = 6, supp = 1, qty = 5, price = 10.0, flag = "A", ts("2001-12-30 00:00:00")),
+      Li(part = 6, supp = 1, qty = -5, price = 10.0, flag = "A", ts("2001-12-30 00:00:00"))
+    ).toDF)
+    val r = graft.ops.Inventory.stockAging(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3)))
+      .toMap
+    assert(r == Map(
+      "000-030" -> ((1L, 10.0, 100.0)),
+      "031-090" -> ((1L, 5.0, 200.0)),
+      "091-180" -> ((1L, 2.0, 50.0)),
+      "181+" -> ((1L, 4.0, 75.0)),
+      "never-moved" -> ((1L, 7.0, 10.0))))
+  }
 }

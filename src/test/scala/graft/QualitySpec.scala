@@ -102,4 +102,33 @@ class QualitySpec extends SparkSpec {
       "invalid_reference" -> 1L, "invalid_value" -> 1L,
       "future_date" -> 1L, "valid" -> 2L))
   }
+
+  test("column profile: nulls, exact distincts, type-pinned min/max strings") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import spark.implicits._
+    val base = Seq(
+      Li(part = 1, supp = 1, qty = 10, price = 100.5, flag = "A", ts("2001-01-01 00:00:00")),
+      Li(part = 2, supp = 1, qty = 20, price = 250.25, flag = "R", ts("2001-06-15 00:00:00")),
+      Li(part = 3, supp = 1, qty = 10, price = 99.0, flag = "N", ts("2001-12-31 00:00:00"))
+    ).toDF
+      // one null discount — case-class fixtures can't express it directly
+      .withColumn("l_discount",
+        when(col("l_partkey") === 2, lit(null)).otherwise(col("l_discount")))
+    val dir = fixtureDir("lineitem" -> base)
+    val r = graft.ops.Quality.columnProfile(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == graft.ops.Quality.PROFILE_COLS.map(_._1).toSet)
+    assert(r("l_quantity").getLong(1) == 3L) // n_rows everywhere
+    assert(r("l_discount").getLong(2) == 1L) // the injected null
+    assert(r("l_discount").getLong(3) == 1L) // distinct ignores null: {0.0}
+    assert(r("l_quantity").getLong(3) == 2L) // {10, 20}
+    assert(r("l_quantity").getString(4) == "10.000000")
+    assert(r("l_quantity").getString(5) == "20.000000")
+    assert(r("l_extendedprice").getString(4) == "99.000000")
+    assert(r("l_extendedprice").getString(5) == "250.250000")
+    assert(r("l_returnflag").getString(4) == "A")
+    assert(r("l_returnflag").getString(5) == "R")
+    assert(r("l_shipdate").getString(4) == "2001-01-01")
+    assert(r("l_shipdate").getString(5) == "2001-12-31")
+  }
 }

@@ -183,4 +183,30 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.trainingShuffle(spark, dir).collect()
     assert(r.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("weighted sample: clamp at 256 chars, exact integer threshold") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    def key(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${Sampling.WSAMPLE_SALT}$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val long = "x" * 300 // >= 256 chars: keep_prob clamps to 1, always kept
+    val docsIn = Doc(100L, long) +:
+      (0L until 40L).map(i => Doc(i, "y" * (8 * (i.toInt + 1))))
+    val dir = fixtureDir("documents" -> docsIn.toDF)
+    val r = Sampling.lengthWeightedSample(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.contains(100L) && r(100L).getAs[Double]("keep_prob") == 1.0)
+    (0L until 40L).foreach { i =>
+      val n = 8 * (i + 1)
+      val kept = key(i) < math.min(1L << 32, n * (1L << 24))
+      assert(r.contains(i) == kept, s"doc $i n_chars=$n")
+      if (kept && n < 256)
+        assert(r(i).getAs[Double]("keep_prob") == n.toDouble / 256.0)
+    }
+    // the threshold actually splits the fixture
+    assert(r.size > 5 && r.size < 41)
+  }
 }

@@ -340,6 +340,86 @@ object Financial {
        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+
+  /** Reconciliation tolerance (absolute, currency units). */
+  val RECON_TOLERANCE = "0.01"
+
+  /** How many worst mismatches the report carries. */
+  val RECON_TOP = 20
+
+  /** Order-revenue reconciliation — the cross-table consistency audit a
+    * finance close runs: per order, the stored header total
+    * (`o_totalprice`) against the DERIVED lineitem revenue
+    * Σ extendedprice·(1−discount)·(1+tax), matched when the absolute gap
+    * is within [[RECON_TOLERANCE]]. Emits the [[RECON_TOP]] worst
+    * mismatches by |gap| (the rows an auditor opens first), every
+    * comparison in exact DECIMAL — the gap itself is the artifact, so it
+    * must not carry float noise. (The synthetic testdata's header totals
+    * are deliberately unrelated to the lineitems — every order
+    * mismatches; the operator's value is the report, and the oracle pins
+    * the exact gaps either way.)
+    *
+    * 100 TB shape: one fact scan → order-keyed partial+final decimal agg;
+    * one key-equi join against the header (both sides order-grain);
+    * top-N is `orderBy.limit` ⇒ TakeOrderedAndProject. */
+  def orderReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Intermediate widths chosen so the 3-factor product lands at
+    // (36,18) ≤ the 38-digit cap in BOTH engines: a (30,6)³ product
+    // overflows precision and Spark silently ROUNDS the scale down
+    // (allowPrecisionLoss) — measured as an end-digit mismatch vs DuckDB.
+    // Scale 18 = 6+6+6 holds the exact rational product; nothing rounds.
+    val ext = DecimalType(18, 6)
+    val rate = DecimalType(7, 6)
+    val derived = Tables(spark, dir, "lineitem")
+      .groupBy($"l_orderkey".as("o_orderkey"))
+      .agg(sum($"l_extendedprice".cast(ext) *
+        (lit(1).cast(rate) - $"l_discount".cast(rate)) *
+        (lit(1).cast(rate) + $"l_tax".cast(rate))).as("rev_dec"))
+    Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .join(derived, Seq("o_orderkey"))
+      // Round the derived revenue to currency grain (6 dp, half-up in
+      // both engines) BEFORE anything casts to double: a (38,18) decimal
+      // → double cast is NOT correctly rounded in every engine (measured
+      // 1-ulp drift in DuckDB's int128/10^18 path), while a ≤(19,6)
+      // decimal's unscaled value sits under 2^53 where both engines'
+      // casts are exact-then-one-IEEE-division.
+      .withColumn("rev6", $"rev_dec".cast(ext))
+      .withColumn("gap_dec", $"o_totalprice".cast(ext) - $"rev6")
+      .withColumn("matched",
+        abs($"gap_dec") <= lit(RECON_TOLERANCE).cast(ext))
+      .select($"o_orderkey", $"o_totalprice",
+        $"rev6".cast("double").as("lineitem_revenue"),
+        $"gap_dec".cast("double").as("gap"), $"matched")
+      .orderBy(abs($"gap_dec").desc, $"o_orderkey")
+      .limit(RECON_TOP)
+  }
+
+  private val orderReconciliationOracle =
+    s"""WITH derived AS (
+       |  SELECT l_orderkey AS o_orderkey,
+       |         SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+       |             * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6)))
+       |             * (CAST(1 AS DECIMAL(7,6)) + CAST(l_tax AS DECIMAL(7,6))))
+       |           AS rev_dec
+       |  FROM lineitem GROUP BY 1
+       |), j AS (
+       |  SELECT o.o_orderkey, o.o_totalprice,
+       |         CAST(d.rev_dec AS DECIMAL(18,6)) AS rev6,
+       |         CAST(o.o_totalprice AS DECIMAL(18,6))
+       |           - CAST(d.rev_dec AS DECIMAL(18,6)) AS gap_dec
+       |  FROM orders o JOIN derived d ON o.o_orderkey = d.o_orderkey
+       |)
+       |SELECT o_orderkey, o_totalprice,
+       |       CAST(rev6 AS DOUBLE) AS lineitem_revenue,
+       |       CAST(gap_dec AS DOUBLE) AS gap,
+       |       abs(gap_dec) <= CAST($RECON_TOLERANCE AS DECIMAL(18,6)) AS matched
+       |FROM j
+       |ORDER BY abs(gap_dec) DESC, o_orderkey
+       |LIMIT $RECON_TOP""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q01_pricing_summary",
       "TPC-H-Q1-style scan→hash-agg pricing summary over lineitem",
@@ -370,5 +450,9 @@ object Financial {
       saltedRevenue, Some(saltedRevenueOracle), headline = false),
     Query("q79_salted_join_revenue",
       "nation revenue via salted shuffle join ≡ plain join (join-side skew tool)",
-      saltedJoinRevenue, Some(saltedJoinRevenueOracle), headline = false))
+      saltedJoinRevenue, Some(saltedJoinRevenueOracle), headline = false),
+    Query("q117_order_reconciliation",
+      "header-vs-lineitem revenue reconciliation: top-20 worst gaps in exact decimal, tolerance-matched",
+      orderReconciliation, Some(orderReconciliationOracle),
+      headline = false))
 }

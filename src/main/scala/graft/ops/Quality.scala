@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Query, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality module — the reference's `handle_data_quality_issues`
@@ -179,6 +180,114 @@ object Quality {
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // ---------------------------------------------------------------- q114
+
+  /** Histogram bin width for event values (values span ~0–500 in the
+    * fixture → ~10 populated bins). */
+  val HIST_BIN_WIDTH = 50.0
+
+  /** Fixed-width value histogram over `events.value` — the distribution
+    * profile complementing q112's per-column scalars: bin =
+    * floor(value/width) (one deterministic IEEE division + floor, no
+    * percentile machinery), per-bin counts, exact bin extremes, and each
+    * bin's exact share. The monitoring artifact a pipeline charts per run.
+    *
+    * 100 TB shape: one scan → one bin-keyed partial+final hash agg; the
+    * share window runs over the BIN-grain frame (≤ range/width rows —
+    * dimension-sized, the q109 device). */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "events")
+      .groupBy(floor($"value" / HIST_BIN_WIDTH).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"))
+      .withColumn("bin_lo", $"bin" * HIST_BIN_WIDTH)
+      .withColumn("share",
+        $"n_events".cast("double") / sum($"n_events").over(all))
+      .select($"bin", $"bin_lo", $"n_events", $"min_value", $"max_value",
+        $"share")
+      .orderBy($"bin")
+  }
+
+  private val valueHistogramOracle =
+    s"""WITH b AS (
+       |  SELECT CAST(floor(value / $HIST_BIN_WIDTH) AS BIGINT) AS bin,
+       |         CAST(COUNT(*) AS BIGINT) AS n_events,
+       |         MIN(value) AS min_value, MAX(value) AS max_value
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT bin, bin * $HIST_BIN_WIDTH AS bin_lo, n_events,
+       |       min_value, max_value,
+       |       CAST(n_events AS DOUBLE) / SUM(n_events) OVER () AS share
+       |FROM b ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------- q116
+
+  /** Referential-integrity audit between the fact and its parent — the DQ
+    * check run before trusting a join's completeness: one row per
+    * direction, violation = a fact row whose order key has no parent
+    * (orphan) / a parent with no fact row (childless). Rates are one
+    * exact division of longs.
+    *
+    * 100 TB shape: ONE scan per table (both directions come from the same
+    * plan — the naive per-leg formulation reads each table twice): each
+    * side collapses to KEY grain with its multiplicity, a single
+    * full-outer key-equi join lines the two key sets up, and one 1-row
+    * aggregate derives both directions (weighting null-partner keys by
+    * their multiplicity restores row-level counts exactly). The melt to
+    * two report rows explodes the 1-row aggregate — free. Exchanged
+    * bytes are key-grain everywhere. */
+  def fkOrphans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val liK = Tables(spark, dir, "lineitem")
+      .groupBy($"l_orderkey".as("k")).agg(count(lit(1)).as("n_li"))
+    val oK = Tables(spark, dir, "orders")
+      .groupBy($"o_orderkey".as("k")).agg(count(lit(1)).as("n_o"))
+    val one = liK.join(oK, Seq("k"), "full_outer")
+      .agg(
+        sum(coalesce($"n_li", lit(0L))).cast("long").as("li_rows"),
+        sum(when($"n_o".isNull, $"n_li").otherwise(0L)).cast("long")
+          .as("li_viol"),
+        sum(coalesce($"n_o", lit(0L))).cast("long").as("o_rows"),
+        sum(when($"n_li".isNull, $"n_o").otherwise(0L)).cast("long")
+          .as("o_viol"))
+    one.select(explode(array(
+      struct(lit("lineitem_orphans").as("check"),
+        $"li_rows".as("n_rows"), $"li_viol".as("n_violations")),
+      struct(lit("orders_childless").as("check"),
+        $"o_rows".as("n_rows"), $"o_viol".as("n_violations")))).as("r"))
+      .select($"r.check", $"r.n_rows", $"r.n_violations",
+        ($"r.n_violations".cast("double") / $"r.n_rows")
+          .as("violation_rate"))
+      .orderBy($"check")
+  }
+
+  private val fkOrphansOracle =
+    """SELECT 'lineitem_orphans' AS "check",
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_violations,
+      |       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |            AS DOUBLE) / COUNT(*) AS violation_rate
+      |FROM lineitem l
+      |LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      |  ON l.l_orderkey = o.o_orderkey
+      |UNION ALL
+      |SELECT 'orders_childless',
+      |       CAST(COUNT(*) AS BIGINT),
+      |       CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT),
+      |       CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+      |            AS DOUBLE) / COUNT(*)
+      |FROM orders o
+      |LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+      |  ON o.o_orderkey = l.l_orderkey
+      |ORDER BY "check" """.stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q19_dq_valid_events",
       "events surviving the first-match DQ rule ladder (F1-F4/C14)",
@@ -187,6 +296,12 @@ object Quality {
       "row counts per DQ disposition including valid (quarantine side-output)",
       quarantineSummary, Some(quarantineOracle)),
     Query("q112_column_profile",
-      "deequ-style column profiling: nulls, exact distincts, type-pinned min/max strings in one expand-aggregate",
-      columnProfile, Some(columnProfileOracle), headline = false))
+      "deequ-style column profiling: nulls, exact distincts, type-pinned min/max strings, melt-first two-stage agg",
+      columnProfile, Some(columnProfileOracle), headline = false),
+    Query("q114_value_histogram",
+      "fixed-width value histogram with exact per-bin extremes and shares",
+      valueHistogram, Some(valueHistogramOracle), headline = false),
+    Query("q116_fk_orphans",
+      "referential-integrity audit: fact orphans + childless parents, one distinct-key join per direction",
+      fkOrphans, Some(fkOrphansOracle), headline = false))
 }

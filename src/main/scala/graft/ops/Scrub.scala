@@ -214,6 +214,47 @@ object Scrub {
         ($"n_eval_hits".isNull).as("clean"))
   }
 
+  // ---------------------------------------------------------------- q115
+
+  /** k-anonymity threshold: a quasi-identifier group smaller than this is
+    * a disclosure risk. */
+  val KANON_K = 5L
+
+  /** Length-bucket width for the quasi-identifier (n_chars/50 rounds the
+    * exact length down to a 50-char band — the generalization step that
+    * makes lengths a usable quasi-identifier at all). */
+  val KANON_LEN_BUCKET = 50L
+
+  /** k-anonymity audit over document metadata — the disclosure-risk check
+    * run before PUBLISHING a curated corpus: rows sharing a
+    * quasi-identifier tuple (lang, source, 50-char length band) form an
+    * anonymity group; any group smaller than [[KANON_K]] could single out
+    * its members by metadata alone. Emits every group with its size and
+    * at_risk flag — the release gate reads the flagged subset, the
+    * fix is further generalization (coarser bands) or suppression
+    * (drop/merge the flagged rows), both metadata-level edits.
+    *
+    * 100 TB shape: one scan → one partial+final hash agg on the
+    * quasi-identifier key; group cardinality is bounded by
+    * langs × sources × length-bands (dimension-sized), so everything
+    * after the agg is trivial. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .groupBy($"lang", $"source",
+        floor($"n_chars" / KANON_LEN_BUCKET).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("at_risk", $"n_docs" < KANON_K)
+      .orderBy($"lang", $"source", $"len_bucket")
+  }
+
+  private val kAnonymityOracle =
+    s"""SELECT lang, source,
+       |       CAST(n_chars // $KANON_LEN_BUCKET AS BIGINT) AS len_bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       COUNT(*) < $KANON_K AS at_risk
+       |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q75_decontamination",
       "eval-set n-gram overlap screen: training docs flagged on any shared shingle, one-scan window shape",
@@ -232,5 +273,8 @@ object Scrub {
       // the unordered projection, which reads the scan exactly once
       (s, d) => piiScrub(s, d).orderBy("doc_id"),
       Some(piiScrubOracle), headline = false,
-      benchFn = Some(piiScrub)))
+      benchFn = Some(piiScrub)),
+    Query("q115_k_anonymity",
+      "k-anonymity disclosure audit: quasi-identifier groups (lang, source, length band) under k=5 flagged",
+      kAnonymity, Some(kAnonymityOracle), headline = false))
 }

@@ -66,4 +66,33 @@ class FinancialSpec extends SparkSpec {
     assert(rows(1) == 30.0) // (100+200)/(4+6)
     assert(rows(2) == 0.0)
   }
+
+  test("order reconciliation: exact decimal gaps, tolerance match, worst-first") {
+    import spark.implicits._
+    // Li.apply sets l_orderkey = part*1000 + supp, discount/tax 0 -> the
+    // derived revenue is the extendedprice sum. Order 1001 header matches
+    // exactly; 2001 overstates by 50; 3001 within the 0.01 tolerance.
+    val li = Seq(
+      Li(part = 1, supp = 1, qty = 1, price = 60.0, flag = "A", ts("2001-01-01 00:00:00")),
+      Li(part = 1, supp = 1, qty = 1, price = 40.0, flag = "A", ts("2001-01-02 00:00:00")),
+      Li(part = 2, supp = 1, qty = 1, price = 100.0, flag = "A", ts("2001-01-01 00:00:00")),
+      Li(part = 3, supp = 1, qty = 1, price = 100.0, flag = "A", ts("2001-01-01 00:00:00"))
+    ).toDF
+    val orders = Seq(
+      (1001L, 100.0), (2001L, 150.0), (3001L, 100.005),
+      (9999L, 42.0) // childless header: reconciliation has no lineitem side
+    ).toDF("o_orderkey", "o_totalprice")
+    val dir = fixtureDir("lineitem" -> li, "orders" -> orders)
+    val r = graft.ops.Financial.orderReconciliation(spark, dir).collect()
+    // childless orders are not reconcilable rows (inner join)
+    assert(r.map(_.getLong(0)).toSeq == Seq(2001L, 3001L, 1001L)) // |gap| desc
+    val byKey = r.map(x => x.getLong(0) -> x).toMap
+    assert(byKey(2001L).getAs[Double]("gap") == 50.0)
+    assert(!byKey(2001L).getAs[Boolean]("matched"))
+    assert(byKey(3001L).getAs[Double]("gap") == 0.005)
+    assert(byKey(3001L).getAs[Boolean]("matched"))
+    assert(byKey(1001L).getAs[Double]("gap") == 0.0)
+    assert(byKey(1001L).getAs[Boolean]("matched"))
+    assert(byKey(1001L).getAs[Double]("lineitem_revenue") == 100.0)
+  }
 }

@@ -131,4 +131,35 @@ class QualitySpec extends SparkSpec {
     assert(r("l_shipdate").getString(4) == "2001-01-01")
     assert(r("l_shipdate").getString(5) == "2001-12-31")
   }
+
+  test("value histogram: floor binning, exact extremes and shares") {
+    import spark.implicits._
+    val dir = fixtureDir("events" -> Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 10.0, "{}"),
+      Ev(2, ts("2024-01-01 10:01:00"), 1, "view", 60.0, "{}"),
+      Ev(3, ts("2024-01-01 10:02:00"), 1, "view", 75.5, "{}"),
+      Ev(4, ts("2024-01-01 10:03:00"), 2, "view", 160.0, "{}")).toDF)
+    val r = graft.ops.Quality.valueHistogram(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(0L, 1L, 3L)) // empty bins not emitted
+    assert(r(0L).getAs[Double]("bin_lo") == 0.0)
+    assert(r(1L).getAs[Double]("bin_lo") == 50.0)
+    assert(r(1L).getAs[Long]("n_events") == 2L)
+    assert(r(1L).getAs[Double]("min_value") == 60.0)
+    assert(r(1L).getAs[Double]("max_value") == 75.5)
+    assert(r(1L).getAs[Double]("share") == 0.5)
+    assert(r(3L).getAs[Double]("share") == 0.25)
+  }
+
+  test("fk orphans: both directions, distinct-key probe, exact rates") {
+    import spark.implicits._
+    val li = Seq(1L, 1L, 2L, 99L).toDF("l_orderkey")
+    val orders = Seq(1L, 2L, 3L).toDF("o_orderkey")
+    val dir = fixtureDir("lineitem" -> li, "orders" -> orders)
+    val r = graft.ops.Quality.fkOrphans(spark, dir).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r("lineitem_orphans") == ((4L, 1L, 0.25))) // the key-99 row
+    assert(r("orders_childless") == ((3L, 1L, 1.0 / 3))) // order 3
+  }
 }

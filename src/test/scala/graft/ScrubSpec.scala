@@ -98,4 +98,22 @@ class ScrubSpec extends SparkSpec {
     assert(row.getAs[String]("text_clean") == "host <IP> rest")
     assert(row.getAs[Long]("n_phones") == 0L)
   }
+
+  test("k-anonymity: small quasi-identifier groups flagged, bands split") {
+    import spark.implicits._
+    // en/src0 band 0: 6 docs (safe); en/src0 band 1: 2 docs (at risk);
+    // de/src1 band 0: 1 doc (at risk)
+    val docsIn =
+      (0L until 6L).map(i => Doc(i, "x" * 30)) ++
+        Seq(Doc(10L, "y" * 60), Doc(11L, "y" * 70),
+          Doc(12L, "z" * 20, lang = "de", source = "src1"))
+    val dir = fixtureDir("documents" -> docsIn.toDF)
+    val r = graft.ops.Scrub.kAnonymity(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)) ->
+        (x.getLong(3), x.getBoolean(4))).toMap
+    assert(r(("en", "src0", 0L)) == ((6L, false)))
+    assert(r(("en", "src0", 1L)) == ((2L, true)))
+    assert(r(("de", "src1", 0L)) == ((1L, true)))
+    assert(r.size == 3)
+  }
 }

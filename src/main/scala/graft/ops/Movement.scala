@@ -293,9 +293,18 @@ object Movement {
     * 100 TB shape: everything after the q11 trend aggregation is
     * calendar-bounded (the gapFill precedent) — the stats windows run
     * over day-grain rows, never events. */
-  def trendOutliers(spark: SparkSession, dir: String): DataFrame = {
+  def trendOutliers(spark: SparkSession, dir: String): DataFrame =
+    outliersOf(trend(spark, dir, "day", "1 day"))
+
+  /** The reusable scoring core over ANY gap-filled daily frame
+    * (bucket, n_events, …) — the full recompute feeds it above, and an
+    * INCREMENTAL monitoring run feeds it [[trendDelta]]'s merged report
+    * instead (delta-merged ≡ full is pinned by EventsSpec, so anomaly
+    * monitoring inherits T1's no-fact-rescan property for free). */
+  def outliersOf(daily0: DataFrame): DataFrame = {
+    val spark = daily0.sparkSession
     import spark.implicits._
-    val daily = trend(spark, dir, "day", "1 day").select($"bucket", $"n_events")
+    val daily = daily0.select($"bucket", $"n_events")
     val all = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     daily

@@ -274,4 +274,25 @@ class EventsSpec extends SparkSpec {
     assert(row.getDouble(3) == sd)
     assert(row.getDouble(4) == (9.0 - mean) / sd)
   }
+
+  test("incremental anomaly monitoring: outliers over the merged delta ≡ full") {
+    import graft.ops.Movement
+    import spark.implicits._
+    // same series as above, checkpointed mid-stream: the stored report is
+    // what a previous run wrote from events <= Jan 4; the delta merge must
+    // feed the scoring core the identical gap-filled frame
+    val evs = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "purchase", 200.0),
+      ev(2, "2024-01-02 10:00:00", 1, "purchase", 200.0),
+      ev(3, "2024-01-03 10:00:00", 2, "purchase", 200.0)) ++
+      (10 to 18).map(i => ev(i.toLong, f"2024-01-07 ${i}%02d:00:00", 3,
+        "purchase", 200.0))
+    val dir = fixtureDir("events" -> evs.toDF)
+    val cp = "2024-01-04 00:00:00"
+    val stored = Movement.trendUntil(spark, dir, "day", "1 day", cp)
+    val merged = Movement.trendDelta(spark, dir, "day", "1 day", cp, stored)
+    val inc = Movement.outliersOf(merged).collect().map(_.toSeq)
+    val full = Movement.trendOutliers(spark, dir).collect().map(_.toSeq)
+    assert(inc.nonEmpty && inc.toSeq == full.toSeq)
+  }
 }

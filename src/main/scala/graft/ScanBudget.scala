@@ -80,6 +80,13 @@ object ScanBudget {
     // compares (q29 exact + q30 approximate) — the comparison itself
     // adds no scan.
     "q103_ann_recall" -> Map("embeddings" -> 4),
+    // Profile drift: two snapshots are profiled by construction (the
+    // baseline slice and the current stream); a production run diffs
+    // against the STORED baseline profile artifact instead (1 scan).
+    "q118_profile_drift" -> Map("events" -> 2),
+    // Curation funnel: q62's plan (2 dedup-evidence scans) + the funnel's
+    // flag-projection corpus scan — the same 3-scan floor as the verdict.
+    "q119_curation_funnel" -> Map("documents" -> 3),
     // Vocabulary coverage: train-the-vocab pass + score-the-corpus pass —
     // the honest tokenizer-build shape (the vocab artifact is V rows and
     // broadcast back; persisting the corpus-sized occurrence stream to

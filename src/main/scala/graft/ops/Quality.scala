@@ -118,43 +118,141 @@ object Quality {
     * distinct set. Typed min/max ride the same pair stream via per-kind
     * sidecar columns. One scan, two keyed exchanges, nothing
     * driver-sided. */
-  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+  def columnProfile(spark: SparkSession, dir: String): DataFrame =
+    profileOf(Tables(spark, dir, "lineitem"), PROFILE_COLS)
+
+  /** The reusable melt-first profiling core over ANY frame and column
+    * list — q112 feeds it the fact table, q118 feeds it two time slices
+    * of the event stream and diffs the results. */
+  def profileOf(df0: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    val spark = df0.sparkSession
     import spark.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
-    val pairs = Tables(spark, dir, "lineitem")
-      .select(explode(array(PROFILE_COLS.map { case (name, kind) =>
-        val vstr = kind match {
-          case "num" => col(name).cast(dec).cast("string")
-          case "date" => date_format(col(name), "yyyy-MM-dd")
-          case _ => col(name).cast("string")
-        }
+    // vdist is the RAW string cast — the distinct key must see the
+    // column's full precision (a date-truncated rendering undercounts
+    // second-grain timestamps; measured on q118's ts column). The typed
+    // vnum/vdate sidecars carry ordering + rendering for min/max; for
+    // plain strings vdist doubles as both.
+    val pairs = df0
+      .select(explode(array(cols.map { case (name, kind) =>
         val vnum =
           if (kind == "num") col(name).cast(dec) else lit(null).cast(dec)
         val vdate = if (kind == "date") to_date(col(name))
           else lit(null).cast("date")
-        struct(lit(name).as("column_name"), vstr.as("vstr"),
+        struct(lit(name).as("column_name"),
+          col(name).cast("string").as("vdist"),
           vnum.as("vnum"), vdate.as("vdate"))
       }: _*)).as("p"))
       .select($"p.*")
     val byValue = pairs
-      .groupBy($"column_name", $"vstr", $"vnum", $"vdate")
+      .groupBy($"column_name", $"vdist", $"vnum", $"vdate")
       .agg(count(lit(1)).as("cnt"))
     byValue.groupBy($"column_name")
       .agg(
         sum($"cnt").cast("long").as("n_rows"),
-        sum(when($"vstr".isNull, $"cnt").otherwise(0L)).cast("long")
+        sum(when($"vdist".isNull, $"cnt").otherwise(0L)).cast("long")
           .as("n_null"),
-        count(when($"vstr".isNotNull, 1)).cast("long").as("n_distinct"),
+        count(when($"vdist".isNotNull, 1)).cast("long").as("n_distinct"),
         min($"vnum").as("mn_num"), max($"vnum").as("mx_num"),
         min($"vdate").as("mn_date"), max($"vdate").as("mx_date"),
-        min(when($"vnum".isNull && $"vdate".isNull, $"vstr")).as("mn_str"),
-        max(when($"vnum".isNull && $"vdate".isNull, $"vstr")).as("mx_str"))
+        min(when($"vnum".isNull && $"vdate".isNull, $"vdist")).as("mn_str"),
+        max(when($"vnum".isNull && $"vdate".isNull, $"vdist")).as("mx_str"))
       .select($"column_name", $"n_rows", $"n_null", $"n_distinct",
         coalesce($"mn_num".cast("string"),
           date_format($"mn_date", "yyyy-MM-dd"), $"mn_str").as("min_str"),
         coalesce($"mx_num".cast("string"),
           date_format($"mx_date", "yyyy-MM-dd"), $"mx_str").as("max_str"))
       .orderBy($"column_name")
+  }
+
+  /** DuckDB twin of [[profileOf]] for any table/WHERE/column list. */
+  private def profileSql(table: String, where: String,
+      cols: Seq[(String, String)]): String = {
+    val selects = cols.map { case (name, kind) =>
+      val (mn, mx) = kind match {
+        case "num" =>
+          (s"CAST(CAST(MIN($name) AS DECIMAL(18,6)) AS VARCHAR)",
+            s"CAST(CAST(MAX($name) AS DECIMAL(18,6)) AS VARCHAR)")
+        case "date" =>
+          (s"strftime(MIN($name), '%Y-%m-%d')",
+            s"strftime(MAX($name), '%Y-%m-%d')")
+        case _ =>
+          (s"CAST(MIN($name) AS VARCHAR)", s"CAST(MAX($name) AS VARCHAR)")
+      }
+      s"""SELECT '$name' AS column_name,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(CASE WHEN $name IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_null,
+         |       CAST(COUNT(DISTINCT $name) AS BIGINT) AS n_distinct,
+         |       $mn AS min_str, $mx AS max_str
+         |FROM $table $where""".stripMargin
+    }
+    selects.mkString("(", "\nUNION ALL\n", ")")
+  }
+
+  // ---------------------------------------------------------------- q118
+
+  /** Profiled event columns for the drift monitor. */
+  val DRIFT_COLS: Seq[(String, String)] = Seq(
+    "value" -> "num", "user_id" -> "num", "event_type" -> "str",
+    "ts" -> "date")
+
+  /** Profile-drift monitor — the schema/distribution regression check an
+    * incremental pipeline runs per load: [[profileOf]] over the BASELINE
+    * slice (events ≤ the T1 checkpoint, what the previous run profiled)
+    * vs the CURRENT full stream, joined per column with exact-ratio drift
+    * metrics (null rates, distinct growth, row growth) and min/max change
+    * flags. A distinct count that jumps out of proportion to row growth,
+    * or a min/max that moves, is the classic silent-upstream-change
+    * signal.
+    *
+    * Two scans BY CONSTRUCTION (two snapshots are profiled — the honest
+    * drift shape; a production run diffs against the STORED baseline
+    * profile artifact instead, making it one): each side is the q112
+    * melt-first plan; the final join is column-grain. */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val base = profileOf(
+      ev.filter($"ts" <= to_timestamp(lit(Incremental.CHECKPOINT))),
+      DRIFT_COLS)
+    val cur = profileOf(ev, DRIFT_COLS)
+    def side(p: DataFrame, tag: String): DataFrame =
+      p.select($"column_name", $"n_rows".as(s"n_rows_$tag"),
+        ($"n_null".cast("double") / $"n_rows").as(s"null_rate_$tag"),
+        $"n_distinct".as(s"n_distinct_$tag"),
+        $"min_str".as(s"min_$tag"), $"max_str".as(s"max_$tag"))
+    side(base, "base").join(side(cur, "cur"), Seq("column_name"))
+      .select($"column_name",
+        $"n_rows_base", $"n_rows_cur",
+        ($"n_rows_cur".cast("double") / $"n_rows_base").as("row_growth"),
+        $"null_rate_base", $"null_rate_cur",
+        $"n_distinct_base", $"n_distinct_cur",
+        ($"n_distinct_cur".cast("double") / $"n_distinct_base")
+          .as("distinct_growth"),
+        ($"min_base" =!= $"min_cur").as("min_changed"),
+        ($"max_base" =!= $"max_cur").as("max_changed"))
+      .orderBy($"column_name")
+  }
+
+  private val profileDriftOracle = {
+    val base = profileSql("events",
+      s"WHERE ts <= TIMESTAMP '${Incremental.CHECKPOINT}'", DRIFT_COLS)
+    val cur = profileSql("events", "", DRIFT_COLS)
+    s"""WITH b AS $base, c AS $cur
+       |SELECT b.column_name,
+       |       b.n_rows AS n_rows_base, c.n_rows AS n_rows_cur,
+       |       CAST(c.n_rows AS DOUBLE) / b.n_rows AS row_growth,
+       |       CAST(b.n_null AS DOUBLE) / b.n_rows AS null_rate_base,
+       |       CAST(c.n_null AS DOUBLE) / c.n_rows AS null_rate_cur,
+       |       b.n_distinct AS n_distinct_base,
+       |       c.n_distinct AS n_distinct_cur,
+       |       CAST(c.n_distinct AS DOUBLE) / b.n_distinct
+       |         AS distinct_growth,
+       |       b.min_str <> c.min_str AS min_changed,
+       |       b.max_str <> c.max_str AS max_changed
+       |FROM b JOIN c ON b.column_name = c.column_name
+       |ORDER BY b.column_name""".stripMargin
   }
 
   private val columnProfileOracle = {
@@ -303,5 +401,8 @@ object Quality {
       valueHistogram, Some(valueHistogramOracle), headline = false),
     Query("q116_fk_orphans",
       "referential-integrity audit: fact orphans + childless parents, one distinct-key join per direction",
-      fkOrphans, Some(fkOrphansOracle), headline = false))
+      fkOrphans, Some(fkOrphansOracle), headline = false),
+    Query("q118_profile_drift",
+      "profile-drift monitor: baseline-vs-current column profiles joined with exact-ratio drift metrics",
+      profileDrift, Some(profileDriftOracle), headline = false))
 }

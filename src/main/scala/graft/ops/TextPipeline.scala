@@ -615,6 +615,108 @@ object TextPipeline {
       .select($"doc_id", $"source", $"lang_pred", $"n_tokens", $"ttr")
   }
 
+  // ---------------------------------------------------------------- q119
+
+  /** Curation funnel report — the per-stage retention table every
+    * curation run prints for stakeholders: document and token counts
+    * surviving each successive gate (corpus → dedup keep → quality →
+    * language), with exact retention ratios against the corpus. The
+    * stages NEST by construction (each flag conjoins the previous), so
+    * the counts are monotone and the last row equals q62's verdict
+    * population.
+    *
+    * 100 TB shape: the same plan as q62 up to the flags (keep list as an
+    * id-sized left join, quality+language in the scan projection), then
+    * ONE conditional aggregate to a 1-row frame and a free 4-row melt
+    * (the q116 device) — the funnel costs one aggregate more than the
+    * verdict itself. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kept = dedupKeepList(spark, dir)
+      .select($"doc_id", lit(1L).as("in_keep"))
+    val flagged = docs(spark, dir)
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(split($"text", " "))).cast("double")
+          / size(split($"text", " ")).cast("double"))
+      .withColumn("lang_pred", langPredict)
+      .withColumn("s1", $"in_keep".isNotNull)
+      .withColumn("s2", $"s1" && $"n_tokens" >= QUALITY_MIN_TOKENS &&
+        $"ttr" >= QUALITY_MIN_TTR)
+      .withColumn("s3", $"s2" && $"lang_pred" =!= "unknown")
+    val one = flagged.agg(
+      count(lit(1)).cast("long").as("d0"),
+      sum($"n_tokens").cast("long").as("t0"),
+      sum(when($"s1", 1L).otherwise(0L)).cast("long").as("d1"),
+      sum(when($"s1", $"n_tokens").otherwise(0L)).cast("long").as("t1"),
+      sum(when($"s2", 1L).otherwise(0L)).cast("long").as("d2"),
+      sum(when($"s2", $"n_tokens").otherwise(0L)).cast("long").as("t2"),
+      sum(when($"s3", 1L).otherwise(0L)).cast("long").as("d3"),
+      sum(when($"s3", $"n_tokens").otherwise(0L)).cast("long").as("t3"))
+    one.select(explode(array(
+      struct(lit(0L).as("stage_idx"), lit("corpus").as("stage"),
+        $"d0".as("n_docs"), $"t0".as("n_tokens")),
+      struct(lit(1L).as("stage_idx"), lit("dedup").as("stage"),
+        $"d1".as("n_docs"), $"t1".as("n_tokens")),
+      struct(lit(2L).as("stage_idx"), lit("quality").as("stage"),
+        $"d2".as("n_docs"), $"t2".as("n_tokens")),
+      struct(lit(3L).as("stage_idx"), lit("language").as("stage"),
+        $"d3".as("n_docs"), $"t3".as("n_tokens")))).as("r"),
+      $"d0", $"t0")
+      .select($"r.stage_idx", $"r.stage", $"r.n_docs", $"r.n_tokens",
+        ($"r.n_docs".cast("double") / $"d0").as("doc_retention"),
+        ($"r.n_tokens".cast("double") / $"t0").as("token_retention"))
+      .orderBy($"stage_idx")
+  }
+
+  private def curationFunnelOracle =
+    s"""WITH exact_drop AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+       |                                      ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn > 1
+       |), near AS (${bruteForceNearDupSql(NEARDUP_THRESHOLD)
+         .replace("ORDER BY doc_a, doc_b", "")}
+       |), drops AS (
+       |  SELECT doc_id FROM exact_drop
+       |  UNION SELECT doc_b AS doc_id FROM near
+       |), f AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS ttr,
+       |         $langPredictSql AS lang_pred,
+       |         doc_id NOT IN (SELECT doc_id FROM drops) AS s1
+       |  FROM documents
+       |), g AS (
+       |  SELECT *,
+       |         s1 AND n_tokens >= $QUALITY_MIN_TOKENS
+       |            AND ttr >= $QUALITY_MIN_TTR AS s2
+       |  FROM f
+       |), h AS (SELECT *, s2 AND lang_pred <> 'unknown' AS s3 FROM g),
+       |one AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS d0,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS t0,
+       |         CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |         CAST(SUM(CASE WHEN s1 THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+       |         CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+       |         CAST(SUM(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+       |         CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+       |         CAST(SUM(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3
+       |  FROM h
+       |), m AS (
+       |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'corpus' AS stage,
+       |         d0 AS n_docs, t0 AS n_tokens, d0, t0 FROM one
+       |  UNION ALL SELECT 1, 'dedup', d1, t1, d0, t0 FROM one
+       |  UNION ALL SELECT 2, 'quality', d2, t2, d0, t0 FROM one
+       |  UNION ALL SELECT 3, 'language', d3, t3, d0, t0 FROM one
+       |)
+       |SELECT stage_idx, stage, n_docs, n_tokens,
+       |       CAST(n_docs AS DOUBLE) / d0 AS doc_retention,
+       |       CAST(n_tokens AS DOUBLE) / t0 AS token_retention
+       |FROM m ORDER BY stage_idx""".stripMargin
+
   private def curationVerdictOracle =
     s"""WITH exact_drop AS (
        |  SELECT doc_id FROM (
@@ -2036,6 +2138,9 @@ object TextPipeline {
       (s, d) => curationVerdict(s, d).orderBy("doc_id"),
       Some(curationVerdictOracle), headline = false,
       benchFn = Some(curationVerdict)),
+    Query("q119_curation_funnel",
+      "per-stage curation retention: docs+tokens surviving corpus → dedup → quality → language, exact ratios",
+      curationFunnel, Some(curationFunnelOracle), headline = false),
     Query("q60_dedup_components",
       "connected-components keep list: evidence as equivalence, min doc_id per component kept",
       (s, d) => dedupComponents(s, d).orderBy("doc_id"),

@@ -162,4 +162,31 @@ class QualitySpec extends SparkSpec {
     assert(r("lineitem_orphans") == ((4L, 1L, 0.25))) // the key-99 row
     assert(r("orders_childless") == ((3L, 1L, 1.0 / 3))) // order 3
   }
+
+  test("profile drift: baseline slice vs current, growth ratios and flags") {
+    import spark.implicits._
+    // checkpoint 2024-01-15 (Incremental.CHECKPOINT): base = 2 events,
+    // current adds 2 more with a NEW event type and a higher max value
+    val dir = fixtureDir("events" -> Seq(
+      Ev(1, ts("2024-01-10 10:00:00"), 1, "view", 10.0, "{}"),
+      Ev(2, ts("2024-01-12 10:00:00"), 2, "view", 20.0, "{}"),
+      Ev(3, ts("2024-01-20 10:00:00"), 1, "click", 30.0, "{}"),
+      Ev(4, ts("2024-01-21 10:00:00"), 3, "view", 20.0, "{}")).toDF)
+    val r = graft.ops.Quality.profileDrift(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("value", "user_id", "event_type", "ts"))
+    val v = r("value")
+    assert(v.getAs[Long]("n_rows_base") == 2L)
+    assert(v.getAs[Long]("n_rows_cur") == 4L)
+    assert(v.getAs[Double]("row_growth") == 2.0)
+    assert(v.getAs[Long]("n_distinct_base") == 2L) // {10, 20}
+    assert(v.getAs[Long]("n_distinct_cur") == 3L) // {10, 20, 30}
+    assert(v.getAs[Double]("distinct_growth") == 1.5)
+    assert(!v.getAs[Boolean]("min_changed"))
+    assert(v.getAs[Boolean]("max_changed")) // 20 -> 30
+    val t = r("event_type")
+    assert(t.getAs[Long]("n_distinct_base") == 1L)
+    assert(t.getAs[Long]("n_distinct_cur") == 2L) // click arrived
+    assert(t.getAs[Boolean]("min_changed")) // 'click' < 'view'
+  }
 }

@@ -621,4 +621,23 @@ class TextPipelineSpec extends SparkSpec {
     assert(byId(3L).getBoolean(5) && byId(3L).isNullAt(4))
     assert(byId(4L).getString(4) == "exact_dup" && !byId(4L).getBoolean(5))
   }
+
+  test("curation funnel: monotone stages, token accounting, exact ratios") {
+    import spark.implicits._
+    // good doc: >=16 tokens, distinct-heavy, English stopwords -> survives
+    // every gate; its exact duplicate dies at dedup; the short doc passes
+    // dedup but dies at quality
+    val good = "the quick brown fox jumps over a lazy dog and the cat " +
+      "sat on that mat with some friends nearby today"
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(1L, good), Doc(2L, good), Doc(3L, "tiny doc")).toDF)
+    val r = graft.ops.TextPipeline.curationFunnel(spark, dir).collect()
+      .map(x => x.getString(1) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    val goodTok = good.split(" ").length.toLong
+    assert(r("corpus") == ((3L, 2 * goodTok + 2, 1.0)))
+    assert(r("dedup") == ((2L, goodTok + 2, 2.0 / 3)))
+    assert(r("quality") == ((1L, goodTok, 1.0 / 3)))
+    assert(r("language") == ((1L, goodTok, 1.0 / 3)))
+  }
 }

@@ -121,6 +121,33 @@ class ScanBudgetSpec extends SparkSpec {
     assert(counts("q104_containment_index_increment") == Map("documents" -> 1))
   }
 
+  test("q106 collocations read documents once (gram-grain persist carries 3 consumers)") {
+    // pairs, marginals and N all branch at the persisted gram-grain
+    // aggregate — losing the persist re-scans the corpus 3× (measured
+    // before the cache landed)
+    assert(counts("q106_collocations") == Map("documents" -> 1))
+    spark.catalog.clearCache()
+  }
+
+  test("q108 typicality reads documents once (doc-grain persist carries T)") {
+    assert(counts("q108_token_typicality") == Map("documents" -> 1))
+    spark.catalog.clearCache()
+  }
+
+  test("q112 profiling reads lineitem once (melt-first, not multi-distinct expand)") {
+    // the expand shape also read once but funneled every distinct value
+    // through one reducer (8.3 s at sf0.1) — this pin protects the scan
+    // count; the melt shape itself is pinned by the committed bench
+    assert(counts("q112_column_profile") == Map("lineitem" -> 1))
+  }
+
+  test("q116 FK audit reads each table once (full-outer key-grain, not per-leg)") {
+    // the per-leg formulation measured TWO scans of each table — both
+    // directions must come from the one full-outer join of key counts
+    assert(counts("q116_fk_orphans") ==
+      Map("lineitem" -> 1, "orders" -> 1))
+  }
+
   test("SCANBUDGET.json pin covers the registry and respects the ceilings") {
     // The exact-count pin (round-9 verdict item 7) is enforced against
     // executed plans by graft.Explain at every full regeneration; this

@@ -470,6 +470,113 @@ object Terms {
        |       END AS typicality_class
        |FROM d CROSS JOIN t ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+
+  /** Number of BPE merge rounds to train. Small against the fixture's
+    * ~50-word vocabulary; a real tokenizer runs 30k–250k rounds of the
+    * SAME per-round plan. */
+  val BPE_ROUNDS = 6
+
+  /** BPE merge training — the canonical tokenizer-build loop (Sennrich et
+    * al. 2016, public): start from characters, repeatedly merge the most
+    * frequent adjacent symbol pair (corpus-frequency-weighted, ties by
+    * (left, right) ascending — pinned so both engines pick the same
+    * pair). Emits one row per learned merge with its pair count at merge
+    * time.
+    *
+    * Merge mechanics: a word's symbol sequence is stored as a 2-SPACE
+    * separated string with 2-space ends ("␣␣a␣␣b␣␣"); applying merge
+    * (A,B) is then `replace(sym, " A␣␣B ", " AB ")` — each match consumes
+    * ONE space from each side, so the 2-space invariant survives and
+    * `replace`'s left-to-right non-overlapping scan IS the BPE greedy
+    * merge order, identically in Spark and DuckDB ("a a a" merges once,
+    * "a b a b" merges twice).
+    *
+    * 100 TB shape: ONE corpus scan collapses to the word-frequency table
+    * (vocabulary-grain); every round after that runs at vocab grain —
+    * pair counts are one explode + agg over vocab rows, the argmax is a
+    * 1-row `orderBy.limit(1)` collect (driver planning input, the
+    * k-means precedent), and the merge is a projection. localCheckpoint
+    * per round bounds lineage (the q60 device). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var words = docs(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).cast("long").as("freq"))
+      .select(concat(lit("  "),
+        concat_ws("  ", expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+        lit("  ")).as("sym"), $"freq")
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (round <- 1 to BPE_ROUNDS) {
+      val pairs = words
+        .select($"freq", split($"sym", "  ").as("l"))
+        // single-symbol words ([", A, "], size 3) have no pairs — and
+        // Spark's sequence(2, 1) is DESCENDING, not empty (the q64 trap)
+        .filter(size($"l") >= 4)
+        .select($"freq", explode(expr(
+          """transform(sequence(2, size(l) - 2),
+            |  i -> struct(element_at(l, i) as lft,
+            |              element_at(l, i + 1) as rgt))""".stripMargin))
+          .as("p"))
+        .groupBy($"p.lft", $"p.rgt")
+        .agg(sum($"freq").cast("long").as("cnt"))
+      val best = pairs.orderBy($"cnt".desc, $"lft", $"rgt").limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val (a, b, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round.toLong, a, b, a + b, c))
+        words = words
+          .select(replace($"sym", lit(s" $a  $b "), lit(s" $a$b "))
+            .as("sym"), $"freq")
+          .localCheckpoint()
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+      .orderBy($"merge_rank")
+  }
+
+  private val bpeOracle = {
+    // the same loop as chained CTEs: w0 = char-split vocab, each round
+    // picks its best pair and rewrites the words for the next
+    val rounds = (1 to BPE_ROUNDS).map { i =>
+      s"""p$i AS (
+         |  SELECT l[i] AS lft, l[i + 1] AS rgt,
+         |         CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(sym, '  ') AS l, freq FROM w${i - 1}),
+         |       unnest(range(2, len(l) - 1)) AS u(i)
+         |  GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT CAST($i AS BIGINT) AS merge_rank, lft, rgt,
+         |         lft || rgt AS merged, cnt
+         |  FROM p$i ORDER BY cnt DESC, lft, rgt LIMIT 1
+         |), w$i AS (
+         |  SELECT replace(sym, ' ' || b$i.lft || '  ' || b$i.rgt || ' ',
+         |                 ' ' || b$i.merged || ' ') AS sym, freq
+         |  FROM w${i - 1}, b$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to BPE_ROUNDS)
+      .map(i => s"SELECT * FROM b$i").mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT '  ' || array_to_string(
+       |           list_transform(range(1, length(w) + 1),
+       |                          i -> substr(w, i, 1)), '  ') || '  '
+       |           AS sym,
+       |         CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1
+       |),
+       |$rounds
+       |SELECT merge_rank, lft AS "left", rgt AS "right", merged, cnt AS pair_count
+       |FROM ($unions)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   val all: Seq[Query] = Seq(
     Query("q64_repetition_signals",
       "Gopher-style repetition filters: duplicate-token and top n-gram char fractions per doc",
@@ -488,5 +595,8 @@ object Terms {
       vocabCoverage, Some(vocabCoverageOracle), headline = false),
     Query("q108_token_typicality",
       "per-doc corpus-typicality score (unigram-LM perplexity proxy, exact arithmetic)",
-      tokenTypicality, Some(typicalityOracle), headline = false))
+      tokenTypicality, Some(typicalityOracle), headline = false),
+    Query("q120_bpe_merges",
+      "BPE merge training: 6 greedy most-frequent-pair rounds at vocab grain, pinned tie-breaks",
+      bpeMerges, Some(bpeOracle), headline = false))
 }

@@ -119,6 +119,25 @@ class TermsSpec extends SparkSpec {
     assert(r == Seq(("de", 1L, 2L, 2L, 1.0), ("en", 1L, 48L, 0L, 0.0)))
   }
 
+  test("bpe merges: tie-break, greedy overlap, multi-round composition") {
+    import spark.implicits._
+    // words: "aaaa" ×1, "ab" ×3.
+    //  round 1: (a,a)=3 (three adjacent positions in aaaa) ties (a,b)=3
+    //           → (a,a) wins the (left,right) ascending tie-break;
+    //           greedy left-to-right merge: aaaa → [aa, aa] (NOT [aa,a,a])
+    //  round 2: (a,b)=3 beats (aa,aa)=1
+    //  round 3: (aa,aa)=1 — composition of round 1's symbol
+    val dir = fixtureDir("documents" ->
+      Seq(Doc(1L, "aaaa"), Doc(2L, "ab ab ab")).toDF)
+    val r = graft.ops.Terms.bpeMerges(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getString(3), x.getLong(4))).toSeq
+    assert(r == Seq(
+      (1L, "a", "a", "aa", 3L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "aa", "aaaa", 1L)))
+  }
+
   test("token typicality: exact mean-corpus-frequency score") {
     import spark.implicits._
     // counts: a=2 b=1 c=1, T=4. doc1 "a a b": (2+2+1)/3/4; doc2 "c": 1/1/4.

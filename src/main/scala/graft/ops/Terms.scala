@@ -540,6 +540,104 @@ object Terms {
       .orderBy($"merge_rank")
   }
 
+  // ---------------------------------------------------------------- q121
+
+  /** BPE apply — the serve half of the q120 train→apply lifecycle (the
+    * tokenizer analog of IVF's q85 train→serve): tokenize every document
+    * with the JUST-TRAINED merge ruleset and report per-document token
+    * accounting (chars, whitespace words, BPE tokens, and the exact
+    * chars-per-token compression ratio a context-budget planner reads).
+    * Merges apply in rank order — each is one `replace` under the q120
+    * 2-space invariant, so application is a pure K-deep projection chain.
+    *
+    * 100 TB shape: training runs once (vocab-grain, q120's plan; its
+    * k-row ruleset is a driver planning input — the trained-centroid
+    * precedent, so training's scans run before the registered plan),
+    * then application is ONE corpus scan through a K-replace codegen
+    * projection: no shuffle, no state, no join. Semantically the same
+    * train/serve two-pass as q107; the gated apply plan itself is
+    * 1-scan. */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ruleset = bpeMerges(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val charSym = concat(lit("  "),
+      concat_ws("  ", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+      lit("  "))
+    val applied = ruleset.foldLeft(charSym) { case (sym, (a, b, m)) =>
+      replace(sym, lit(s" $a  $b "), lit(s" $m "))
+    }
+    docs(spark, dir)
+      .select($"doc_id", $"n_chars", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      // tokens in a word = symbols = separator runs − 1 under the
+      // invariant: size(split(sym, '  ')) = symbols + 2 ⇒ symbols =
+      // size − 2
+      .select($"doc_id", $"n_chars",
+        (size(split(applied, "  ")) - 2).cast("long").as("w_tokens"))
+      .groupBy($"doc_id")
+      .agg(max($"n_chars").cast("long").as("n_chars"),
+        count(lit(1)).cast("long").as("n_words"),
+        sum($"w_tokens").cast("long").as("n_tokens_bpe"))
+      .withColumn("chars_per_token",
+        $"n_chars".cast("double") / $"n_tokens_bpe")
+      .orderBy($"doc_id")
+  }
+
+  private val bpeTokenizeOracle = {
+    // the trained rules replayed as the q120 CTE chain, then applied as a
+    // 6-deep replace over each word's char-split symbol string
+    val rounds = (1 to BPE_ROUNDS).map { i =>
+      s"""p$i AS (
+         |  SELECT l[i] AS lft, l[i + 1] AS rgt,
+         |         CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(sym, '  ') AS l, freq FROM w${i - 1}),
+         |       unnest(range(2, len(l) - 1)) AS u(i)
+         |  GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT lft, rgt, lft || rgt AS merged
+         |  FROM p$i ORDER BY cnt DESC, lft, rgt LIMIT 1
+         |), w$i AS (
+         |  SELECT replace(sym, ' ' || b$i.lft || '  ' || b$i.rgt || ' ',
+         |                 ' ' || b$i.merged || ' ') AS sym, freq
+         |  FROM w${i - 1}, b$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val appliedSql = (1 to BPE_ROUNDS).foldLeft(
+      """'  ' || array_to_string(list_transform(range(1, length(w) + 1),
+        |                        i -> substr(w, i, 1)), '  ') || '  '"""
+        .stripMargin) { (acc, i) =>
+      s"replace($acc, ' ' || b$i.lft || '  ' || b$i.rgt || ' ', ' ' || b$i.merged || ' ')"
+    }
+    val bJoin = (1 to BPE_ROUNDS).map(i => s"b$i").mkString(", ")
+    s"""WITH w0 AS (
+       |  SELECT '  ' || array_to_string(
+       |           list_transform(range(1, length(w) + 1),
+       |                          i -> substr(w, i, 1)), '  ') || '  '
+       |           AS sym,
+       |         CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1
+       |),
+       |$rounds,
+       |tok AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(len(string_split($appliedSql, '  ')) - 2 AS BIGINT)
+       |           AS w_tokens
+       |  FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w
+       |        FROM documents),
+       |       $bJoin
+       |  WHERE length(w) > 0
+       |)
+       |SELECT doc_id, CAST(MAX(n_chars) AS BIGINT) AS n_chars,
+       |       CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(w_tokens) AS BIGINT) AS n_tokens_bpe,
+       |       CAST(MAX(n_chars) AS DOUBLE) / SUM(w_tokens)
+       |         AS chars_per_token
+       |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private val bpeOracle = {
     // the same loop as chained CTEs: w0 = char-split vocab, each round
     // picks its best pair and rewrites the words for the next
@@ -598,5 +696,8 @@ object Terms {
       tokenTypicality, Some(typicalityOracle), headline = false),
     Query("q120_bpe_merges",
       "BPE merge training: 6 greedy most-frequent-pair rounds at vocab grain, pinned tie-breaks",
-      bpeMerges, Some(bpeOracle), headline = false))
+      bpeMerges, Some(bpeOracle), headline = false),
+    Query("q121_bpe_tokenize",
+      "BPE apply: tokenize with the just-trained ruleset, per-doc token accounting + compression ratio",
+      bpeTokenize, Some(bpeTokenizeOracle), headline = false))
 }

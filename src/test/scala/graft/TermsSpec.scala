@@ -138,6 +138,20 @@ class TermsSpec extends SparkSpec {
       (3L, "aa", "aa", "aaaa", 1L)))
   }
 
+  test("bpe tokenize: trained merges apply in rank order, exact accounting") {
+    import spark.implicits._
+    // same fixture as the training test: learned merges aa, ab, aaaa.
+    // "aaaa" → [aa,aa] → [aaaa]: ONE token (needs rank-2 composition);
+    // each "ab" → [ab]: one token per word.
+    val dir = fixtureDir("documents" ->
+      Seq(Doc(1L, "aaaa"), Doc(2L, "ab ab ab")).toDF)
+    val r = graft.ops.Terms.bpeTokenize(spark, dir).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r(1L) == ((4L, 1L, 1L, 4.0)))
+    assert(r(2L) == ((8L, 3L, 3L, 8.0 / 3)))
+  }
+
   test("token typicality: exact mean-corpus-frequency score") {
     import spark.implicits._
     // counts: a=2 b=1 c=1, T=4. doc1 "a a b": (2+2+1)/3/4; doc2 "c": 1/1/4.

@@ -163,15 +163,25 @@ object Pipeline {
     * output (report-sized at any fact scale), never the fact. The
     * transfer section re-sorts on read: parquet round-trips do not
     * guarantee row order, and the reference's `head(10)` is of the
-    * SORTED pattern table. `runDate` is caller-supplied (C2). */
+    * SORTED pattern table. `runDate` is caller-supplied (C2). The four
+    * `create_charts` figures (report_generator.py:69-143) render inline
+    * from the same written reports via [[sources.Charts.chartsFor]];
+    * `withCharts = false` skips them (the reference's own charts block
+    * is a best-effort try/except). */
   def htmlReport(spark: SparkSession, outDir: String, runDate: String,
-      path: Option[String] = None): String = {
+      path: Option[String] = None, withCharts: Boolean = true): String = {
     import org.apache.spark.sql.functions.col
     def written(name: String): DataFrame =
       if (outDir.startsWith("jdbc:")) Tables(spark, outDir, name)
       else spark.read.parquet(s"$outDir/$name")
+    def writtenOpt(name: String): Option[DataFrame] =
+      try Some(written(name)) catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
     Sinks.writeHtmlReport(
-      Seq(
+      charts =
+        if (withCharts) sources.Charts.chartsFor(writtenOpt) else Nil,
+      sections = Seq(
         "Inventory Summary" -> written("inventory_summary"),
         "Financial Summary" -> written("financial_summary"),
         "Peak Day of Week" -> written("peak_day_of_week"),

@@ -227,7 +227,8 @@ object Sinks {
       title: String,
       runDate: String,
       path: Option[String] = None,
-      maxRows: Int = 50): String = {
+      maxRows: Int = 50,
+      charts: Seq[(String, String)] = Nil): String = {
     def esc(s: String): String = s
       .replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;").replace("\"", "&quot;")
@@ -250,6 +251,12 @@ object Sinks {
          |$trs
          |</tbody></table></section>""".stripMargin
     }.mkString("\n")
+    // charts arrive as already-rendered inline SVG ([[Charts]] — the
+    // reference's create_charts PNGs, report_generator.py:69-143); the
+    // key doubles as the figure id so tests and readers can anchor them
+    val figs = charts.map { case (key, svg) =>
+      s"""<figure id="${esc(key)}">$svg</figure>"""
+    }.mkString("\n")
     val html =
       s"""<!DOCTYPE html>
          |<html><head><meta charset="utf-8"/>
@@ -257,6 +264,7 @@ object Sinks {
          |<body>
          |<h1>${esc(title)}</h1>
          |<p>Run date: ${esc(runDate)}</p>
+         |$figs
          |$body
          |</body></html>
          |""".stripMargin

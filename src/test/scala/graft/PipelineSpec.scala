@@ -33,6 +33,12 @@ class PipelineSpec extends SparkSpec {
     assert(new java.io.File(s"$out/warehouse_report.html").length() > 0)
     val transfers = html.split("<h2>Transfer Patterns \\(top 10\\)</h2>")(1)
     assert(transfers.split("<tr>").length - 2 <= 10)
+    // the four create_charts figures render inline from the written
+    // reports (report_generator.py:69-143 → Charts.chartsFor)
+    for (fig <- Seq("monthly_movements", "abc_analysis_pie",
+        "warehouse_activity", "top_10_value_products"))
+      assert(html.contains(s"""<figure id="$fig"><svg """),
+        s"missing chart $fig")
   }
 
   test("generator → warehouse → pipeline → reports closes the lifecycle loop") {

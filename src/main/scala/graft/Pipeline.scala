@@ -170,7 +170,6 @@ object Pipeline {
     * is a best-effort try/except). */
   def htmlReport(spark: SparkSession, outDir: String, runDate: String,
       path: Option[String] = None, withCharts: Boolean = true): String = {
-    import org.apache.spark.sql.functions.col
     def written(name: String): DataFrame =
       if (outDir.startsWith("jdbc:")) Tables(spark, outDir, name)
       else spark.read.parquet(s"$outDir/$name")
@@ -181,17 +180,39 @@ object Pipeline {
     Sinks.writeHtmlReport(
       charts =
         if (withCharts) sources.Charts.chartsFor(writtenOpt) else Nil,
-      sections = Seq(
-        "Inventory Summary" -> written("inventory_summary"),
-        "Financial Summary" -> written("financial_summary"),
-        "Peak Day of Week" -> written("peak_day_of_week"),
-        "Peak Month" -> written("peak_month"),
-        "Transfer Patterns (top 10)" -> written("transfer_patterns")
-          .orderBy(col("total_transfers").desc, col("from_warehouse_id"),
-            col("to_warehouse_id"))
-          .limit(10)),
+      sections = reportSections(written),
       title = "Warehouse Report",
       runDate = runDate,
       path = path)
+  }
+
+  /** S9's PDF document (`report_generator.py:203-214`: the reference's
+    * WeasyPrint-optional export of the SAME report) — identical section
+    * list and caps as [[htmlReport]], written by the stdlib PDF writer
+    * ([[sources.Pdf]]). */
+  def pdfReport(spark: SparkSession, outDir: String, runDate: String,
+      path: Option[String] = None): Array[Byte] = {
+    def written(name: String): DataFrame =
+      if (outDir.startsWith("jdbc:")) Tables(spark, outDir, name)
+      else spark.read.parquet(s"$outDir/$name")
+    sources.Pdf.writeReport(reportSections(written),
+      title = "Warehouse Report", runDate = runDate, path = path)
+  }
+
+  /** The report document's five sections over the WRITTEN reports —
+    * shared by the HTML and PDF renderings so the two documents agree
+    * section-for-section. */
+  private def reportSections(
+      written: String => DataFrame): Seq[(String, DataFrame)] = {
+    import org.apache.spark.sql.functions.col
+    Seq(
+      "Inventory Summary" -> written("inventory_summary"),
+      "Financial Summary" -> written("financial_summary"),
+      "Peak Day of Week" -> written("peak_day_of_week"),
+      "Peak Month" -> written("peak_month"),
+      "Transfer Patterns (top 10)" -> written("transfer_patterns")
+        .orderBy(col("total_transfers").desc, col("from_warehouse_id"),
+          col("to_warehouse_id"))
+        .limit(10))
   }
 }

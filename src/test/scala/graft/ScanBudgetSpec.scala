@@ -148,6 +148,14 @@ class ScanBudgetSpec extends SparkSpec {
       Map("lineitem" -> 1, "orders" -> 1))
   }
 
+  test("q122 BM25 reads documents once (doc-grain persist feeds stats + postings)") {
+    // corpus stats (N, avgdl) and the postings explode both branch from
+    // the persisted doc-grain projection — losing the persist re-reads
+    // the corpus for the stats scalar and trips this.
+    assert(counts("q122_bm25_search") == Map("documents" -> 1))
+    spark.catalog.clearCache()
+  }
+
   test("SCANBUDGET.json pin covers the registry and respects the ceilings") {
     // The exact-count pin (round-9 verdict item 7) is enforced against
     // executed plans by graft.Explain at every full regeneration; this

@@ -2113,6 +2113,131 @@ object TextPipeline {
     jaccardRerank(cand, sh, MINHASH_THRESHOLD)
   }
 
+  // ---------------------------------------------------------------- q124
+
+  /** Signature width / banding of the ESTIMATE harness (same 64/16×4
+    * geometry as [[minhashNearDup]], so the measured numbers speak for
+    * the deployed configuration). */
+  private val EST_K = 64
+  private val EST_BANDS = 16
+  private val EST_ROWS = EST_K / EST_BANDS
+
+  /** MinHash estimate-quality harness — the dedup analog of q103's ANN
+    * recall: for every GROUND-TRUTH near-dup pair (exact Jaccard ≥ the
+    * q28 threshold, from the shared-shingle inverted index), the
+    * signature-agreement Jaccard ESTIMATE (matching slots / K — the
+    * Broder estimator every MinHash system's guarantees quote), its
+    * absolute error, and how many of the 16 bands collide (band_hits ≥ 1
+    * ⟺ LSH banding would have surfaced the pair as a candidate). A
+    * production pipeline runs exactly this after retuning K/bands.
+    *
+    * The judge of the approximation is not itself approximate: unlike
+    * q28's xxhash64 signatures (fastest, engine-local), the harness
+    * derives its base hash from md5 ([[graft.Dx.hashKey]]) with the same
+    * affine permutation family, so signatures, estimates, and band
+    * collisions replay EXACTLY in DuckDB — the q103 discipline. j_est is
+    * matches/64 (power of two ⇒ exact double), err = |j_exact − j_est|
+    * (two exactly-rounded ops), so every column hash-compares.
+    *
+    * Scale shape: signatures ride the one persisted shingle projection
+    * (evaluation-grade: K rows per distinct shingle through the explode,
+    * collapsed to doc×K grain by the min agg); the estimate join is
+    * ground-truth-pair × K — evaluation cost tracks the PAIR set, never
+    * the corpus square. */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir).persist()
+    // ground truth: exact Jaccard ≥ threshold via the inverted index (a
+    // pair at j ≥ 0.85 shares shingles by definition, so the index is
+    // complete)
+    val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val truth = sh.select($"doc_id".as("doc_a"), $"sh")
+      .join(sh.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+      .join(n.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))
+      .join(n.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), Seq("doc_b"))
+      .withColumn("j_exact",
+        $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
+      .filter($"j_exact" >= MINHASH_THRESHOLD)
+      .select($"doc_a", $"doc_b", $"j_exact")
+    // portable signatures: md5 base hash, K affine permutations mod
+    // 2³¹−1, long format (doc, i, m). All operands non-negative, so
+    // Spark's pmod ≡ DuckDB's % here.
+    val sig = sh
+      .withColumn("x", graft.Dx.hashKey("mh", $"sh"))
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(0, ${EST_K - 1}),
+           |  i -> struct(i as i,
+           |    pmod(x * (2*i + 1) + (i * 2654435761 + 7919),
+           |         $MH_PRIME) as v))""".stripMargin)).as("p"))
+      .groupBy($"doc_id", $"p.i".as("i")).agg(min($"p.v").as("m"))
+    val perBand = truth.select($"doc_a", $"doc_b")
+      .join(sig.select($"doc_id".as("doc_a"), $"i", $"m".as("ma")),
+        Seq("doc_a"))
+      .join(sig.select($"doc_id".as("doc_b"), $"i", $"m".as("mb")),
+        Seq("doc_b", "i"))
+      .groupBy($"doc_a", $"doc_b", expr(s"i div $EST_ROWS").as("band"))
+      .agg(sum(when($"ma" === $"mb", 1).otherwise(0)).as("eqc"))
+    val byPair = perBand.groupBy($"doc_a", $"doc_b")
+      .agg((sum($"eqc").cast("double") / EST_K).as("j_est"),
+        sum(when($"eqc" === EST_ROWS, 1).otherwise(0)).cast("long")
+          .as("band_hits"))
+    truth.join(byPair, Seq("doc_a", "doc_b"))
+      .withColumn("abs_err", abs($"j_exact" - $"j_est"))
+      .select($"doc_a", $"doc_b", $"j_exact", $"j_est", $"abs_err",
+        $"band_hits")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def minhashEstimateOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |s AS (SELECT DISTINCT doc_id, sh FROM (
+       |        SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+       |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |                 AS sh
+       |        FROM t WHERE len(ws) >= 3)),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                 COUNT(*) AS shared
+       |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared)
+       |           AS j_exact
+       |  FROM inter JOIN n na ON na.doc_id = doc_a
+       |             JOIN n nb ON nb.doc_id = doc_b
+       |  WHERE CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared)
+       |        >= $MINHASH_THRESHOLD),
+       |x AS (SELECT doc_id, sh,
+       |             ${graft.Dx.sqlHex2Long("md5('mh' || sh)", 8)} AS x
+       |      FROM s),
+       |p AS (SELECT doc_id,
+       |             i, (x * (2*i + 1) + (i * 2654435761 + 7919))
+       |                % $MH_PRIME AS v
+       |      FROM x CROSS JOIN (SELECT unnest(range(0, $EST_K)) AS i)),
+       |sig AS (SELECT doc_id, i, MIN(v) AS m FROM p GROUP BY 1, 2),
+       |pb AS (
+       |  SELECT tr.doc_a, tr.doc_b, sa.i // $EST_ROWS AS band,
+       |         SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS eqc
+       |  FROM truth tr
+       |  JOIN sig sa ON sa.doc_id = tr.doc_a
+       |  JOIN sig sb ON sb.doc_id = tr.doc_b AND sb.i = sa.i
+       |  GROUP BY 1, 2, 3),
+       |bp AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(SUM(eqc) AS DOUBLE) / $EST_K AS j_est,
+       |         CAST(SUM(CASE WHEN eqc = $EST_ROWS THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS band_hits
+       |  FROM pb GROUP BY 1, 2)
+       |SELECT truth.doc_a AS doc_a, truth.doc_b AS doc_b, j_exact, j_est,
+       |       abs(j_exact - j_est) AS abs_err, band_hits
+       |FROM truth JOIN bp ON truth.doc_a = bp.doc_a
+       |                  AND truth.doc_b = bp.doc_b
+       |ORDER BY truth.doc_a, truth.doc_b""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Seq[Query] = Seq(
@@ -2180,6 +2305,9 @@ object TextPipeline {
       "MinHash-LSH banded near-dup candidates + exact rerank ≥ 0.85",
       minhashNearDup, Some(bruteForceNearDupSql(MINHASH_THRESHOLD)),
       headline = false),
+    Query("q124_minhash_estimate",
+      "MinHash quality harness: per ground-truth pair, signature Jaccard estimate vs exact + band collisions, exact oracle",
+      minhashEstimate, Some(minhashEstimateOracle), headline = false),
     Query("q92_source_boilerplate",
       "cross-doc source-level boilerplate fraction per document (shingle source-df window)",
       // compare-only orderBy (the q60/q62 convention); bench times the

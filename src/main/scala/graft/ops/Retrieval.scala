@@ -90,6 +90,31 @@ object Retrieval {
     floor(raw * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
   }
 
+  /** Shared scoring tail: (doc_id, dl, term, tf) postings + the ≤|Q|-row
+    * df table + the 1-row corpus stats → per-doc decimal-summed BM25,
+    * top-[[TOP_K]]. Both the scan path (q122) and the index path
+    * (q125/q126) end here, which is what makes the index serve
+    * oracle-equal to the scan by construction. */
+  private def rankTopK(tf: DataFrame, dft: DataFrame,
+      stats: DataFrame): DataFrame =
+    rankTopKWithDf(tf.join(broadcast(dft), "term"), stats)
+
+  /** The tail below the df attachment: postings already carrying their
+    * `df` column → scored, decimal-summed, top-k. */
+  private def rankTopKWithDf(post: DataFrame, stats: DataFrame): DataFrame = {
+    import post.sparkSession.implicits._
+    post
+      .crossJoin(broadcast(stats))
+      .withColumn("rscore", rscoreCol)
+      .groupBy($"doc_id", $"dl")
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        sum($"rscore".cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double").as("score"))
+      .select($"doc_id", $"dl", $"n_hits", $"score")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(TOP_K)
+  }
+
   /** q122: top-20 documents for [[QUERY_TERMS]] by BM25 (ratio idf). */
   def bm25Search(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -103,16 +128,7 @@ object Retrieval {
       .agg(count(lit(1)).cast("long").as("tf"))
     val dft = tf.groupBy($"term")
       .agg(count(lit(1)).cast("long").as("df"))
-    tf.join(broadcast(dft), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("rscore", rscoreCol)
-      .groupBy($"doc_id", $"dl")
-      .agg(count(lit(1)).cast("long").as("n_hits"),
-        sum($"rscore".cast(org.apache.spark.sql.types.DecimalType(30, 6)))
-          .cast("double").as("score"))
-      .select($"doc_id", $"dl", $"n_hits", $"score")
-      .orderBy($"score".desc, $"doc_id".asc)
-      .limit(TOP_K)
+    rankTopK(tf, dft, stats)
   }
 
   private def bm25Sql(terms: Seq[String]): String =
@@ -218,11 +234,161 @@ object Retrieval {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q125
+
+  /** Term-hash partition count of the on-disk index. 64 directories at
+    * fixture scale; a 100 TB index raises this with vocabulary size so
+    * each bucket stays a few hundred MB — the partition count is a
+    * layout knob, not a semantics one. */
+  val N_BUCKETS = 64
+
+  /** Portable term→bucket hash (md5 via [[graft.Dx.hashKey]], so the
+    * engine-side column and the driver-side probe agree by definition). */
+  private def termBucket =
+    pmod(graft.Dx.hashKey("tb", col("term")), lit(N_BUCKETS.toLong))
+
+  private def bucketOfDriver(term: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(("tb" + term).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16) % N_BUCKETS
+  }
+
+  /** One live temp index dir per JVM (the q91/q104 lifecycle: previous
+    * dir deleted on the next invocation, last one on JVM exit; a
+    * DataFrame returned by an earlier invocation must be fully consumed
+    * before the next — how every driver uses it). */
+  private val liveIdxDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private lazy val idxReaper: Unit = {
+    sys.addShutdownHook(Option(liveIdxDir.get).foreach(deleteLocalDir))
+    ()
+  }
+  private def deleteLocalDir(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+  private def nextIdxDir(): String = {
+    idxReaper
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_q125_index").toString
+    Option(liveIdxDir.getAndSet(d)).foreach(deleteLocalDir)
+    d
+  }
+
+  /** Build the FULL inverted index from a (doc_id, text) frame into
+    * `idx`: postings (doc_id, dl, term, tf) partitioned by the term-hash
+    * bucket, plus the 1-row corpus stats. Two scans of the input — the
+    * documented build floor (postings need the token multiset, stats
+    * need every doc including zero-token ones; a production build fuses
+    * them into one pass of its ingest job). */
+  private def writeIndexOf(src: DataFrame, idx: String): Unit = {
+    import src.sparkSession.implicits._
+    val base = src.select($"doc_id", split($"text", " ").as("l"))
+    base
+      .select($"doc_id", size($"l").cast("long").as("dl"),
+        explode($"l").as("term"))
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("term_bucket", termBucket)
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$idx/q125_postings")
+    base.agg(sum(size($"l")).cast("long").as("sum_dl"),
+        count(lit(1)).cast("long").as("n_docs"))
+      .write.mode("overwrite").parquet(s"$idx/q125_stats")
+  }
+
+  /** Serve [[QUERY_TERMS]]-style probes from an index dir: the postings
+    * read prunes to the probe terms' hash buckets at PLANNING time
+    * (PartitionFilters over the `term_bucket=` directories — the q91
+    * device applied to text retrieval), df falls out of the pruned
+    * postings (a term's every posting lives in its one bucket, so the
+    * pruned read still sees the full df), stats is a 1-row broadcast. */
+  private def serveFrom(spark: SparkSession, idx: String,
+      terms: Seq[String]): DataFrame = {
+    val buckets = terms.map(bucketOfDriver).distinct.sorted
+    val stats = spark.read.parquet(s"$idx/q125_stats")
+    val post = spark.read.parquet(s"$idx/q125_postings")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    // df as a count window over the one term-keyed read (the q68 df
+    // lesson): a groupBy-join-back formulation read the pruned postings
+    // TWICE (measured 2× in the executed plan); the window keys one
+    // exchange and the scoring tail branches above it.
+    val withDf = post.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("term")))
+      .cast("long"))
+    rankTopKWithDf(withDf, stats)
+  }
+
+  /** q125: build→serve — the 100 TB retrieval deployment shape. The
+    * corpus is scanned at INDEX BUILD time only; the serve plan reads
+    * the term-partitioned index with directory pruning and never touches
+    * the corpus. Oracle: q122's scan-path SQL — the serve must equal the
+    * scan result exactly (same [[rankTopK]] tail, same inputs by
+    * construction). */
+  def bm25ServeIndex(spark: SparkSession, dir: String): DataFrame = {
+    val idx = nextIdxDir()
+    writeIndexOf(docs(spark, dir), idx)
+    serveFrom(spark, idx, QUERY_TERMS)
+  }
+
+  // ---------------------------------------------------------------- q126
+
+  /** q126: incremental index maintenance — T1 for the RETRIEVAL index,
+    * the way q104 is T1 for the containment index: the corpus
+    * (doc_id < split, the 4/5-max checkpoint device) owns a persisted
+    * index; a new batch (doc_id ≥ split) arrives and ONE batch-text scan
+    * appends its postings into the term-partitioned layout and merges
+    * the 1-row stats (two 1-row collects — planning inputs). Serving the
+    * merged index must equal the full-corpus scan path exactly, which is
+    * what the oracle (q122's SQL) states. The corpus text is NEVER
+    * rescanned: df, avgdl, and N all come from the index artifacts. */
+  def bm25IndexIncrement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = docs(spark, dir)
+    val cut = corpus.agg(expr("max(doc_id) * 4 div 5")).head().getLong(0)
+    val idx = nextIdxDir()
+    writeIndexOf(corpus.filter($"doc_id" < cut), idx)
+    // the increment: one batch scan → posting append + stats merge
+    val batch = corpus.filter($"doc_id" >= cut)
+      .select($"doc_id", split($"text", " ").as("l"))
+    batch
+      .select($"doc_id", size($"l").cast("long").as("dl"),
+        explode($"l").as("term"))
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("term_bucket", termBucket)
+      .write.mode("append").partitionBy("term_bucket")
+      .parquet(s"$idx/q125_postings")
+    val stored = spark.read.parquet(s"$idx/q125_stats").head()
+    val delta = batch.agg(sum(size($"l")).cast("long").as("sum_dl"),
+      count(lit(1)).cast("long").as("n_docs")).head()
+    val merged = Seq((stored.getLong(0) + delta.getLong(0),
+      stored.getLong(1) + delta.getLong(1))).toDF("sum_dl", "n_docs")
+    merged.write.mode("overwrite").parquet(s"$idx/q125_stats")
+    serveFrom(spark, idx, QUERY_TERMS)
+  }
+
+  // ----------------------------------------------------------------
+
   val all: Seq[Query] = Seq(
     Query("q122_bm25_search",
       "BM25 keyword retrieval: top-20 docs for a 4-term query, ratio idf + grid-rounded decimal sums",
       bm25Search, Some(bm25Oracle), headline = false),
     Query("q123_bm25_batch",
       "batched BM25 serve: 3 queries scored in one corpus pass, top-5 each via per-query rank window",
-      bm25Batch, Some(bm25BatchOracle), headline = false))
+      bm25Batch, Some(bm25BatchOracle), headline = false),
+    Query("q125_bm25_serve_index",
+      "build→serve: BM25 over a term-hash-partitioned on-disk index, PartitionFilters-pruned bucket reads, ≡ the scan path",
+      bm25ServeIndex, Some(bm25Oracle), headline = false),
+    Query("q126_bm25_index_increment",
+      "maintain→serve: batch postings appended + stats merged without rescanning the corpus, ≡ the full-corpus scan path",
+      bm25IndexIncrement, Some(bm25Oracle), headline = false))
 }

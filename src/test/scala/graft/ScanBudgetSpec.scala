@@ -156,6 +156,33 @@ class ScanBudgetSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q125 index serve prunes the postings read and never scans the corpus") {
+    // the registered plan reads ONLY index artifacts: the bucket-pruned
+    // postings ONCE (df rides a count window over that read — the
+    // groupBy-join-back form measured two reads) and the 1-row stats.
+    // A documents scan appearing here means the serve plan regressed to
+    // reading the corpus.
+    val df = SparkEntry.registry.find(_.name == "q125_bm25_serve_index").get
+      .fn(spark, "/root/testdata/sf0.001")
+    val scans = PlanScans.executedScans(df)
+      .map { case (n, rows) =>
+        n.replaceAll("([0-9a-f]{16,}|\\d{8,})$", "<id>") -> rows }
+    assert(scans.map(_._1).sorted == Seq("q125_postings", "q125_stats"),
+      scans.toString)
+    // pruning ratio: the probe reads a small fraction of the full
+    // posting list (full size recomputed from the corpus here — the
+    // index holds one row per distinct (doc, term))
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val totalPostings = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct().count()
+    val postRows = scans.toMap.apply("q125_postings")
+    assert(postRows < totalPostings / 4,
+      s"expected a pruned read, got $postRows of $totalPostings")
+    spark.catalog.clearCache()
+  }
+
   test("SCANBUDGET.json pin covers the registry and respects the ceilings") {
     // The exact-count pin (round-9 verdict item 7) is enforced against
     // executed plans by graft.Explain at every full regeneration; this

@@ -91,7 +91,10 @@ object ScanBudget {
     // the honest tokenizer-build shape (the vocab artifact is V rows and
     // broadcast back; persisting the corpus-sized occurrence stream to
     // save the second pass would cost more than it saves at scale).
-    "q107_vocab_coverage" -> Map("documents" -> 2))
+    "q107_vocab_coverage" -> Map("documents" -> 2),
+    // Hybrid RRF: the dense leg inherits q29's corpus-leg + broadcast
+    // probe-leg floor (the BM25 leg rides q122's one documents scan).
+    "q127_hybrid_rrf" -> Map("embeddings" -> 2))
     // q63s (round-12): the registered twin now executes the fused
     // single-scan SQL, so it rides the default 1-scan budget — the
     // round-10/11 two-scan dialect floor is retired. The oracle's

@@ -37,8 +37,10 @@ object Ann {
   val NQUERIES = 8
   val TOPK = 10
 
-  /** Decimal-exact sum over zip_with'ed element products (see class doc). */
-  private def dotDec(a: String, b: String): Column = expr(
+  /** Decimal-exact sum over zip_with'ed element products (see class doc).
+    * `private[ops]`: [[Retrieval]]'s dense fusion leg (q127) scores with
+    * the same formulation so the two consumers cannot drift. */
+  private[ops] def dotDec(a: String, b: String): Column = expr(
     s"""aggregate(
        |  zip_with($a, $b, (x, y) ->
        |    CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12 + 0.5) / 1e12
@@ -51,7 +53,7 @@ object Ann {
 
   /** Vectors with their precomputed squared-norm decimal (norms are
     * computed ONCE per vector in the scan projection, not per pair). */
-  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def withNorm(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         dotDec("embedding", "embedding").as("nrm_dec"))

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Query, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -376,6 +376,138 @@ object Retrieval {
     serveFrom(spark, idx, QUERY_TERMS)
   }
 
+  // ---------------------------------------------------------------- q127
+
+  /** RRF constant (Cormack et al. 2009, public — the standard k=60) and
+    * fusion geometry: each leg contributes its top-[[FUSE_DEPTH]], the
+    * fused list keeps [[FUSED_TOP]]. */
+  val RRF_K = 60
+  val FUSE_DEPTH = 20
+  val FUSED_TOP = 10
+
+  /** The dense probe: the embedding of `vec_id` 0 (fixture mapping
+    * `vec_id ≡ doc_id`, the q58 contract). The probe document itself is
+    * excluded from its own result list (the q29 contract). */
+  val DENSE_QUERY = 0L
+
+  /** Reciprocal-rank contribution on the integer micro grid:
+    * `1e6 div (k + rank)` — ONE integer division (`div`, not `/`-then-
+    * cast), exact in both engines, so the fused score is an
+    * order-independent BIGINT sum. 1/(k+rank) as a double would be fine
+    * too (each reciprocal is one rounding), but the integer form keeps
+    * the whole fusion in ℤ — no float ever. */
+  private def rrfContrib(rnkCol: String): Column =
+    coalesce(expr(s"1000000L div (${RRF_K}L + $rnkCol)"), lit(0L))
+
+  /** Dense retrieval leg: exact decimal cosine of every vector against
+    * the [[DENSE_QUERY]] probe ([[Ann.dotDec]] — the same formulation as
+    * q29, so the leg inherits its cross-engine bit-equality), top-20 via
+    * `orderBy.limit` (TakeOrderedAndProject — per-partition heaps, never
+    * a global sort; the rank window then runs over 20 rows). */
+  private def denseLeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Ann.withNorm(spark, dir)
+    val probe = base.filter($"vec_id" === DENSE_QUERY).select(
+      $"embedding".as("q_emb"), $"nrm_dec".as("q_nrm"))
+    val top = base
+      .filter($"vec_id" =!= DENSE_QUERY)
+      .crossJoin(broadcast(probe))
+      .withColumn("cosine",
+        Ann.dotDec("q_emb", "embedding").cast("double") /
+          (sqrt($"q_nrm".cast("double")) * sqrt($"nrm_dec".cast("double"))))
+      .select($"vec_id".as("doc_id"), $"cosine")
+      .orderBy($"cosine".desc, $"doc_id".asc)
+      .limit(FUSE_DEPTH)
+    top.withColumn("dense_rnk", row_number().over(
+        Window.orderBy($"cosine".desc, $"doc_id".asc)).cast("long"))
+      .select($"doc_id", $"dense_rnk")
+  }
+
+  /** q127: hybrid retrieval — the BM25 keyword leg (q122's exact plan)
+    * and the dense cosine leg fused by Reciprocal Rank Fusion. The two
+    * retrieval families fail differently (keyword misses paraphrase,
+    * dense misses rare literal terms), and RRF is the standard public
+    * recipe for combining them WITHOUT score calibration: only RANKS
+    * cross the legs, so the BM25 grid scores and the cosine doubles
+    * never meet arithmetically — the fused score is a pure BIGINT sum of
+    * `1e6 div (60 + rank)` contributions (docs outside a leg's top-20
+    * contribute 0 via the full-outer join).
+    *
+    * 100 TB shape: each leg is its own already-audited retrieval plan
+    * (q122's one-corpus-scan BM25; the dense leg swaps to q30/q48/q91's
+    * bucketed serve at scale — rank-only fusion is exactly what makes
+    * the legs independently replaceable); the fusion itself joins two
+    * k-row lists — output-sized, never corpus-sized. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bm = bm25Search(spark, dir)
+      .select($"doc_id", $"score")
+      .withColumn("bm25_rnk", row_number().over(
+        Window.orderBy($"score".desc, $"doc_id".asc)).cast("long"))
+      .select($"doc_id", $"bm25_rnk")
+    val fused = bm.join(denseLeg(spark, dir), Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        rrfContrib("bm25_rnk") + rrfContrib("dense_rnk"))
+      .orderBy($"rrf_micro".desc, $"doc_id".asc)
+      .limit(FUSED_TOP)
+    fused.withColumn("rnk", row_number().over(
+        Window.orderBy($"rrf_micro".desc, $"doc_id".asc)).cast("long"))
+      .select($"doc_id", $"bm25_rnk", $"dense_rnk", $"rrf_micro", $"rnk")
+      .orderBy($"rnk")
+  }
+
+  private val hybridRrfOracle = {
+    val dim = Ann.EMBED_DIM
+    val prodDec =
+      "CAST(floor(CAST(%s AS DOUBLE) * CAST(%s AS DOUBLE) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,15))"
+    s"""${bm25Sql(QUERY_TERMS)}, bmtop AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CAST(rscore AS DECIMAL(30,6))) AS DOUBLE) AS score
+       |  FROM scored GROUP BY 1
+       |  ORDER BY score DESC, doc_id LIMIT $FUSE_DEPTH
+       |), bm AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |           ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rnk
+       |  FROM bmtop
+       |), el AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         unnest(embedding) AS x
+       |  FROM embeddings
+       |), norms AS (
+       |  SELECT vec_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM el GROUP BY 1
+       |), dots AS (
+       |  SELECT e.vec_id AS doc_id, SUM(${prodDec.format("q.x", "e.x")}) AS dot
+       |  FROM el q JOIN el e ON q.i = e.i AND e.vec_id <> $DENSE_QUERY
+       |  WHERE q.vec_id = $DENSE_QUERY
+       |  GROUP BY 1
+       |), dntop AS (
+       |  SELECT doc_id,
+       |         CAST(dot AS DOUBLE)
+       |           / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nn.nrm AS DOUBLE)))
+       |           AS cosine
+       |  FROM dots JOIN norms nq ON nq.vec_id = $DENSE_QUERY
+       |            JOIN norms nn ON nn.vec_id = doc_id
+       |  ORDER BY cosine DESC, doc_id LIMIT $FUSE_DEPTH
+       |), dn AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |           ORDER BY cosine DESC, doc_id) AS BIGINT) AS dense_rnk
+       |  FROM dntop
+       |), fused AS (
+       |  SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id, bm25_rnk, dense_rnk,
+       |         COALESCE(CAST(1000000 // ($RRF_K + bm25_rnk) AS BIGINT), 0)
+       |           + COALESCE(CAST(1000000 // ($RRF_K + dense_rnk) AS BIGINT), 0)
+       |           AS rrf_micro
+       |  FROM bm FULL JOIN dn ON bm.doc_id = dn.doc_id
+       |)
+       |SELECT doc_id, bm25_rnk, dense_rnk, rrf_micro,
+       |       CAST(ROW_NUMBER() OVER (
+       |         ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk
+       |FROM fused
+       |QUALIFY rnk <= $FUSED_TOP
+       |ORDER BY rnk""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Seq[Query] = Seq(
@@ -390,5 +522,8 @@ object Retrieval {
       bm25ServeIndex, Some(bm25Oracle), headline = false),
     Query("q126_bm25_index_increment",
       "maintain→serve: batch postings appended + stats merged without rescanning the corpus, ≡ the full-corpus scan path",
-      bm25IndexIncrement, Some(bm25Oracle), headline = false))
+      bm25IndexIncrement, Some(bm25Oracle), headline = false),
+    Query("q127_hybrid_rrf",
+      "hybrid retrieval: BM25 keyword leg + exact-cosine dense leg fused by integer Reciprocal Rank Fusion (k=60)",
+      hybridRrf, Some(hybridRrfOracle), headline = false))
 }

@@ -255,6 +255,58 @@ object Scrub {
        |       COUNT(*) < $KANON_K AS at_risk
        |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+
+  /** Whitespace run class, java.util.regex ∩ RE2 (no `\s`: the two
+    * dialects disagree on U+000B membership). */
+  val WS_RE = "[ \\t\\n\\r]+"
+
+  /** q130: canonical text normalization — the edit that runs BEFORE any
+    * hash-keyed operator: Unicode NFC (composed and decomposed renderings
+    * of the same text md5 differently — a dedup/fingerprint hazard, not a
+    * cosmetic one) via the native [[graft.functions.NfcNormalize]]
+    * codegen expression, then whitespace-run collapse + trim. Reports the
+    * normalized text itself (byte-compared by the oracle — the q72/q98
+    * strongest-evidence discipline) plus per-doc change evidence: which
+    * docs the NFC pass touched and which the whitespace pass touched.
+    *
+    * The fixture corpus is machine-generated and already NFC/single-
+    * spaced, so both flags are false on it (exactly the q72 situation:
+    * the corpus is PII-free); the planted decomposed/ligature/Hangul-jamo
+    * semantics are pinned by FunctionsSpec against JDK-computed
+    * expectations, and the DuckDB twin (`nfc_normalize`, utf8proc) was
+    * probe-verified equal on those classes.
+    *
+    * 100 TB shape: pure codegen projection — no shuffle, no state; the
+    * `isNormalized` fast path makes the common (already-clean) row
+    * allocation-free. */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .withColumn("t_nfc", graft.functions.NfcNormalize($"text"))
+      .withColumn("text_norm", trim(regexp_replace($"t_nfc", WS_RE, " ")))
+      .select($"doc_id", $"text_norm",
+        length($"text").cast("long").as("n_chars"),
+        length($"text_norm").cast("long").as("n_chars_norm"),
+        ($"t_nfc" =!= $"text").as("nfc_changed"),
+        ($"text_norm" =!= $"t_nfc").as("ws_changed"))
+  }
+
+  private val normalizeOracle =
+    s"""WITH n AS (
+       |  SELECT doc_id, text, nfc_normalize(text) AS t_nfc FROM documents
+       |), c AS (
+       |  SELECT doc_id, text, t_nfc,
+       |         trim(regexp_replace(t_nfc, '$WS_RE', ' ', 'g')) AS text_norm
+       |  FROM n
+       |)
+       |SELECT doc_id, text_norm,
+       |       CAST(length(text) AS BIGINT) AS n_chars,
+       |       CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+       |       t_nfc <> text AS nfc_changed,
+       |       text_norm <> t_nfc AS ws_changed
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q75_decontamination",
       "eval-set n-gram overlap screen: training docs flagged on any shared shingle, one-scan window shape",
@@ -276,5 +328,10 @@ object Scrub {
       benchFn = Some(piiScrub)),
     Query("q115_k_anonymity",
       "k-anonymity disclosure audit: quasi-identifier groups (lang, source, length band) under k=5 flagged",
-      kAnonymity, Some(kAnonymityOracle), headline = false))
+      kAnonymity, Some(kAnonymityOracle), headline = false),
+    Query("q130_normalize_text",
+      "canonical text normalization: native-codegen Unicode NFC + whitespace collapse, byte-compared output + change evidence",
+      (s, d) => normalizeText(s, d).orderBy("doc_id"),
+      Some(normalizeOracle), headline = false,
+      benchFn = Some(normalizeText)))
 }

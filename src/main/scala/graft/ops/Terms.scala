@@ -675,6 +675,88 @@ object Terms {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q129
+
+  /** q129: per-source distribution shift as TOTAL VARIATION distance —
+    * TV(p_s, p) = ½ Σ_t |p_s(t) − p(t)| between each source's token
+    * distribution and the corpus-wide one. The drift number a corpus-mix
+    * owner watches: a source whose language suddenly changes (a crawl
+    * gone wrong, a boilerplate flood) moves its TV before any downstream
+    * metric does. TV instead of KL/JS because it needs NO log: with
+    * p_s = c_st/T_s and p = C_t/T every |difference| term is the exact
+    * integer |c_st·T − C_t·T_s|, the Σ is an order-independent BIGINT
+    * sum, and the only float op is ONE final division by 2·T_s·T — the
+    * q106/q122 "ranking math without the libm call" device applied to a
+    * distance (KL would also blow up on the zero-count terms TV handles
+    * natively).
+    *
+    * Terms the source never contains still carry mass |0 − p(t)| = C_t/T;
+    * summing them needs no source×vocab grid: their numerator total is
+    * T_s·(T − Σ_{t∈s} C_t), folded from the same per-source aggregate
+    * (`cov`).
+    *
+    * 100 TB shape: ONE corpus scan → (source, term) hash agg (map-side
+    * combining); the per-term corpus count is a count window over that
+    * vocab-grain frame's term-keyed exchange (the q68 df device); the
+    * per-source rollup reuses vocab-grain rows. Nothing after the first
+    * agg is corpus-sized. Integer widths: every product is ≤ T_s·T
+    * (~3.6e10 at sf0.1) — BIGINT-exact with 8 orders of headroom; a
+    * corpus past ~4e9 tokens swaps the products to DECIMAL(38,0), same
+    * contract. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = docs(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("term"))
+      .groupBy($"source", $"term")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .persist()
+    val withTot = st.withColumn("c_tot",
+      sum($"c").over(Window.partitionBy($"term")).cast("long"))
+    val totals = st.groupBy($"source").agg(sum($"c").cast("long").as("t_s"))
+    val grand = totals.agg(sum($"t_s").cast("long").as("t_all"))
+    withTot
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(grand))
+      .withColumn("num", abs($"c" * $"t_all" - $"c_tot" * $"t_s"))
+      .groupBy($"source", $"t_s", $"t_all")
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum($"num").cast("long").as("present_num"),
+        sum($"c_tot").cast("long").as("cov"))
+      .withColumn("tv_num", $"present_num" + $"t_s" * ($"t_all" - $"cov"))
+      .withColumn("tv", $"tv_num".cast("double") /
+        ($"t_s" * $"t_all" * lit(2L)).cast("double"))
+      .select($"source", $"t_s".as("n_tokens"), $"n_terms", $"tv_num", $"tv")
+      .orderBy($"source")
+  }
+
+  private val divergenceOracle =
+    s"""WITH st AS (
+       |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  GROUP BY 1, 2
+       |), wt AS (
+       |  SELECT source, term, c,
+       |         CAST(SUM(c) OVER (PARTITION BY term) AS BIGINT) AS c_tot
+       |  FROM st
+       |), tot AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS t_s FROM st GROUP BY 1
+       |), g AS (SELECT CAST(SUM(t_s) AS BIGINT) AS t_all FROM tot),
+       |agg AS (
+       |  SELECT wt.source, t_s, t_all,
+       |         CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |         CAST(SUM(abs(c * t_all - c_tot * t_s)) AS BIGINT)
+       |           AS present_num,
+       |         CAST(SUM(c_tot) AS BIGINT) AS cov
+       |  FROM wt JOIN tot ON wt.source = tot.source CROSS JOIN g
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT source, t_s AS n_tokens, n_terms,
+       |       present_num + t_s * (t_all - cov) AS tv_num,
+       |       CAST(present_num + t_s * (t_all - cov) AS DOUBLE)
+       |         / CAST(t_s * t_all * 2 AS DOUBLE) AS tv
+       |FROM agg ORDER BY source""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q64_repetition_signals",
       "Gopher-style repetition filters: duplicate-token and top n-gram char fractions per doc",
@@ -699,5 +781,8 @@ object Terms {
       bpeMerges, Some(bpeOracle), headline = false),
     Query("q121_bpe_tokenize",
       "BPE apply: tokenize with the just-trained ruleset, per-doc token accounting + compression ratio",
-      bpeTokenize, Some(bpeTokenizeOracle), headline = false))
+      bpeTokenize, Some(bpeTokenizeOracle), headline = false),
+    Query("q129_source_divergence",
+      "per-source total-variation distance of token distributions vs the corpus (exact integer numerators, one final division)",
+      sourceDivergence, Some(divergenceOracle), headline = false))
 }

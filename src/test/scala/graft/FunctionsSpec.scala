@@ -33,6 +33,45 @@ class FunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("NfcNormalize pins planted Unicode classes and the q130 cleanup") {
+    import graft.functions.NfcNormalize
+    // planted classes, all via EXPLICIT escapes (source-literal Unicode
+    // could be silently normalized by tooling): decomposed Latin
+    // (e + U+0301), decomposed Hangul jamo, already-composed text (fast
+    // path), NFC-invariant ligature (U+FB01 must SURVIVE -- NFC, not
+    // NFKC), and non-BMP (astral) text
+    val decomposed = "cafe\u0301"
+    val jamo = "\u1100\u1161"
+    val ligature = "\ufb01le"
+    val astral = "a\ud83d\ude00b"
+    val rows = Seq(
+      (1L, decomposed), (2L, jamo), (3L, "plain ascii"),
+      (4L, ligature), (5L, astral)).toDF("id", "t")
+    val got = rows.select($"id", NfcNormalize($"t").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def jdk(s: String) =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    assert(got(1L) == "caf\u00e9" && got(1L) == jdk(decomposed))
+    assert(got(2L) == "\uac00" && got(2L) == jdk(jamo))
+    assert(got(3L) == "plain ascii")
+    assert(got(4L) == ligature, "NFC must not decompose ligatures (NFKC would)")
+    assert(got(5L) == astral)
+    // null propagation + analysis-time type check
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(NfcNormalize($"t")).head().isNullAt(0))
+    val err = intercept[Exception] {
+      Seq(1L).toDF("t").select(NfcNormalize($"t")).head()
+    }
+    assert(err.getMessage.toLowerCase.contains("string"))
+    // the q130 composition on a planted messy row: NFC + ws collapse
+    val messy = Seq((9L, " cafe\u0301  y\tz \n")).toDF("doc_id", "text")
+    val q = messy
+      .withColumn("t_nfc", NfcNormalize($"text"))
+      .select(trim(regexp_replace($"t_nfc", ops.Scrub.WS_RE, " ")).as("c"))
+      .head().getString(0)
+    assert(q == "caf\u00e9 y z")
+  }
+
   test("DotProduct rejects non-float arrays at analysis time") {
     val doubles = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
     val err = intercept[Exception] {

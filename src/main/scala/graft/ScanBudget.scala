@@ -94,7 +94,12 @@ object ScanBudget {
     "q107_vocab_coverage" -> Map("documents" -> 2),
     // Hybrid RRF: the dense leg inherits q29's corpus-leg + broadcast
     // probe-leg floor (the BM25 leg rides q122's one documents scan).
-    "q127_hybrid_rrf" -> Map("embeddings" -> 2))
+    "q127_hybrid_rrf" -> Map("embeddings" -> 2),
+    // Scalar-quantized ANN: per-dim min/max train leg + corpus leg +
+    // broadcast probe leg — the q48 3-scan floor with the stats pass
+    // standing in for the centroid-seed pass (q107's honest train/score
+    // shape applied to quantization).
+    "q132_ann_quantized" -> Map("embeddings" -> 3))
     // q63s (round-12): the registered twin now executes the fused
     // single-scan SQL, so it rides the default 1-scan budget — the
     // round-10/11 two-scan dialect floor is retired. The oracle's

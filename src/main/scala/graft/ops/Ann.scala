@@ -1605,6 +1605,138 @@ object Ann {
 
   // ----------------------------------------------------------------
 
+  // ---------------------------------------------------------------- q132
+
+  /** Candidate depth for the quantized screen: 4·k survivors per query
+    * reach the exact rerank. */
+  val SQ_CAND = 4 * TOPK
+
+  /** Per-dimension affine int8 quantization of the corpus, pinned to one
+    * evaluation order both engines replay: `floor((x − mn_i)·255 /
+    * (mx_i − mn_i) + 0.5)` with the zero-range guard dividing by 1.
+    * Emits the original embedding + norm alongside the quantized vector
+    * so the rerank never rescans. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val el = embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
+    val stats = el.groupBy($"i")
+      .agg(min($"x").as("mn"), max($"x").as("mx"))
+    val statsRow = stats.agg(
+      expr("transform(array_sort(collect_list(named_struct(" +
+        "'i', i, 'v', CAST(mn AS DOUBLE)))), s -> s.v)").as("mn_arr"),
+      expr("transform(array_sort(collect_list(named_struct(" +
+        "'i', i, 'v', CAST(mx AS DOUBLE)))), s -> s.v)").as("mx_arr"))
+    withNorm(spark, dir)
+      .crossJoin(broadcast(statsRow))
+      .withColumn("qv", expr(
+        """transform(embedding, (x, i) ->
+          |  CAST(floor((CAST(x AS DOUBLE) - element_at(mn_arr, i + 1)) * 255.0D
+          |    / (CASE WHEN element_at(mx_arr, i + 1) > element_at(mn_arr, i + 1)
+          |            THEN element_at(mx_arr, i + 1) - element_at(mn_arr, i + 1)
+          |            ELSE CAST(1.0 AS DOUBLE) END) + 0.5D) AS BIGINT))"""
+          .stripMargin))
+      .select($"vec_id", $"embedding", $"nrm_dec", $"qv")
+  }
+
+  /** q132: scalar-quantized (int8) ANN serve — the memory/bandwidth
+    * scale path ORTHOGONAL to the IVF/LSH pruning family: every vector
+    * is compressed to one byte per dimension by per-dimension affine
+    * quantization, candidates are screened by the INTEGER quantized dot
+    * product (codegen'd long arithmetic, order-independent — no float in
+    * the screen at all), and only the top-[[SQ_CAND]] per query reach
+    * the exact decimal-cosine rerank. The emitted rows carry both scores
+    * so the oracle pins the screen and the rerank.
+    *
+    * Determinism: min/max per dimension are exact float extremes; the
+    * quantization formula is two exactly-rounded double ops in a pinned
+    * order; everything after it is integer and decimal arithmetic — the
+    * whole two-stage plan replays bit-for-bit in DuckDB.
+    *
+    * 100 TB shape: the quantized corpus is 4× smaller than float32 (64
+    * bytes/vector at dim 64) — the scan-bandwidth cut IS the point at
+    * scale, where ANN serve is IO-bound; the screen is a broadcast-probe
+    * integer pass (SIMD-friendly codegen, no sqrt/div); the rerank
+    * touches CAND·|Q| rows only. Composes with IVF (quantize within
+    * cells) — this operator isolates the quantization leg. Train leg
+    * (per-dim stats) is a 64-row broadcast artifact — the honest
+    * two-pass train/score shape (q107), so the documented floor is the
+    * q48 3-scan form: stats + corpus + probe legs. */
+  def sqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = quantized(spark, dir)
+    val queries = base.filter($"vec_id" < NQUERIES).select(
+      $"vec_id".as("query_id"), $"embedding".as("q_emb"),
+      $"nrm_dec".as("q_nrm"), $"qv".as("q_qv"))
+    val screened = base
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("qscore", expr(
+        "aggregate(zip_with(q_qv, qv, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+    val wCand = Window.partitionBy($"query_id")
+      .orderBy($"qscore".desc, $"vec_id".asc)
+    val wRank = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    screened
+      .withColumn("crnk", row_number().over(wCand))
+      .filter($"crnk" <= SQ_CAND)
+      .withColumn("cosine",
+        dotDec("q_emb", "embedding").cast("double") /
+          (sqrt($"q_nrm".cast("double")) * sqrt($"nrm_dec".cast("double"))))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter($"rnk" <= TOPK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"qscore",
+        $"cosine", $"rnk")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  private val sqOracle =
+    s"""WITH el AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         unnest(embedding) AS x
+       |  FROM embeddings),
+       |stats AS (
+       |  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY 1),
+       |qel AS (
+       |  SELECT vec_id, el.i,
+       |         CAST(floor((CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0
+       |           / (CASE WHEN mx > mn
+       |                   THEN CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)
+       |                   ELSE 1.0 END) + 0.5) AS BIGINT) AS q
+       |  FROM el JOIN stats ON el.i = stats.i),
+       |qdots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         SUM(a.q * b.q) AS qscore
+       |  FROM qel a JOIN qel b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $NQUERIES
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, qscore FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY qscore DESC, neighbor_id) AS crnk
+       |    FROM qdots)
+       |  WHERE crnk <= $SQ_CAND),
+       |norms AS (
+       |  SELECT vec_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM el GROUP BY 1),
+       |dots AS (
+       |  SELECT c.query_id, c.neighbor_id, c.qscore,
+       |         SUM(${prodDec.format("q.x", "e.x")}) AS dot
+       |  FROM cand c
+       |       JOIN el q ON q.vec_id = c.query_id
+       |       JOIN el e ON e.vec_id = c.neighbor_id AND q.i = e.i
+       |  GROUP BY 1, 2, 3),
+       |cos AS (
+       |  SELECT query_id, neighbor_id, qscore,
+       |         CAST(dot AS DOUBLE)
+       |           / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nn.nrm AS DOUBLE))) AS cosine
+       |  FROM dots JOIN norms nq ON nq.vec_id = query_id
+       |            JOIN norms nn ON nn.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, qscore, cosine, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM cos)
+       |WHERE rnk <= $TOPK ORDER BY query_id, rnk""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q29_ann_bruteforce",
       "exact cosine top-10 per probe query, decimal-exact dot products",
@@ -1662,5 +1794,8 @@ object Ann {
       "recall@k evaluation of the SRP-LSH path against exact brute force — the ANN quality harness, exact oracle",
       (s, d) => annRecall(s, d).orderBy("query_id"),
       Some(annRecallOracle), headline = false,
-      benchFn = Some(annRecall)))
+      benchFn = Some(annRecall)),
+    Query("q132_ann_quantized",
+      "scalar-quantized (int8) ANN: per-dim affine quantization, integer dot-product screen, exact decimal rerank of 4k candidates",
+      sqTopK, Some(sqOracle), headline = false))
 }

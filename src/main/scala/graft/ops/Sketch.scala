@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Dx, Query, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cardinality sketching over `documents` — the distinct-count estimator
@@ -142,10 +143,315 @@ object Sketch {
        |ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q134
+
+  /** (reg, maxr) HLL registers of a (text) frame — the [[hllHarness]]
+    * register derivation factored for the increment path. */
+  private def hllRegs(df: DataFrame): DataFrame = {
+    val h = md5(concat(lit(SALT), col("text")))
+    df.select(h.as("h"))
+      .withColumn("reg",
+        pmod(conv(substring(col("h"), 1, 8), 16, 10).cast("long"), lit(M.toLong)))
+      .withColumn("tail", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+      .withColumn("r",
+        when(col("tail") === 0L, lit(33L))
+          .otherwise(lit(33L) - length(bin(col("tail"))).cast("long")))
+      .groupBy(col("reg")).agg(max(col("r")).as("maxr"))
+  }
+
+  /** Estimate columns from a (reg, maxr) register frame (1 row out). */
+  private def hllEstimate(regs: DataFrame): DataFrame =
+    regs
+      .agg(count(lit(1)).cast("long").as("n_regs"),
+        sum(expr("shiftleft(1L, cast(33 - maxr as int))")).as("z_present"))
+      .withColumn("z_scaled",
+        col("z_present") + (lit(M.toLong) - col("n_regs")) * lit(8589934592L))
+      .withColumn("est", lit(EST_NUM) / col("z_scaled").cast("double"))
+      .select(col("n_regs"), col("z_scaled"), col("est"))
+
+  /** One live stored-sketch dir per JVM (the q125 reaper pattern). */
+  private val liveSkDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** q134: T1 for the cardinality sketch — the register table IS the
+    * mergeable artifact HLL exists for, so incremental maintenance is:
+    * store the corpus-prefix registers (64 rows — the whole persisted
+    * state), derive registers for the arriving batch from ONE batch
+    * scan, and max-merge. The served estimate is bit-identical to the
+    * full-corpus scan path ([[hllHarness]]'s "ALL" row) because register
+    * max-merge is associative and commutative — the property that makes
+    * HLL the standard distributed/incremental cardinality sketch, here
+    * proven by the oracle replaying the FULL-corpus path against the
+    * stored+batch merge.
+    *
+    * 100 TB shape: increment cost is batch-sized (one scan, map-side
+    * register combine ships ≤ m rows per executor); stored state is m
+    * rows regardless of corpus size; the corpus is never rescanned. */
+  def hllIncrement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = docs(spark, dir)
+    val cut = corpus.agg(expr("max(doc_id) * 4 div 5")).head().getLong(0)
+    val sk = java.nio.file.Files
+      .createTempDirectory("graft_q134_sketch").toString
+    Option(liveSkDir.getAndSet(sk)).foreach { old =>
+      val p = java.nio.file.Paths.get(old)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    hllRegs(corpus.filter($"doc_id" < cut)).write
+      .mode("overwrite").parquet(s"$sk/q134_registers")
+    val batchRegs = hllRegs(corpus.filter($"doc_id" >= cut))
+    val merged = spark.read.parquet(s"$sk/q134_registers")
+      .union(batchRegs)
+      .groupBy($"reg").agg(max($"maxr").as("maxr"))
+    hllEstimate(merged)
+  }
+
+  private val hllIncrementOracle = {
+    val reg1 = Dx.sqlHex2Long("h", 8)
+    val tail = Dx.sqlHex2Long("h2", 8)
+    s"""WITH base AS (
+       |  SELECT md5('$SALT' || text) AS h,
+       |         substr(md5('$SALT' || text), 9, 8) AS h2
+       |  FROM documents
+       |), keyed AS (
+       |  SELECT CAST($reg1 % $M AS BIGINT) AS reg,
+       |         CAST(CASE WHEN $tail = 0 THEN 33
+       |                   ELSE 33 - length(bin($tail)) END AS BIGINT) AS r
+       |  FROM base
+       |), regs AS (
+       |  SELECT reg, MAX(r) AS maxr FROM keyed GROUP BY 1
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_regs,
+       |       CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - maxr AS INTEGER))
+       |            AS BIGINT)
+       |         + ($M - COUNT(*)) * 8589934592 AS z_scaled,
+       |       $EST_NUM / CAST(SUM(CAST(1 AS BIGINT)
+       |                           << CAST(33 - maxr AS INTEGER))
+       |                       + ($M - COUNT(*)) * 8589934592 AS DOUBLE) AS est
+       |FROM regs""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q131
+
+  /** Count-min geometry: [[CMS_D]] independent md5-salted hash rows ×
+    * [[CMS_W]] counters, and the top-[[CMS_TOPK]] exact terms the
+    * harness evaluates the sketch against. w=64 keeps collisions FREQUENT
+    * at fixture vocabulary (~2.7k terms into 64 buckets) so the measured
+    * overestimates are non-trivial; deploys size w ≈ e/ε for an ε·N
+    * error bound, same algebra. */
+  val CMS_D = 4
+  val CMS_W = 64
+  val CMS_TOPK = 20
+
+  private val CMS_SALTS = (0 until CMS_D).map(r => s"cms$r")
+
+  /** q131: count-min sketch (Cormode & Muthukrishnan 2005, public)
+    * frequency estimation vs exact counts — the heavy-hitter estimator a
+    * 100 TB pipeline runs where the full term aggregate stops being
+    * affordable, kept cross-engine-exact like [[hllHarness]]: bucket
+    * index r is the shared md5 [[Tables]] hash-key device (`hashKey
+    * (salt_r, term) mod w`), counters are plain integer sums, and the
+    * estimate is the MIN over the d row counters — every number in the
+    * artifact is exact integer arithmetic both engines replay, so the
+    * APPROXIMATION ITSELF is oracle-pinned (the q124/q128 discipline).
+    *
+    * The output evaluates the sketch on the top-[[CMS_TOPK]] exact terms:
+    * exact count, CMS estimate, and the overestimate `est − exact` —
+    * which the CMS construction guarantees ≥ 0 (counters only ever add
+    * colliding mass), an invariant the spec pins. `n_total` (the ε·N
+    * error-bound denominator) rides along as context.
+    *
+    * 100 TB shape: ONE corpus scan → vocab-grain hash agg (map-side
+    * combining); the counter table is d·w rows REGARDLESS of corpus size
+    * and — like the HLL registers — linear: per-shard counter tables sum
+    * to the global sketch, which is why CMS is the standard distributed
+    * frequency sketch. The estimate join touches top-K·d rows. A deploy
+    * drops the exact side and ships counters alone. */
+  def cmsHarness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tc = docs(spark, dir)
+      .select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .persist()
+    val bucketStructs = CMS_SALTS.zipWithIndex.map { case (salt, r) =>
+      struct(lit(r.toLong).as("r"),
+        pmod(Dx.hashKey(salt, $"term"), lit(CMS_W.toLong)).as("bucket"))
+    }
+    val keyed = tc.select($"term", $"c",
+      explode(array(bucketStructs: _*)).as("rb"))
+      .select($"term", $"c", $"rb.r", $"rb.bucket")
+    val counters = keyed.groupBy($"r", $"bucket")
+      .agg(sum($"c").as("cnt"))
+    val nTotal = tc.agg(sum($"c").cast("long").as("n_total"))
+    val top = tc
+      .withColumn("trnk", row_number().over(
+        Window.orderBy($"c".desc, $"term".asc)))
+      .filter($"trnk" <= CMS_TOPK)
+    top.select($"term", $"c", explode(array(bucketStructs: _*)).as("rb"))
+      .select($"term", $"c", $"rb.r", $"rb.bucket")
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy($"term", $"c")
+      .agg(min($"cnt").cast("long").as("est"))
+      .crossJoin(broadcast(nTotal))
+      .select($"term", $"c".as("c_exact"), $"est",
+        ($"est" - $"c").as("over_err"), $"n_total")
+      .orderBy($"c_exact".desc, $"term".asc)
+  }
+
+  private val cmsOracle = {
+    val buckets = CMS_SALTS.zipWithIndex.map { case (salt, r) =>
+      val h = s"md5('$salt' || term)"
+      s"SELECT term, c, $r AS r, " +
+        s"CAST(${Dx.sqlHex2Long(h, 8)} % $CMS_W AS BIGINT) " +
+        "AS bucket FROM tc"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tc AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  GROUP BY 1
+       |), keyed AS (
+       |  $buckets
+       |), counters AS (
+       |  SELECT r, bucket, SUM(c) AS cnt FROM keyed GROUP BY 1, 2
+       |), top AS (
+       |  SELECT term, c FROM (
+       |    SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS trnk
+       |    FROM tc)
+       |  WHERE trnk <= $CMS_TOPK
+       |), est AS (
+       |  SELECT k.term, k.c, CAST(MIN(cnt) AS BIGINT) AS est
+       |  FROM keyed k JOIN top t ON k.term = t.term
+       |       JOIN counters co ON co.r = k.r AND co.bucket = k.bucket
+       |  GROUP BY 1, 2
+       |)
+       |SELECT term, c AS c_exact, est, est - c AS over_err,
+       |       (SELECT CAST(SUM(c) AS BIGINT) FROM tc) AS n_total
+       |FROM est ORDER BY c_exact DESC, term""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q133
+
+  /** Sample keep threshold: rate 1/4 on the md5 32-bit grid (exact:
+    * 2³⁰ of 2³²) with the [[Dx.hashKey]] salt below. */
+  val QSK_SALT = "qtl"
+  val QSK_THRESHOLD = 1073741824L
+
+  /** q133: sampled-quantile estimation harness — the third leg of the
+    * sketch family (q128 cardinality, q131 frequency, this one rank
+    * statistics): per-language type-7 length quantiles computed on a
+    * DETERMINISTIC md5-threshold 25% sample (the q65 membership device —
+    * a pure function of doc_id, so the "random" sample is replayable in
+    * both engines bit-for-bit) joined against the exact full-corpus
+    * quantiles (q69's pinned rank arithmetic), with per-probe absolute
+    * error and both population sizes. This is the measured-accuracy
+    * stand-in for KLL/t-digest, whose merge paths are not cross-engine
+    * replayable: at 100 TB the ESTIMATE path is what runs (sort windows
+    * over a 4× — or far deeper — reduced sample), and this harness is
+    * the evidence for how much error that buys at a given rate.
+    *
+    * 100 TB shape: ONE corpus scan projects (lang, n_chars, keep); the
+    * tiny 3-column frame persists so the exact and sampled subtrees
+    * share it; both quantile paths are per-lang sort windows (stratum-
+    * keyed exchanges, never global); deploys drop the exact leg and run
+    * the sample leg alone — cost scales with the sample, and the rate
+    * knob trades error for depth with the measured curve here. */
+  def sampledQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir)
+      .select($"lang", $"n_chars",
+        (Dx.hashKey(QSK_SALT, $"doc_id") < QSK_THRESHOLD).as("keep"))
+      .persist()
+    def t7(src: DataFrame, out: String, nOut: String): DataFrame = {
+      val byVal = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      val all = Window.partitionBy(col("lang"))
+      val v = src
+        .withColumn("rn", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(all))
+      v.crossJoin(Sampling.QUANTILES.toDF("p"))
+        .withColumn("h", ($"n" - 1) * $"p")
+        .withColumn("lo", floor($"h").cast("long"))
+        .withColumn("hi", ceil($"h").cast("long"))
+        .filter($"rn" === $"lo" + 1 || $"rn" === $"hi" + 1)
+        .groupBy($"lang", $"p")
+        .agg((min(when($"rn" === $"lo" + 1, $"n_chars")).cast("double") +
+          (max(when($"rn" === $"hi" + 1, $"n_chars")) -
+            min(when($"rn" === $"lo" + 1, $"n_chars"))) *
+            (max($"h") - max($"lo"))).as(out),
+          max($"n").cast("long").as(nOut))
+    }
+    val exact = t7(base.select($"lang", $"n_chars"), "q_exact", "n_full")
+    val est = t7(base.filter($"keep").select($"lang", $"n_chars"),
+      "q_est", "n_samp")
+    exact.join(est, Seq("lang", "p"), "left_outer")
+      .withColumn("abs_err", abs($"q_est" - $"q_exact"))
+      .select($"lang", $"p", $"q_exact", $"q_est", $"abs_err",
+        $"n_full", $"n_samp")
+      .orderBy($"lang", $"p")
+  }
+
+  private val sampledQuantilesOracle = {
+    val plist = Sampling.QUANTILES.map(p => s"CAST($p AS DOUBLE)").mkString(", ")
+    val key = Dx.sqlHex2Long("md5('" + QSK_SALT + "' || CAST(doc_id AS VARCHAR))", 8)
+    def t7(src: String, out: String, nOut: String) =
+      s"""SELECT lang, p,
+         |  CAST(MIN(CASE WHEN rn = lo + 1 THEN n_chars END) AS DOUBLE)
+         |    + (MAX(CASE WHEN rn = hi + 1 THEN n_chars END)
+         |       - MIN(CASE WHEN rn = lo + 1 THEN n_chars END))
+         |      * (MAX(h) - MAX(lo)) AS $out,
+         |  CAST(MAX(n) AS BIGINT) AS $nOut
+         |FROM (
+         |  SELECT v.lang, p.p, v.n_chars, v.rn, v.n,
+         |         CAST(floor((v.n - 1) * p.p) AS BIGINT) AS lo,
+         |         CAST(ceil((v.n - 1) * p.p) AS BIGINT) AS hi,
+         |         (v.n - 1) * p.p AS h
+         |  FROM $src v, p
+         |  WHERE v.rn = CAST(floor((v.n - 1) * p.p) AS BIGINT) + 1
+         |     OR v.rn = CAST(ceil((v.n - 1) * p.p) AS BIGINT) + 1
+         |) GROUP BY 1, 2""".stripMargin
+    s"""WITH base AS (
+       |  SELECT lang, n_chars, $key < $QSK_THRESHOLD AS keep
+       |  FROM documents
+       |), p AS (SELECT unnest([$plist]) AS p),
+       |vf AS (
+       |  SELECT lang, n_chars,
+       |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+       |         COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM base
+       |), vs AS (
+       |  SELECT lang, n_chars,
+       |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+       |         COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM base WHERE keep
+       |), ex AS (
+       |  ${t7("vf", "q_exact", "n_full")}
+       |), es AS (
+       |  ${t7("vs", "q_est", "n_samp")}
+       |)
+       |SELECT ex.lang, ex.p, q_exact, q_est, abs(q_est - q_exact) AS abs_err,
+       |       n_full, n_samp
+       |FROM ex LEFT JOIN es ON ex.lang = es.lang AND ex.p = es.p
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Seq[Query] = Seq(
     Query("q128_hll_cardinality",
       "cross-engine-exact HyperLogLog: per-source + register-merged distinct-text estimates vs exact, integer-scaled harmonic sum",
-      hllHarness, Some(hllOracle), headline = false))
+      hllHarness, Some(hllOracle), headline = false),
+    Query("q131_cms_frequency",
+      "count-min sketch frequency estimates vs exact counts for the top-20 terms: d=4 md5 rows x w=64 integer counters, overestimate invariant",
+      cmsHarness, Some(cmsOracle), headline = false),
+    Query("q133_sampled_quantiles",
+      "deterministic 25% md5-sample type-7 quantiles vs the exact full-corpus quantiles per language, with absolute error",
+      sampledQuantiles, Some(sampledQuantilesOracle), headline = false),
+    Query("q134_hll_increment",
+      "maintain->serve for the cardinality sketch: stored 64-row registers + one batch scan, max-merge == the full-corpus path",
+      hllIncrement, Some(hllIncrementOracle), headline = false))
 }

@@ -439,6 +439,206 @@ object Sketch {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q136
+
+  /** Bottom-k signature size and the 8-gram shingle grain (the span
+    * family's [[graft.ops.TextPipeline.SPAN_K]] discipline). */
+  val KMV_K = 256
+  val KMV_GRAM_K = 8
+  private val KMV_SALT = "kmv"
+
+  /** The folded KMV estimate numerator (k−1)·2⁶⁰ — one Scala-computed
+    * double literal pasted into both engines (the [[EST_NUM]] device);
+    * the denominator is the k-th smallest key's top 60 bits as an exact
+    * BIGINT, so the estimate is ONE exactly-rounded division. */
+  val KMV_NUM: Double = (KMV_K - 1).toDouble * 1152921504606846976.0d
+
+  /** q136: cross-source 8-gram overlap estimated from BOTTOM-K (KMV)
+    * distinct sketches — the SET-OPERATIONS leg of the sketch family
+    * (q128 cardinality, q131 frequency, q133 rank statistics, this one
+    * union/intersection): "how much gram content does source A share
+    * with source B" is the contamination/boilerplate question a mix
+    * owner asks BEFORE q129's distribution drift, and answering it
+    * exactly needs the cross-source gram join this sketch exists to
+    * avoid. KMV (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07 —
+    * public) rather than HLL inclusion–exclusion because I–E error is
+    * additive in |A∪B| (pure noise at these overlap sizes, at any
+    * practical m), while the bottom-k union sketch estimates the
+    * JACCARD of the pair directly from signature intersection:
+    *
+    *  - per source: the K smallest md5(gram) keys. If a source has
+    *    fewer than K distinct grams the sketch IS the set and every
+    *    estimate below is exact (saturation — pinned by spec).
+    *  - union sketch for (A,B) = bottom-K of sig_A ∪ sig_B: bottom-k is
+    *    UNION-MERGEABLE by construction (min-wise order is global), the
+    *    property that makes it a distributed sketch — merging
+    *    signatures, never sets.
+    *  - any union-sketch member that lies in BOTH signatures is in
+    *    A∩B, and every A∩B member inside the union's bottom-K is in
+    *    both signatures (rank_A(x) ≤ rank_U(x) ≤ K) — so
+    *    J ≈ n_match/k_eff with NO additional hashing assumption.
+    *  - |A∪B| ≈ (K−1)·2⁶⁰/u where u = the K-th smallest key's top 60
+    *    bits (15 hex chars — exact BIGINT in both engines);
+    *    overlap ≈ J·|A∪B|. Every float step is an exactly-rounded
+    *    op on identically-rounded operands (the q124/q128 discipline),
+    *    so the DuckDB oracle replays the SKETCH bit-for-bit, and the
+    *    harness reports exact per-source and per-pair ground truth with
+    *    absolute error alongside.
+    *
+    * 100 TB shape: ONE documents scan (budget-pinned: the distinct
+    * (source, gram-key) frame persists and feeds signatures, ground
+    * truth, and the source list); the signature table is ≤ sources·K
+    * rows — dimension-sized — and everything pairwise operates on
+    * SIGNATURES (the pair stage never touches corpus-sized data; the
+    * source-pair cross is dims-only). The exact legs are harness ground
+    * truth — a deploy ships signatures alone and drops both. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = docs(spark, dir)
+      .select($"source", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= KMV_GRAM_K)
+      .select($"source", explode(expr(
+        s"transform(sequence(0, size(ws) - $KMV_GRAM_K), i -> " +
+          s"md5(concat('$KMV_SALT', " +
+          s"concat_ws(' ', slice(ws, i + 1, $KMV_GRAM_K)))))")).as("k"))
+      .distinct()
+      .persist()
+    val sig = sets
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"k")))
+      .filter($"rn" <= KMV_K)
+      .select($"source", $"k")
+      .persist()
+    val perSrc = sig.groupBy($"source")
+      .agg(count(lit(1)).as("n_sig"), max($"k").as("kth"))
+      .join(sets.groupBy($"source").agg(count(lit(1)).as("n_exact")),
+        Seq("source"))
+      .withColumn("u", conv(substring($"kth", 1, 15), 16, 10).cast("long"))
+      .withColumn("est",
+        when($"n_sig" < KMV_K, $"n_sig".cast("double"))
+          .otherwise(lit(KMV_NUM) / $"u".cast("double")))
+      .select($"source", $"n_exact", $"est")
+    val srcs = sets.select($"source").distinct()
+    val pairs = srcs.select($"source".as("src_a"))
+      .crossJoin(srcs.select($"source".as("src_b")))
+      .filter($"src_a" < $"src_b")
+    val uni = pairs
+      .join(sig.select($"source".as("src_a"), $"k"), Seq("src_a"))
+      .select($"src_a", $"src_b", $"k",
+        lit(1).as("ia"), lit(0).as("ib"))
+      .union(pairs
+        .join(sig.select($"source".as("src_b"), $"k"), Seq("src_b"))
+        .select($"src_a", $"src_b", $"k", lit(0).as("ia"), lit(1).as("ib")))
+      .groupBy($"src_a", $"src_b", $"k")
+      .agg(max($"ia").as("ia"), max($"ib").as("ib"))
+    val pairAgg = uni
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src_a", $"src_b").orderBy($"k")))
+      .filter($"rn" <= KMV_K)
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("k_eff"),
+        sum(($"ia" * $"ib").cast("long")).as("n_match"),
+        max($"k").as("kthu"))
+      .withColumn("uu", conv(substring($"kthu", 1, 15), 16, 10).cast("long"))
+      .withColumn("est_union",
+        when($"k_eff" < KMV_K, $"k_eff".cast("double"))
+          .otherwise(lit(KMV_NUM) / $"uu".cast("double")))
+    val exOv = sets.select($"source".as("src_a"), $"k")
+      .join(sets.select($"source".as("src_b"), $"k"), Seq("k"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_exact_overlap"))
+    pairAgg
+      .join(perSrc.select($"source".as("src_a"),
+        $"n_exact".as("n_a"), $"est".as("est_a")), Seq("src_a"))
+      .join(perSrc.select($"source".as("src_b"),
+        $"n_exact".as("n_b"), $"est".as("est_b")), Seq("src_b"))
+      .join(exOv, Seq("src_a", "src_b"), "left")
+      .withColumn("n_exact_overlap", coalesce($"n_exact_overlap", lit(0L)))
+      .withColumn("est_overlap",
+        ($"n_match".cast("double") / $"k_eff".cast("double")) * $"est_union")
+      .withColumn("abs_err",
+        abs($"est_overlap" - $"n_exact_overlap".cast("double")))
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"est_a", $"est_b",
+        $"k_eff", $"n_match", $"est_union", $"est_overlap",
+        $"n_exact_overlap", $"abs_err")
+  }
+
+  private val kmvOracle = {
+    val u = Dx.sqlHex2Long("kth", 15)
+    val uu = Dx.sqlHex2Long("kthu", 15)
+    s"""WITH t AS (
+       |  SELECT source, string_split(text, ' ') AS ws FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $KMV_GRAM_K),
+       |sets AS (
+       |  SELECT DISTINCT source,
+       |         md5('$KMV_SALT' ||
+       |             array_to_string(ws[i+1:i+$KMV_GRAM_K], ' ')) AS k
+       |  FROM (SELECT source, ws,
+       |               unnest(range(0, len(ws) - ${KMV_GRAM_K - 1})) AS i
+       |        FROM t)),
+       |sig AS (
+       |  SELECT source, k FROM (
+       |    SELECT source, k,
+       |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY k) AS rn
+       |    FROM sets)
+       |  WHERE rn <= $KMV_K),
+       |persrc AS (
+       |  SELECT e.source, e.n_exact,
+       |         CASE WHEN g.n_sig < $KMV_K THEN CAST(g.n_sig AS DOUBLE)
+       |              ELSE $KMV_NUM / CAST($u AS DOUBLE) END AS est
+       |  FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |        FROM sets GROUP BY 1) e
+       |  JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sig,
+       |               MAX(k) AS kth
+       |        FROM sig GROUP BY 1) g ON e.source = g.source),
+       |srcs AS (SELECT DISTINCT source FROM sets),
+       |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+       |          FROM srcs a, srcs b WHERE a.source < b.source),
+       |uni AS (
+       |  SELECT src_a, src_b, k, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+       |    SELECT p.src_a, p.src_b, s.k, 1 AS ia, 0 AS ib
+       |    FROM pairs p JOIN sig s ON s.source = p.src_a
+       |    UNION ALL
+       |    SELECT p.src_a, p.src_b, s.k, 0, 1
+       |    FROM pairs p JOIN sig s ON s.source = p.src_b)
+       |  GROUP BY 1, 2, 3),
+       |pagg AS (
+       |  SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS k_eff,
+       |         CAST(SUM(ia * ib) AS BIGINT) AS n_match,
+       |         MAX(k) AS kthu
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b
+       |                                     ORDER BY k) AS rn
+       |        FROM uni)
+       |  WHERE rn <= $KMV_K GROUP BY 1, 2),
+       |pest AS (
+       |  SELECT src_a, src_b, k_eff, n_match,
+       |         CASE WHEN k_eff < $KMV_K THEN CAST(k_eff AS DOUBLE)
+       |              ELSE $KMV_NUM / CAST($uu AS DOUBLE) END AS est_union
+       |  FROM pagg),
+       |ex AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_exact_overlap
+       |  FROM sets a JOIN sets b ON a.k = b.k AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b,
+       |       pa.n_exact AS n_a, pb.n_exact AS n_b,
+       |       pa.est AS est_a, pb.est AS est_b,
+       |       k_eff, n_match, est_union,
+       |       (CAST(n_match AS DOUBLE) / CAST(k_eff AS DOUBLE)) * est_union
+       |         AS est_overlap,
+       |       COALESCE(ex.n_exact_overlap, 0) AS n_exact_overlap,
+       |       abs((CAST(n_match AS DOUBLE) / CAST(k_eff AS DOUBLE))
+       |             * est_union
+       |           - CAST(COALESCE(ex.n_exact_overlap, 0) AS DOUBLE))
+       |         AS abs_err
+       |FROM pest p
+       |JOIN persrc pa ON pa.source = p.src_a
+       |JOIN persrc pb ON pb.source = p.src_b
+       |LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Seq[Query] = Seq(
@@ -453,5 +653,10 @@ object Sketch {
       sampledQuantiles, Some(sampledQuantilesOracle), headline = false),
     Query("q134_hll_increment",
       "maintain->serve for the cardinality sketch: stored 64-row registers + one batch scan, max-merge == the full-corpus path",
-      hllIncrement, Some(hllIncrementOracle), headline = false))
+      hllIncrement, Some(hllIncrementOracle), headline = false),
+    Query("q136_kmv_overlap",
+      "cross-source gram overlap from bottom-256 KMV sketches: union-merged signatures, Jaccard from signature intersection, vs exact",
+      (s, d) => kmvOverlap(s, d).orderBy("src_a", "src_b"),
+      Some(kmvOracle), headline = false,
+      benchFn = Some(kmvOverlap)))
 }

@@ -1713,6 +1713,94 @@ object TextPipeline {
        |                  FILTER (WHERE covered = 0), '') AS cleaned_text
        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q135
+
+  /** CROSS-document maximal shared-span mining — the PROVENANCE view of
+    * exact-substring dedup, completing the span trio: q98 EDITS (drops
+    * every token covered by a cross-doc duplicated [[SPAN_K]]-gram),
+    * q102 edits within-doc, and this operator reports the aligned spans
+    * themselves — one (doc_a, doc_b, a_start, b_start, span_len) row per
+    * MAXIMAL run of consecutive shared grams: the copy-audit artifact a
+    * license/contamination review reads ("who shares which passage with
+    * whom, and where"), and the relational form of the suffix-array pass
+    * in the exact-substring dedup recipe (Lee et al. 2022,
+    * arXiv:2107.06499 — public).
+    *
+    * Algebra: a shared run of L ≥ K tokens between two documents is
+    * EXACTLY a maximal run of matched K-gram starts on one DIAGONAL
+    * (pa − pb constant): starts pa..pa+L−K all match and nothing
+    * adjacent does, so L = (max pa − min pa) + K; runs are cut by the
+    * classic pos − row_number() island device per (pair, diagonal).
+    * Tandem/multi-occurrence repeats produce one island per alignment
+    * diagonal — each reported separately, by construction.
+    *
+    * Scale shape: ONE documents scan (budget-pinned) — the gram frame is
+    * persisted below its md5-keyed df window (the q27/q124 device), so
+    * the pair self-join's two sides read the cache, not the table. The
+    * exchange ships (doc, pos, 32-char md5), never text. Match volume is
+    * bounded exactly as q99: grams hotter than [[MAX_SHINGLE_DF]]
+    * DISTINCT docs are template material (q92's subject), excluded from
+    * COPYING evidence by design, so pair rows are Σ_gram occ·(ddf−1)
+    * with ddf hard-capped — the q27/q99 linear budget class. Everything
+    * past the match rows is pair-keyed window + agg over MATCH volume,
+    * never corpus volume. */
+  def spanProvenance(spark: SparkSession, dir: String,
+      maxDf: Int = MAX_SHINGLE_DF): DataFrame = {
+    import spark.implicits._
+    val byK = Window.partitionBy($"k")
+    val bounded = docs(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter($"doc_id".isNotNull && size($"ws") >= SPAN_K)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, size(ws) - $SPAN_K), i -> struct(" +
+          s"CAST(i AS LONG) AS pos, " +
+          s"md5(concat_ws(' ', slice(ws, i + 1, $SPAN_K))) AS k))"))
+        .as("t"))
+      .select($"doc_id", $"t.pos".as("pos"), $"t.k".as("k"))
+      .withColumn("dr", dense_rank().over(byK.orderBy($"doc_id")))
+      .withColumn("ddf", max($"dr").over(byK))
+      .filter($"ddf" >= 2 && $"ddf" <= maxDf)
+      .select($"doc_id", $"pos", $"k")
+      .persist()
+    val m = bounded.select($"doc_id".as("doc_a"), $"pos".as("pa"), $"k")
+      .join(bounded.select($"doc_id".as("doc_b"), $"pos".as("pb"), $"k"),
+        Seq("k"))
+      .filter($"doc_a" < $"doc_b")
+    m.withColumn("diag", $"pa" - $"pb")
+      .withColumn("grp", $"pa" - row_number().over(
+        Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"grp")
+      .agg(min($"pa").as("a_start"), min($"pb").as("b_start"),
+        (max($"pa") - min($"pa") + lit(SPAN_K.toLong)).as("span_len"))
+      .select($"doc_a", $"doc_b", $"a_start", $"b_start", $"span_len")
+  }
+
+  private def spanProvenanceOracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE doc_id IS NOT NULL
+       |    AND len(string_split(text, ' ')) >= $SPAN_K),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |         md5(array_to_string(ws[i+1:i+$SPAN_K], ' ')) AS k
+       |  FROM (SELECT doc_id, ws,
+       |               unnest(range(0, len(ws) - ${SPAN_K - 1})) AS i
+       |        FROM t)),
+       |df AS (SELECT k, COUNT(DISTINCT doc_id) AS ddf FROM g GROUP BY 1),
+       |b AS (SELECT g.* FROM g JOIN df USING (k)
+       |      WHERE ddf BETWEEN 2 AND $MAX_SHINGLE_DF),
+       |m AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |             a.pos AS pa, b2.pos AS pb
+       |      FROM b a JOIN b b2 USING (k) WHERE a.doc_id < b2.doc_id),
+       |i AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+       |             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b,
+       |                                     pa - pb ORDER BY pa) AS grp
+       |      FROM m)
+       |SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
+       |       CAST(MAX(pa) - MIN(pa) + $SPAN_K AS BIGINT) AS span_len
+       |FROM i GROUP BY doc_a, doc_b, diag, grp
+       |ORDER BY span_len DESC, doc_a, doc_b, a_start, b_start""".stripMargin
+
   // ---------------------------------------------------------------- q99
 
   /** Containment threshold as an exact rational (9/10): the predicate is
@@ -2337,6 +2425,13 @@ object TextPipeline {
       (s, d) => spanScrubWithin(s, d).orderBy("doc_id"),
       Some(spanScrubWithinOracle), headline = false,
       benchFn = Some(spanScrubWithin)),
+    Query("q135_span_provenance",
+      "cross-doc maximal shared-span mining: aligned (doc_a, doc_b, starts, length) rows per maximal run of matched 8-grams on a diagonal",
+      (s, d) => spanProvenance(s, d).orderBy(
+        col("span_len").desc, col("doc_a"), col("doc_b"), col("a_start"),
+        col("b_start")),
+      Some(spanProvenanceOracle), headline = false,
+      benchFn = Some((s, d) => spanProvenance(s, d))),
     Query("q49_token_counts",
       "whitespace + BPE-ish regex token counting per document",
       tokenCounts, Some(tokenCountsOracle), headline = false),

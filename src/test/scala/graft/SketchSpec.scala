@@ -103,4 +103,77 @@ class SketchSpec extends SparkSpec {
           math.abs(r.getAs[Double]("q_est") - r.getAs[Double]("q_exact")))
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The q136 gram-key set of a token stream, replayed in plain Scala. */
+  private def kmvKeys(toks: Seq[String]): Set[String] =
+    toks.sliding(Sketch.KMV_GRAM_K).map(g =>
+      md5hex("kmv" + g.mkString(" "))).toSet
+
+  test("q136 KMV saturation: sketches below K are exact sets") {
+    // two sources, one doc each, 55 tokens, sharing a 15-token middle
+    // segment -> 48 distinct grams per source (all < K=256: SATURATED),
+    // 15-8+1 = 8 shared grams (boundary grams mix unique tokens).
+    val s = (0 until 15).map(i => s"s$i")
+    val ta = (0 until 20).map(i => s"a$i") ++ s ++ (20 until 40).map(i => s"a$i")
+    val tb = (0 until 20).map(i => s"b$i") ++ s ++ (20 until 40).map(i => s"b$i")
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(0L, ta.mkString(" "), source = "sa"),
+      Doc(1L, tb.mkString(" "), source = "sb")).toDF)
+    val r = Sketch.kmvOverlap(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("src_a") == "sa")
+    assert(row.getAs[Long]("n_a") == 48L && row.getAs[Long]("n_b") == 48L)
+    // saturation: est IS the exact count, no estimator involved
+    assert(row.getAs[Double]("est_a") == 48.0)
+    assert(row.getAs[Double]("est_b") == 48.0)
+    assert(row.getAs[Long]("k_eff") == 88L) // 48+48-8 < K
+    assert(row.getAs[Double]("est_union") == 88.0)
+    assert(row.getAs[Long]("n_match") == 8L)
+    assert(row.getAs[Long]("n_exact_overlap") == 8L)
+    assert(math.abs(row.getAs[Double]("est_overlap") - 8.0) < 1e-9)
+  }
+
+  test("q136 KMV above saturation: full JDK signature replay") {
+    // 500 tokens per source, shared 120-token middle -> 493 grams each
+    // (> K: estimation regime), 113 truly shared.
+    val s = (0 until 120).map(i => s"s$i")
+    val ta = (0 until 190).map(i => s"a$i") ++ s ++ (190 until 380).map(i => s"a$i")
+    val tb = (0 until 190).map(i => s"b$i") ++ s ++ (190 until 380).map(i => s"b$i")
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(0L, ta.mkString(" "), source = "sa"),
+      Doc(1L, tb.mkString(" "), source = "sb")).toDF)
+    val row = Sketch.kmvOverlap(spark, dir).collect().head
+    // independent replay: sets, bottom-K signatures, signature-level
+    // union merge, and the (K-1)*2^60/u estimate in plain Scala — the
+    // identical IEEE ops, so doubles compare EXACTLY.
+    val (ka, kb) = (kmvKeys(ta), kmvKeys(tb))
+    assert(ka.size == 493 && (ka intersect kb).size == 113)
+    val sigA = ka.toSeq.sorted.take(Sketch.KMV_K)
+    val sigB = kb.toSeq.sorted.take(Sketch.KMV_K)
+    def est(sig: Seq[String], n: Int): Double =
+      if (sig.length < Sketch.KMV_K) sig.length.toDouble
+      else Sketch.KMV_NUM /
+        java.lang.Long.parseLong(sig.last.take(15), 16).toDouble
+    val uSig = (sigA ++ sigB).distinct.sorted.take(Sketch.KMV_K)
+    val nMatch = uSig.count(k => sigA.contains(k) && sigB.contains(k))
+    // rank containment: every union-bottom-K member of A B is in both
+    // SIGNATURES, so matches are true intersection members
+    assert(uSig.filter(k => ka(k) && kb(k)).forall(k =>
+      sigA.contains(k) && sigB.contains(k)))
+    assert(row.getAs[Long]("n_match") == nMatch.toLong)
+    assert(row.getAs[Long]("n_match") <= row.getAs[Long]("n_exact_overlap"))
+    assert(row.getAs[Long]("n_exact_overlap") == 113L)
+    assert(row.getAs[Long]("k_eff") == Sketch.KMV_K.toLong)
+    assert(row.getAs[Double]("est_a") == est(sigA, ka.size))
+    assert(row.getAs[Double]("est_union") == est(uSig, 0))
+    val expOverlap = nMatch.toDouble / Sketch.KMV_K * est(uSig, 0)
+    assert(row.getAs[Double]("est_overlap") == expOverlap)
+    // the estimator is in the right regime: within 35% of truth here
+    assert(math.abs(row.getAs[Double]("est_a") - 493.0) < 493.0 * 0.35)
+  }
 }

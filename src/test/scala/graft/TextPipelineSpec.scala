@@ -640,4 +640,31 @@ class TextPipelineSpec extends SparkSpec {
     assert(r("quality") == ((1L, goodTok, 1.0 / 3)))
     assert(r("language") == ((1L, goodTok, 1.0 / 3)))
   }
+
+  test("q135 span provenance: maximal spans, tandem alignments, df cap") {
+    import spark.implicits._
+    val w = (0 until 12).map(i => s"w$i")
+    // doc0: w0..w11; doc1: 5 unique tokens then w2..w11 (shared span of
+    // 10 tokens at a_start=2, b_start=5); doc2: the 8-token block
+    // w2..w9 TWICE (tandem) — two alignment diagonals against each of
+    // doc0 and doc1, each exactly the 8-gram itself.
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(0L, w.mkString(" ")),
+      Doc(1L, ((0 until 5).map(i => s"p$i") ++ w.drop(2)).mkString(" ")),
+      Doc(2L, (w.slice(2, 10) ++ w.slice(2, 10)).mkString(" "))).toDF)
+    val got = graft.ops.TextPipeline.spanProvenance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (0L, 1L, 2L, 5L, 10L), // the maximal 10-token run, NOT its sub-grams
+      (0L, 2L, 2L, 0L, 8L), (0L, 2L, 2L, 8L, 8L), // tandem: one island
+      (1L, 2L, 5L, 0L, 8L), (1L, 2L, 5L, 8L, 8L))) // per diagonal
+    // df cap: w2..w9 lives in 3 docs; maxDf=2 excludes it from COPYING
+    // evidence — the (0,1) span shrinks to w3..w11 and the doc2
+    // alignments (carried only by that gram) vanish.
+    val capped = graft.ops.TextPipeline.spanProvenance(spark, dir, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(capped == Set((0L, 1L, 3L, 6L, 9L)))
+  }
 }

@@ -114,6 +114,22 @@ class ScanBudgetSpec extends SparkSpec {
     assert(counts("q102_span_scrub_within") == Map("documents" -> 1))
   }
 
+  test("q135 span provenance reads documents once (persisted gram frame feeds the pair self-join)") {
+    // both sides of the diagonal-match self-join read the persisted
+    // df-windowed gram frame — losing the persist doubles the corpus
+    // scan AND re-runs the df window per side
+    assert(counts("q135_span_provenance") == Map("documents" -> 1))
+    spark.catalog.clearCache()
+  }
+
+  test("q136 KMV overlap reads documents once (persisted gram-set frame feeds 4 consumers)") {
+    // signatures, per-source ground truth, the source list and the
+    // exact-overlap leg all branch at the persisted distinct
+    // (source, key) frame
+    assert(counts("q136_kmv_overlap") == Map("documents" -> 1))
+    spark.catalog.clearCache()
+  }
+
   test("q104 index increment scans documents once (batch leg only; corpus via index)") {
     // the corpus text must come back from the persisted posting index —
     // a second documents scan here means the increment re-read the

@@ -1801,6 +1801,243 @@ object TextPipeline {
        |FROM i GROUP BY doc_a, doc_b, diag, grp
        |ORDER BY span_len DESC, doc_a, doc_b, a_start, b_start""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+
+  /** Bin count for the threshold sweep: ratios land in bins 0..B via
+    * EXACT integer division, so the histogram — and every cumulative
+    * kept-count derived from it — is bit-identical across engines. */
+  val SWEEP_BINS = 20
+
+  /** q137: filter-threshold TRADE CURVE — the knob-tuning report every
+    * curation run reads before freezing its quality gates: for each
+    * candidate threshold, how many documents and how many tokens
+    * survive? Two knobs from q50's exact-count quality evidence, each
+    * swept over [[SWEEP_BINS]]+1 bin-edge thresholds t_b = b/B in ONE
+    * pass:
+    *
+    *  - `stopword_min` — keep docs whose stopword ratio lands in bin
+    *    ≥ b (natural-language floor; low-stopword docs are tables/code/
+    *    junk);
+    *  - `punct_max` — keep docs whose punctuation ratio lands in bin
+    *    ≤ b (markup/symbol ceiling).
+    *
+    * Binning is floor(ratio·B) computed as the INTEGER
+    * `(count·B) div denom` — no float ever touches a bucket boundary
+    * (the q99 rational-predicate lesson: 0.05 is not representable, so
+    * a float threshold compare would disagree between engines exactly
+    * at the knife edge the sweep exists to examine). The emitted
+    * `threshold` column is presentation (one exactly-rounded division).
+    *
+    * 100 TB shape: ONE corpus scan (budget-pinned) collapses to the
+    * (B+1)² JOINT bin-cell histogram — map-side combining, fixed grain,
+    * never corpus-sized — which persists and feeds BOTH knob curves
+    * (rolling a knob up from the joint cells is a ≤441-row agg; deriving
+    * each knob from its own corpus pass would double the scan). The
+    * sweep costs ONE histogram regardless of how many thresholds it
+    * prices — the reason to sweep bins rather than re-run the filter per
+    * candidate threshold. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val enList = STOPWORDS.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    val B = SWEEP_BINS
+    val binned = docs(spark, dir)
+      .filter($"n_chars" > 0L)
+      .select(
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        $"n_chars",
+        size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)"))
+          .cast("long").as("n_punct"),
+        size(expr(s"filter(split(text, ' '), x -> x IN ($enList))"))
+          .cast("long").as("n_stopwords"))
+      .select($"n_tokens",
+        expr(s"(n_stopwords * $B) div n_tokens").as("sbin"),
+        expr(s"(n_punct * $B) div n_chars").as("pbin"))
+    val cells = binned.groupBy($"sbin", $"pbin")
+      .agg(count(lit(1)).as("docs"), sum($"n_tokens").as("toks"))
+      .persist()
+    val hist = cells
+      .select(lit("stopword_min").as("knob"), $"sbin".as("bin"),
+        $"docs", $"toks")
+      .union(cells.select(lit("punct_max").as("knob"), $"pbin".as("bin"),
+        $"docs", $"toks"))
+      .groupBy($"knob", $"bin")
+      .agg(sum($"docs").as("docs"), sum($"toks").as("toks"))
+    // densify: every threshold row exists even when its bin is empty
+    val grid = spark.range(0L, B + 1L).select($"id".as("bin"))
+      .crossJoin(Seq("stopword_min", "punct_max").toDF("knob"))
+    val full = grid.join(hist, Seq("knob", "bin"), "left")
+      .select($"knob", $"bin",
+        coalesce($"docs", lit(0L)).as("docs"),
+        coalesce($"toks", lit(0L)).as("toks"))
+    val byKnob = Window.partitionBy($"knob")
+    // stopword_min keeps bins >= b (cumulative from the top); punct_max
+    // keeps bins <= b (cumulative from the bottom)
+    val kept = full
+      .withColumn("n_kept_docs", when($"knob" === "stopword_min",
+        sum($"docs").over(byKnob.orderBy($"bin".desc)))
+        .otherwise(sum($"docs").over(byKnob.orderBy($"bin"))))
+      .withColumn("kept_tokens", when($"knob" === "stopword_min",
+        sum($"toks").over(byKnob.orderBy($"bin".desc)))
+        .otherwise(sum($"toks").over(byKnob.orderBy($"bin"))))
+      .withColumn("total_docs", sum($"docs").over(byKnob))
+      .withColumn("total_tokens", sum($"toks").over(byKnob))
+    kept
+      .withColumn("threshold", $"bin".cast("double") / lit(B.toDouble))
+      .withColumn("doc_frac",
+        $"n_kept_docs".cast("double") / $"total_docs".cast("double"))
+      .withColumn("token_frac",
+        $"kept_tokens".cast("double") / $"total_tokens".cast("double"))
+      .select($"knob", $"bin", $"threshold", $"n_kept_docs", $"kept_tokens",
+        $"doc_frac", $"token_frac")
+  }
+
+  private def thresholdSweepOracle = {
+    val enList = STOPWORDS.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    val B = SWEEP_BINS
+    s"""WITH base AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         n_chars,
+       |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+       |              AS BIGINT) AS n_punct,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                  x -> list_contains([$enList], x)))
+       |              AS BIGINT) AS n_stopwords
+       |  FROM documents WHERE n_chars > 0),
+       |binned AS (
+       |  SELECT n_tokens,
+       |         (n_stopwords * $B) // n_tokens AS sbin,
+       |         (n_punct * $B) // n_chars AS pbin
+       |  FROM base),
+       |hist AS (
+       |  SELECT knob, bin, CAST(COUNT(*) AS BIGINT) AS docs,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS toks
+       |  FROM (SELECT 'stopword_min' AS knob, sbin AS bin, n_tokens
+       |        FROM binned
+       |        UNION ALL
+       |        SELECT 'punct_max', pbin, n_tokens FROM binned)
+       |  GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT knob, CAST(b AS BIGINT) AS bin
+       |  FROM (SELECT unnest(range(0, ${B + 1})) AS b),
+       |       (SELECT unnest(['stopword_min', 'punct_max']) AS knob)),
+       |filled AS (
+       |  SELECT g.knob, g.bin,
+       |         COALESCE(docs, 0) AS docs, COALESCE(toks, 0) AS toks
+       |  FROM grid g LEFT JOIN hist h ON g.knob = h.knob AND g.bin = h.bin),
+       |kept AS (
+       |  SELECT knob, bin, docs, toks,
+       |         CASE WHEN knob = 'stopword_min'
+       |              THEN SUM(docs) OVER (PARTITION BY knob
+       |                                   ORDER BY bin DESC)
+       |              ELSE SUM(docs) OVER (PARTITION BY knob ORDER BY bin)
+       |         END AS n_kept_docs,
+       |         CASE WHEN knob = 'stopword_min'
+       |              THEN SUM(toks) OVER (PARTITION BY knob
+       |                                   ORDER BY bin DESC)
+       |              ELSE SUM(toks) OVER (PARTITION BY knob ORDER BY bin)
+       |         END AS kept_tokens,
+       |         SUM(docs) OVER (PARTITION BY knob) AS total_docs,
+       |         SUM(toks) OVER (PARTITION BY knob) AS total_tokens
+       |  FROM filled)
+       |SELECT knob, bin,
+       |       CAST(bin AS DOUBLE) / ${B.toDouble} AS threshold,
+       |       CAST(n_kept_docs AS BIGINT) AS n_kept_docs,
+       |       CAST(kept_tokens AS BIGINT) AS kept_tokens,
+       |       CAST(n_kept_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)
+       |         AS doc_frac,
+       |       CAST(kept_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+       |         AS token_frac
+       |FROM kept ORDER BY knob, bin""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q138
+
+  /** q138: DEDUP IMPACT report — what did duplication cost the corpus?
+    * The summary a mix owner reads after q60's keep list: the
+    * duplicate-cluster SIZE distribution with docs and characters
+    * removed per size, and each size's share of corpus characters.
+    * Cluster membership is exactly q60's (exact md5 groups ∪ shingle
+    * near-dup evidence, min-label components — same edges, same
+    * fixpoint), so this report and the keep list can never disagree.
+    *
+    * 100 TB shape: rides q60's machinery unchanged — the digest-sized
+    * [[dedupBase]] cache and the gated candidate stream; everything
+    * after the component fixpoint is drop-set-sized (clusters ≤ drops),
+    * the histogram is size-grain, and the corpus-totals leg is a 1-row
+    * broadcast (the documented dims-only cross class). */
+  def dedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = dedupBase(spark, dir)
+    val gmin = Window.partitionBy($"content_hash")
+    val exactEdges = base
+      .withColumn("m", min($"doc_id").over(gmin))
+      .filter($"doc_id" =!= $"m")
+      .select($"m".as("a"), $"doc_id".as("b"))
+    val nearEdges = shingleNearDup(spark, dir)
+      .select($"doc_a".as("a"), $"doc_b".as("b"))
+    val comp = Scale.minLabelComponents(
+      exactEdges.unionByName(nearEdges), COMPONENT_MAX_ITERS)
+    val drops = comp.filter($"comp" < $"node")
+      .select($"node".as("doc_id"), $"comp")
+    val clusters = drops
+      .join(base.select($"doc_id", $"n_chars"), Seq("doc_id"))
+      .groupBy($"comp")
+      .agg((count(lit(1)) + lit(1L)).as("cluster_size"),
+        count(lit(1)).as("docs_removed"),
+        sum($"n_chars").as("chars_removed"))
+    val tot = base.agg(sum($"n_chars").as("corpus_chars"))
+    clusters.crossJoin(broadcast(tot))
+      .groupBy($"cluster_size", $"corpus_chars")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"docs_removed").as("docs_removed"),
+        sum($"chars_removed").as("chars_removed"))
+      .withColumn("removed_char_frac",
+        $"chars_removed".cast("double") / $"corpus_chars".cast("double"))
+      .select($"cluster_size", $"n_clusters", $"docs_removed",
+        $"chars_removed", $"removed_char_frac")
+  }
+
+  /** DuckDB oracle for q138: q60's closure CTEs, aggregated to the
+    * impact histogram instead of the keep list. */
+  private def dedupImpactOracle =
+    s"""WITH RECURSIVE exact_edges AS (
+       |  SELECT m AS a, doc_id AS b FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS m
+       |    FROM documents) WHERE doc_id <> m
+       |), near AS (${bruteForceNearDupSql(NEARDUP_THRESHOLD)
+         .replace("ORDER BY doc_a, doc_b", "")}
+       |), edges AS (
+       |  SELECT a, b FROM exact_edges
+       |  UNION SELECT doc_a, doc_b FROM near
+       |  UNION SELECT b, a FROM exact_edges
+       |  UNION SELECT doc_b, doc_a FROM near
+       |), reach(node, anc) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.anc = e.a
+       |), comp AS (
+       |  SELECT node, LEAST(node, MIN(anc)) AS comp
+       |  FROM reach GROUP BY node
+       |), drops AS (
+       |  SELECT node AS doc_id, comp FROM comp WHERE comp < node
+       |), clusters AS (
+       |  SELECT dr.comp,
+       |         CAST(COUNT(*) + 1 AS BIGINT) AS cluster_size,
+       |         CAST(COUNT(*) AS BIGINT) AS docs_removed,
+       |         CAST(SUM(d.n_chars) AS BIGINT) AS chars_removed
+       |  FROM drops dr JOIN documents d USING (doc_id) GROUP BY dr.comp
+       |), tot AS (
+       |  SELECT CAST(SUM(n_chars) AS BIGINT) AS corpus_chars
+       |  FROM documents)
+       |SELECT cluster_size,
+       |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |       CAST(SUM(docs_removed) AS BIGINT) AS docs_removed,
+       |       CAST(SUM(chars_removed) AS BIGINT) AS chars_removed,
+       |       CAST(SUM(chars_removed) AS DOUBLE)
+       |         / CAST(corpus_chars AS DOUBLE) AS removed_char_frac
+       |FROM clusters, tot GROUP BY cluster_size, corpus_chars
+       |ORDER BY cluster_size""".stripMargin
+
   // ---------------------------------------------------------------- q99
 
   /** Containment threshold as an exact rational (9/10): the predicate is
@@ -2432,6 +2669,16 @@ object TextPipeline {
         col("b_start")),
       Some(spanProvenanceOracle), headline = false,
       benchFn = Some((s, d) => spanProvenance(s, d))),
+    Query("q137_threshold_sweep",
+      "filter-threshold trade curve: kept docs/tokens per bin-edge threshold for the stopword-floor and punctuation-ceiling knobs, one histogram pass",
+      (s, d) => thresholdSweep(s, d).orderBy("knob", "bin"),
+      Some(thresholdSweepOracle), headline = false,
+      benchFn = Some(thresholdSweep)),
+    Query("q138_dedup_impact",
+      "dedup impact report: duplicate-cluster size histogram with docs/chars removed and corpus-char share, over q60's exact component evidence",
+      (s, d) => dedupImpact(s, d).orderBy("cluster_size"),
+      Some(dedupImpactOracle), headline = false,
+      benchFn = Some(dedupImpact)),
     Query("q49_token_counts",
       "whitespace + BPE-ish regex token counting per document",
       tokenCounts, Some(tokenCountsOracle), headline = false),

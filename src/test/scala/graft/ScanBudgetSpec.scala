@@ -130,6 +130,20 @@ class ScanBudgetSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q137 threshold sweep reads documents once (persisted joint-cell histogram feeds both knobs)") {
+    // both knob curves roll up from the persisted (sbin, pbin) cell
+    // frame — deriving each knob from its own corpus pass doubles the
+    // scan (the shape this operator's first cut executed)
+    assert(counts("q137_threshold_sweep") == Map("documents" -> 1))
+    spark.catalog.clearCache()
+  }
+
+  test("q138 dedup impact rides q60's digest cache (one documents scan)") {
+    assert(counts("q138_dedup_impact") == Map("documents" -> 1))
+    Caches.releasePrefix("textpipeline.")
+    spark.catalog.clearCache()
+  }
+
   test("q104 index increment scans documents once (batch leg only; corpus via index)") {
     // the corpus text must come back from the persisted posting index —
     // a second documents scan here means the increment re-read the

@@ -667,4 +667,58 @@ class TextPipelineSpec extends SparkSpec {
         r.getLong(3), r.getLong(4))).toSet
     assert(capped == Set((0L, 1L, 3L, 6L, 9L)))
   }
+
+  test("q137 threshold sweep: exact bins, endpoints and monotonicity") {
+    import spark.implicits._
+    // "the the the the" -> sbin 20 (all stopwords, zero punct);
+    // "the dog runs far" -> 1/4 stopwords: sbin (1*20) div 4 = 5;
+    // "x,y.z!" -> 0 stopwords, 3 punct of 6 chars: pbin (3*20) div 6 = 10
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(0L, "the the the the"),
+      Doc(1L, "the dog runs far"),
+      Doc(2L, "x,y.z!")).toDF)
+    val rows = graft.ops.TextPipeline.thresholdSweep(spark, dir).collect()
+    assert(rows.length == 2 * (graft.ops.TextPipeline.SWEEP_BINS + 1))
+    val sw = rows.filter(_.getString(0) == "stopword_min")
+      .map(r => r.getLong(1) -> r.getAs[Long]("n_kept_docs")).toMap
+    val pm = rows.filter(_.getString(0) == "punct_max")
+      .map(r => r.getLong(1) -> r.getAs[Long]("n_kept_docs")).toMap
+    // stopword floor: everyone at 0; doc1 (bin 5) gone above 5; only
+    // the all-stopword doc survives the 1.0 edge
+    assert(sw(0L) == 3L && sw(5L) == 2L && sw(6L) == 1L && sw(20L) == 1L)
+    // punct ceiling: docs 0/1 are punct-free (bin 0); doc2 enters at 10
+    assert(pm(0L) == 2L && pm(9L) == 2L && pm(10L) == 3L && pm(20L) == 3L)
+    // monotone in the keep direction
+    (0L until 20L).foreach { b =>
+      assert(sw(b) >= sw(b + 1)); assert(pm(b) <= pm(b + 1))
+    }
+    // token accounting at the open end equals the corpus
+    val toks = rows.filter(r => r.getString(0) == "stopword_min" &&
+      r.getLong(1) == 0L).head.getAs[Long]("kept_tokens")
+    assert(toks == 4L + 4L + 1L)
+  }
+
+  test("q138 dedup impact: cluster-size histogram over planted dup groups") {
+    import spark.implicits._
+    // one exact-dup triple, one exact-dup pair, two singletons; texts
+    // pairwise dissimilar so near-dup evidence adds no edges
+    val t3 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "omicron pi rho sigma tau upsilon"
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(0L, t3), Doc(1L, t3), Doc(2L, t3),
+      Doc(3L, t2), Doc(4L, t2),
+      Doc(5L, "one lonely document here"),
+      Doc(6L, "another unrelated text entirely")).toDF)
+    val got = graft.ops.TextPipeline.dedupImpact(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val total = (t3.length * 3 + t2.length * 2 +
+      "one lonely document here".length +
+      "another unrelated text entirely".length).toLong
+    assert(got.keySet == Set(2L, 3L))
+    assert(got(2L) == ((1L, 1L, t2.length.toLong,
+      t2.length.toDouble / total)))
+    assert(got(3L) == ((1L, 2L, 2L * t3.length,
+      (2.0 * t3.length) / total)))
+  }
 }

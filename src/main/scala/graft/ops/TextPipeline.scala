@@ -2464,11 +2464,13 @@ object TextPipeline {
     * matches/64 (power of two ⇒ exact double), err = |j_exact − j_est|
     * (two exactly-rounded ops), so every column hash-compares.
     *
-    * Scale shape: signatures ride the one persisted shingle projection
-    * (evaluation-grade: K rows per distinct shingle through the explode,
-    * collapsed to doc×K grain by the min agg); the estimate join is
-    * ground-truth-pair × K — evaluation cost tracks the PAIR set, never
-    * the corpus square. */
+    * Scale shape: signatures ride the one persisted shingle projection,
+    * min-aggregated as K WIDE COLUMNS so the map side collapses each
+    * partition to one row per doc before the exchange (the doc×K long
+    * format the estimate join needs is a post-agg posexplode — a
+    * projection, not a shuffle), and only for docs that appear in a
+    * ground-truth pair; the estimate join is ground-truth-pair × K —
+    * evaluation cost tracks the PAIR set, never the corpus square. */
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, dir).persist()
@@ -2486,21 +2488,38 @@ object TextPipeline {
         $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
       .filter($"j_exact" >= MINHASH_THRESHOLD)
       .select($"doc_a", $"doc_b", $"j_exact")
+    // The qualifying-pair set is harness-output-sized (pairs at j ≥ the
+    // threshold), consumed three times (signature scoping, the per-band
+    // probe, the final join) — cache it so the inverted-index self-join
+    // behind it runs once. Cache lifetime follows the repo-wide caller
+    // contract: the driver clears the session cache per query.
+    val truthC = graft.Caches.track(s"textpipeline.mhest.truth.$dir", truth)
+    // Signatures only for docs the harness will actually judge: the
+    // distinct ids of ground-truth pairs — a digest-sized id list (ids,
+    // not text), broadcastable even when the corpus is not.
+    val truthDocs =
+      truthC.select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
+        .distinct()
     // portable signatures: md5 base hash, K affine permutations mod
     // 2³¹−1, long format (doc, i, m). All operands non-negative, so
-    // Spark's pmod ≡ DuckDB's % here.
+    // Spark's pmod ≡ DuckDB's % here. Each mᵢ is a wide agg column:
+    // partial min collapses map-side, so the exchange carries one
+    // K-slot row per doc, not doc×shingle×K permutation rows.
+    val sigCols = (0 until EST_K).map { i =>
+      min(pmod($"x" * (2L * i + 1) + (i * 2654435761L + 7919L),
+        lit(MH_PRIME))).as(s"m$i")
+    }
     val sig = sh
+      .join(broadcast(truthDocs), Seq("doc_id"))
       .withColumn("x", graft.Dx.hashKey("mh", $"sh"))
-      .select($"doc_id", explode(expr(
-        s"""transform(sequence(0, ${EST_K - 1}),
-           |  i -> struct(i as i,
-           |    pmod(x * (2*i + 1) + (i * 2654435761 + 7919),
-           |         $MH_PRIME) as v))""".stripMargin)).as("p"))
-      .groupBy($"doc_id", $"p.i".as("i")).agg(min($"p.v").as("m"))
-    val perBand = truth.select($"doc_a", $"doc_b")
-      .join(sig.select($"doc_id".as("doc_a"), $"i", $"m".as("ma")),
+      .groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .select($"doc_id", posexplode(
+        array((0 until EST_K).map(i => col(s"m$i")): _*)).as(Seq("i", "m")))
+    val sigC = graft.Caches.track(s"textpipeline.mhest.sig.$dir", sig)
+    val perBand = truthC.select($"doc_a", $"doc_b")
+      .join(sigC.select($"doc_id".as("doc_a"), $"i", $"m".as("ma")),
         Seq("doc_a"))
-      .join(sig.select($"doc_id".as("doc_b"), $"i", $"m".as("mb")),
+      .join(sigC.select($"doc_id".as("doc_b"), $"i", $"m".as("mb")),
         Seq("doc_b", "i"))
       .groupBy($"doc_a", $"doc_b", expr(s"i div $EST_ROWS").as("band"))
       .agg(sum(when($"ma" === $"mb", 1).otherwise(0)).as("eqc"))
@@ -2508,7 +2527,7 @@ object TextPipeline {
       .agg((sum($"eqc").cast("double") / EST_K).as("j_est"),
         sum(when($"eqc" === EST_ROWS, 1).otherwise(0)).cast("long")
           .as("band_hits"))
-    truth.join(byPair, Seq("doc_a", "doc_b"))
+    truthC.join(byPair, Seq("doc_a", "doc_b"))
       .withColumn("abs_err", abs($"j_exact" - $"j_est"))
       .select($"doc_a", $"doc_b", $"j_exact", $"j_est", $"abs_err",
         $"band_hits")

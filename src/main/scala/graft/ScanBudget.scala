@@ -75,6 +75,9 @@ object ScanBudget {
     // design, not that artifact of emptiness.)
     "q88_embedding_neardup_auto" -> Map("embeddings" -> 1),
     "q90_ivf_assignment" -> Map("embeddings" -> 2),
+    // q141: the q90 2-scan shape (corpus stream + broadcast seed
+    // centroids); argmin and rank key share one per-vector aggregate.
+    "q141_cell_diversity_cap" -> Map("embeddings" -> 2),
     "q48_ann_ivf" -> Map("embeddings" -> 3),
     // Evaluation harness: composes the two 2-scan retrieval floors it
     // compares (q29 exact + q30 approximate) — the comparison itself

@@ -1115,6 +1115,105 @@ object Ann {
        |       CAST(cent_id AS BIGINT) AS cent_id
        |FROM asn0 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+
+  /** Per-cell vector budget for [[cellDiversityCap]]. 16 halves the
+    * fixture's ~31-vector average cell; a cell smaller than the cap
+    * survives whole (rank bound, not a quota). */
+  val CELL_CAP = 16
+
+  /** Cell-capped diversity selection — the semantic-space analog of the
+    * q139 per-source cap (SemDeDup's cluster-balancing sibling): assign
+    * every vector to its nearest seed centroid (the q90 argmin, decimal
+    * metric), rank vectors WITHIN each cell by true squared distance to
+    * the assigned centroid (nearest = most representative of the
+    * region), and keep only the top [[CELL_CAP]] per cell. Caps
+    * over-dense semantic regions — the embedding-space failure mode a
+    * per-SOURCE cap can't see (one topic flooding the mix from a
+    * thousand domains) — while thin regions survive whole.
+    *
+    * Exactness: the within-cell rank key is the FULL squared distance
+    * ‖v‖² − 2⟨v,c⟩ + ‖c‖² — the assignment metric alone (‖c‖² − 2⟨v,c⟩)
+    * orders correctly only across CENTROIDS for one vector, not across
+    * VECTORS in one cell, where ‖v‖² varies. Every term is the pinned
+    * decimal formulation ([[dotDec]], the q90/q83 replay), operands
+    * bounded to (24,15) before the add so no engine caps the scale; ties
+    * broken by vec_id, so the cut is total and cross-engine identical.
+    * Output is integers only.
+    *
+    * 100 TB shape: one corpus scan joined to broadcast centroids; the
+    * argmin and the rank key fall out of the same per-vector aggregate
+    * (no second pass, no join back); then one cell-keyed exchange whose
+    * rank-≤-cap filter Catalyst rewrites to a partial per-map-task top-K
+    * (WindowGroupLimit — the q139 pin covers the rewrite pattern). */
+  def cellDiversityCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d24 = org.apache.spark.sql.types.DecimalType(24, 15)
+    val vecs = embeddings(spark, dir).select($"vec_id",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val cents = vecs
+      .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + IVF_NCENTROIDS)
+      .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"))
+      .withColumn("c_nrm_dec", dotDec("c_emb", "c_emb"))
+    val assigned = vecs.join(broadcast(cents))
+      .withColumn("m_dec",
+        ($"c_nrm_dec".cast(d24) - lit(2) * dotDec("embedding", "c_emb").cast(d24))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+      .groupBy($"vec_id")
+      .agg(first($"embedding").as("embedding"),
+        min_by($"cent_id", struct($"m_dec", $"cent_id")).as("cent_id"),
+        min(struct($"m_dec", $"cent_id")).getField("m_dec").as("m_min"))
+      .withColumn("d2_dec",
+        $"m_min".cast(d24) + dotDec("embedding", "embedding").cast(d24))
+    assigned
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy($"cent_id").orderBy($"d2_dec", $"vec_id"))
+        .cast("long"))
+      .filter($"cell_rank" <= CELL_CAP)
+      .select($"vec_id", $"cent_id", $"cell_rank")
+  }
+
+  private def cellCapOracle: String =
+    s"""WITH el AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |cel0 AS (
+       |  SELECT vec_id AS cent_id, i, x FROM el
+       |  WHERE vec_id >= $NQUERIES AND vec_id < ${NQUERIES + IVF_NCENTROIDS}),
+       |cnrm AS (
+       |  SELECT cent_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM cel0 GROUP BY 1),
+       |vnrm AS (
+       |  SELECT vec_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM el GROUP BY 1),
+       |metric AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         CAST(n.nrm - 2 * SUM(${prodDec.format("e.x", "c.x")})
+       |              AS DECIMAL(38,15)) AS m
+       |  FROM el e
+       |  JOIN cel0 c ON c.i = e.i
+       |  JOIN cnrm n USING (cent_id)
+       |  GROUP BY e.vec_id, c.cent_id, n.nrm),
+       |asn AS (
+       |  SELECT vec_id, cent_id, m FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                                 ORDER BY m, cent_id) AS rn
+       |    FROM metric) WHERE rn = 1)
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |       CAST(cent_id AS BIGINT) AS cent_id,
+       |       CAST(rnk AS BIGINT) AS cell_rank
+       |FROM (
+       |  SELECT a.vec_id, a.cent_id,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY a.cent_id
+       |           ORDER BY CAST(a.m AS DECIMAL(24,15))
+       |                      + CAST(v.nrm AS DECIMAL(24,15)), a.vec_id)
+       |           AS rnk
+       |  FROM asn a JOIN vnrm v USING (vec_id))
+       |WHERE rnk <= $CELL_CAP
+       |ORDER BY cent_id, cell_rank""".stripMargin
+
   // ---------------------------------------------------------------- q85
 
   /** q85: the train→serve composition — [[ivfTopK]]'s retrieval plan over
@@ -1797,5 +1896,12 @@ object Ann {
       benchFn = Some(annRecall)),
     Query("q132_ann_quantized",
       "scalar-quantized (int8) ANN: per-dim affine quantization, integer dot-product screen, exact decimal rerank of 4k candidates",
-      sqTopK, Some(sqOracle), headline = false))
+      sqTopK, Some(sqOracle), headline = false),
+    Query("q141_cell_diversity_cap",
+      "cell-capped diversity selection: top-16 nearest per IVF cell by exact decimal distance — semantic-space source capping",
+      // orderBy is compare-presentation (q90 precedent); the bench times
+      // the capped stream
+      (s, d) => cellDiversityCap(s, d).orderBy("cent_id", "cell_rank"),
+      Some(cellCapOracle), headline = false,
+      benchFn = Some(cellDiversityCap)))
 }

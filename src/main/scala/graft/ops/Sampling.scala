@@ -542,6 +542,168 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q139
+
+  /** Per-source document budget for [[sourceCap]]. 10 keeps 40% of each
+    * sf0.01 source (25 docs); a source smaller than the cap survives
+    * whole (the predicate is a rank bound, not a quota that must fill). */
+  val SOURCE_CAP = 10
+
+  /** Per-source document cap — the "no single domain dominates the
+    * training mix" curation gate (the RefinedWeb/FineWeb-style dedup
+    * successor stage): within every source, rank documents by a quality
+    * signal (here `n_chars` descending — any row-computable score slots
+    * in; ties broken by doc_id so the cut is total) and keep only the
+    * top [[SOURCE_CAP]]. Complements q96 (temperature mix REWEIGHTS
+    * sources) and q65 (stratified sampling thins by RATE): the cap is a
+    * hard per-source ceiling, the shape used against mega-domains.
+    *
+    * 100 TB shape: ONE source-keyed exchange. The rank-≤-cap filter over
+    * a `row_number` window is the exact pattern Catalyst's
+    * InferWindowGroupLimit rewrites into a PARTIAL top-K before the
+    * shuffle (WindowGroupLimitExec in Partial mode under each map task,
+    * Final mode after) — so a mega-source ships at most cap rows per map
+    * partition into its reducer, the engine-native form of the salted
+    * two-stage top-K (q51's device), with no salting code to maintain.
+    * ScanBudgetSpec pins both the single scan and the group-limit
+    * rewrite being present in the executed plan. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byQuality = Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id")
+    docs(spark, dir)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("src_rank", row_number().over(byQuality).cast("long"))
+      .filter($"src_rank" <= SOURCE_CAP)
+  }
+
+  private val sourceCapOracle =
+    s"""SELECT doc_id, source, CAST(rnk AS BIGINT) AS src_rank, n_chars
+       |FROM (
+       |  SELECT doc_id, source, n_chars,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |                            ORDER BY n_chars DESC, doc_id) AS rnk
+       |  FROM documents)
+       |WHERE rnk <= $SOURCE_CAP
+       |ORDER BY source, src_rank""".stripMargin
+
+  // ---------------------------------------------------------------- q140
+
+  /** Salt pinning the interleave order independent of every other hash
+    * use (q105 shuffles GLOBALLY; this op shuffles WITHIN each source —
+    * sharing the salt would make the two orders correlated by
+    * construction, which is exactly what an ablation comparing them must
+    * not have). */
+  val INTERLEAVE_SALT = "graft-interleave:"
+
+  /** Deterministic round-robin source interleave — the training-order
+    * guarantee q105's global hash shuffle gives only in expectation:
+    * every window of |alive sources| consecutive positions touches each
+    * remaining source exactly once (run length per source = 1 until a
+    * source exhausts), the "no source-burst" property curriculum
+    * schedules want. Round r of the order is the set of every source's
+    * r-th document (per-source order = salted md5 keyspace, the q105
+    * device per stratum); within a round, sources read in name order.
+    *
+    * 100 TB shape: NO global sort of the document stream. One
+    * source-keyed window gives `src_pos`; one src_pos-keyed window gives
+    * the rank within the round; the global position is those two plus a
+    * ROUND-GRAIN prefix sum (one row per round, ≤ max-docs-per-source
+    * rows — a single-partition window over an aggregate, the q08/q94
+    * class; a corpus whose largest source outgrows one reducer swaps it
+    * for [[graft.ops.Scale.prefixSum]]'s two-pass form, contract
+    * unchanged) broadcast back onto the stream. */
+  def sourceInterleave(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val posed = docs(spark, dir)
+      .select($"doc_id", $"source")
+      .withColumn("ik", Dx.hashKey(INTERLEAVE_SALT, $"doc_id"))
+      .withColumn("src_pos", row_number().over(
+        Window.partitionBy($"source").orderBy($"ik", $"doc_id")).cast("long"))
+    val roundOffsets = posed
+      .groupBy($"src_pos").agg(count(lit(1)).as("round_size"))
+      .withColumn("round_offset",
+        (sum($"round_size").over(
+          Window.orderBy($"src_pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - $"round_size").cast("long"))
+      .select($"src_pos", $"round_offset")
+    posed
+      .withColumn("pos_in_round", row_number().over(
+        Window.partitionBy($"src_pos").orderBy($"source")).cast("long"))
+      .join(broadcast(roundOffsets), Seq("src_pos"))
+      .select($"doc_id", $"source", $"src_pos",
+        ($"round_offset" + $"pos_in_round" - 1).as("global_pos"))
+  }
+
+  // ---------------------------------------------------------------- q142
+
+  /** One live stored-keep-list dir per JVM (the q125/q134 reaper
+    * pattern: each run replaces the previous run's scratch). */
+  private val liveCapDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** q142: T1 for the per-source cap — incremental maintenance of the
+    * q139 keep list. A rank cap is a MERGEABLE summary: because the
+    * rank order (n_chars desc, doc_id) is total and row-intrinsic,
+    * top-cap(A ∪ B) = top-cap(top-cap(A) ∪ B) — a batch doc can only
+    * displace a stored keeper from the bottom, and no dropped doc can
+    * ever re-enter (anything it outranks was already outranked by the
+    * stored top-cap). So maintenance is: read the STORED keep list
+    * (≤ sources·cap rows — the whole persisted state), union the
+    * arriving batch, re-rank per source, cut. The oracle replays the
+    * FULL-corpus q139 path against the stored+batch merge — the merge
+    * identity proven per driver round, not assumed ([[graft.ops.Sketch]]
+    * q134's discipline for HLL register max-merge).
+    *
+    * 100 TB shape: increment cost is batch-sized (one scan) plus a
+    * dimension-sized artifact read; the corpus is never rescanned; the
+    * re-rank input is ≤ sources·cap + batch rows, and its rank-≤-cap
+    * filter rides the same WindowGroupLimit partial top-K as q139. */
+  def sourceCapIncrement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = docs(spark, dir).select($"doc_id", $"source", $"n_chars")
+    val cut = corpus.agg(expr("max(doc_id) * 4 div 5")).head().getLong(0)
+    val kp = java.nio.file.Files
+      .createTempDirectory("graft_q142_keep").toString
+    Option(liveCapDir.getAndSet(kp)).foreach { old =>
+      val p = java.nio.file.Paths.get(old)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val byQuality = Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id")
+    // stored state: the prefix corpus's keep list, ranks dropped (they
+    // recompute on merge; keeping them would just be stale columns)
+    corpus.filter($"doc_id" < cut)
+      .withColumn("r", row_number().over(byQuality))
+      .filter($"r" <= SOURCE_CAP).drop("r")
+      .write.mode("overwrite").parquet(s"$kp/q142_keep")
+    spark.read.parquet(s"$kp/q142_keep")
+      .unionByName(corpus.filter($"doc_id" >= cut))
+      .withColumn("src_rank", row_number().over(byQuality).cast("long"))
+      .filter($"src_rank" <= SOURCE_CAP)
+      .select($"doc_id", $"source", $"src_rank", $"n_chars")
+  }
+
+  private val interleaveOracle = {
+    val hex = Dx.sqlHex2Long(
+      s"md5('$INTERLEAVE_SALT' || CAST(doc_id AS VARCHAR))", 8)
+    s"""WITH p AS (
+       |  SELECT doc_id, source,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |                                 ORDER BY $hex, doc_id)
+       |              AS BIGINT) AS src_pos
+       |  FROM documents)
+       |SELECT doc_id, source, src_pos,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY src_pos, source) - 1
+       |            AS BIGINT) AS global_pos
+       |FROM p ORDER BY global_pos""".stripMargin
+  }
+
   val all: Seq[Query] = Seq(
     Query("q65_stratified_sample",
       "deterministic md5-threshold stratified sample per language stratum",
@@ -578,5 +740,24 @@ object Sampling {
       // times the unordered projection
       (s, d) => lengthWeightedSample(s, d).orderBy("doc_id"),
       Some(wsampleOracle), headline = false,
-      benchFn = Some(lengthWeightedSample)))
+      benchFn = Some(lengthWeightedSample)),
+    Query("q139_source_cap",
+      "per-source document cap: top-10 by quality rank per source via the engine-native WindowGroupLimit partial top-K",
+      // orderBy is compare-presentation (q113 precedent); the bench
+      // times the capped stream as a pipeline stage would consume it
+      (s, d) => sourceCap(s, d).orderBy("source", "src_rank"),
+      Some(sourceCapOracle), headline = false,
+      benchFn = Some(sourceCap)),
+    Query("q140_source_interleave",
+      "round-robin source interleave: run-length-1 training order from two keyed windows + a round-grain prefix sum",
+      (s, d) => sourceInterleave(s, d).orderBy("global_pos"),
+      Some(interleaveOracle), headline = false,
+      benchFn = Some(sourceInterleave)),
+    Query("q142_source_cap_increment",
+      "maintain->serve for the per-source cap: stored keep list + one batch scan re-ranked == the full-corpus path (rank-cap merge identity)",
+      (s, d) => sourceCapIncrement(s, d).orderBy("source", "src_rank"),
+      // the oracle is the FULL-corpus recompute: the driver round proves
+      // the merge identity, not just the increment's self-consistency
+      Some(sourceCapOracle), headline = false,
+      benchFn = Some(sourceCapIncrement)))
 }

@@ -453,4 +453,37 @@ class AnnSpec extends SparkSpec {
     assert(trainedFlat == fixedFlat)
     spark.catalog.clearCache() // ivfKmeans cache contract
   }
+
+  test("cell cap: dense cell cut to CELL_CAP nearest, sparse cell survives whole") {
+    // one over-dense semantic region: 30 vectors planted within ~0.03 of
+    // seed 8's position, distances strictly increasing with id — the cap
+    // must keep the 16 NEAREST (seed 8 itself at d2=0, its exact
+    // duplicate seed 16, then planted ids in order), while thin cells
+    // keep all members.
+    val seed8 = jitter(base(0), 0.3f).toArray
+    val capDir = fixtureDir(
+      "embeddings" -> (
+        (0 until 8).map(q => Emb(q, base(q).toSeq, q)) ++
+          (8 until 24).map(j => Emb(j, jitter(base(j % 8), 0.3f), j % 8)) ++
+          (0 until 30).map { k =>
+            val v = seed8.clone(); v(1) = v(1) + 0.001f * (k + 1)
+            Emb(100 + k, v.toSeq, 0)
+          }).toDF())
+    val r = graft.ops.Ann.cellDiversityCap(spark, capDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val byCell = r.groupBy(_._2)
+    val dense = byCell(8L).sortBy(_._3)
+    assert(dense.length == graft.ops.Ann.CELL_CAP)
+    // rank 1/2: the two exact-zero-distance members (seeds 8 and 16,
+    // duplicates by construction), tie broken by vec_id
+    assert(dense.take(2).map(_._1).toSeq == Seq(8L, 16L))
+    // then the planted vectors in increasing-perturbation order
+    assert(dense.drop(2).map(_._1).toSeq ==
+      (100L until (100L + graft.ops.Ann.CELL_CAP - 2)).toSeq)
+    // a thin cell (seed 9's: seed 9 + its duplicate seed 17 + query 1)
+    // survives whole — the cap is a rank bound, not a quota
+    assert(byCell(9L).length == 3)
+    assert(byCell(9L).map(_._1).toSet == Set(1L, 9L, 17L))
+    spark.catalog.clearCache()
+  }
 }

@@ -209,4 +209,82 @@ class SamplingSpec extends SparkSpec {
     // the threshold actually splits the fixture
     assert(r.size > 5 && r.size < 41)
   }
+
+  test("source cap: mega-source cut to cap, small source survives whole, rank order by quality") {
+    import spark.implicits._
+    // srcA: 25 docs (over the cap), srcB: 3 docs (under — survives whole)
+    val docsIn = (0L until 25L).map(i =>
+      Doc(i, "a" * (10 + i.toInt), source = "srcA")) ++
+      (100L until 103L).map(i => Doc(i, "b" * 50, source = "srcB"))
+    val dir = fixtureDir("documents" -> docsIn.toDF)
+    val r = Sampling.sourceCap(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getAs[Long]("src_rank")))
+    val bySrc = r.groupBy(_._2)
+    assert(bySrc("srcA").length == Sampling.SOURCE_CAP)
+    assert(bySrc("srcB").length == 3) // rank bound, not a quota
+    // quality order: srcA keeps its 10 LONGEST docs (ids 15..24),
+    // rank 1 = the longest (id 24)
+    val keptA = bySrc("srcA").sortBy(_._3)
+    assert(keptA.map(_._1).toSeq == (24L to 15L by -1L).toSeq)
+    // srcB ties on n_chars=50 break by doc_id ascending
+    assert(bySrc("srcB").sortBy(_._3).map(_._1).toSeq == Seq(100L, 101L, 102L))
+  }
+
+  test("source cap increment: batch docs displace stored keepers from the bottom only") {
+    import spark.implicits._
+    // ids 0..29 in one source, cut = 29*4/5 = 23: stored prefix holds
+    // ids 0..22 (n_chars 10+i, top-10 kept = ids 13..22), batch holds
+    // ids 23..29 ALL LONGER than every stored doc — the adversarial
+    // boundary: 7 displacements in one batch.
+    val docsIn = (0L until 23L).map(i => Doc(i, "a" * (10 + i.toInt))) ++
+      (23L until 30L).map(i => Doc(i, "b" * (100 + i.toInt)))
+    val dir = fixtureDir("documents" -> docsIn.toDF)
+    val inc = Sampling.sourceCapIncrement(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getAs[Long]("src_rank")).toMap
+    // ranks 1..7: the batch docs by length desc (29 longest)
+    (0 until 7).foreach(k => assert(inc(29L - k) == k + 1L))
+    // ranks 8..10: the three longest SURVIVING stored keepers
+    assert(inc(22L) == 8L && inc(21L) == 9L && inc(20L) == 10L)
+    assert(inc.size == Sampling.SOURCE_CAP)
+    // the merge identity the oracle proves at sf0.01, pinned here at the
+    // displacement boundary: increment == full recompute
+    val full = Sampling.sourceCap(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getAs[Long]("src_rank")).toMap
+    assert(inc == full)
+  }
+
+  test("interleave: run length 1 until a source exhausts, positions contiguous") {
+    import spark.implicits._
+    // uneven sources: A has 5 docs, B has 3, C has 1 — rounds 1-1 hold
+    // {A,B,C}, rounds 2-3 {A,B}, rounds 4-5 {A} (the only legal runs)
+    val docsIn = (0L until 5L).map(i => Doc(i, s"a $i", source = "srcA")) ++
+      (10L until 13L).map(i => Doc(i, s"b $i", source = "srcB")) ++
+      Seq(Doc(20L, "c", source = "srcC"))
+    val dir = fixtureDir("documents" -> docsIn.toDF)
+    val r = Sampling.sourceInterleave(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+      .sortBy(_._4)
+    // global positions are exactly 0..n-1
+    assert(r.map(_._4).toSeq == (0L until 9L).toSeq)
+    // every round holds each alive source exactly once, in name order
+    val byRound = r.groupBy(_._3)
+    assert(byRound(1L).map(_._2).toSeq.sorted == Seq("srcA", "srcB", "srcC"))
+    assert(byRound(4L).map(_._2).toSeq == Seq("srcA"))
+    byRound.foreach { case (_, rows) =>
+      assert(rows.map(_._2).distinct.length == rows.length)
+      assert(rows.sortBy(_._4).map(_._2).toSeq == rows.map(_._2).toSeq.sorted)
+    }
+    // rounds are contiguous blocks: all of round r before all of round r+1
+    val roundOf = r.map(x => x._4 -> x._3).toMap
+    (0L until 8L).foreach(p => assert(roundOf(p) <= roundOf(p + 1)))
+    // the headline property: no two same-source docs adjacent while
+    // another source still has docs remaining
+    r.sliding(2).foreach { case Array(x, y) =>
+      if (x._2 == y._2) {
+        val remaining = r.filter(z => z._4 > x._4 && z._2 != x._2)
+        assert(remaining.isEmpty,
+          s"source ${x._2} ran back-to-back at ${x._4} with others alive")
+      }
+    }
+  }
 }

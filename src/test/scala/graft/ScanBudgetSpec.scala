@@ -122,6 +122,44 @@ class ScanBudgetSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q139 source cap reads documents once and keeps the WindowGroupLimit rewrite") {
+    val q = SparkEntry.registry.find(_.name == "q139_source_cap").get
+    val df = q.fn(spark, dir)
+    val executed = PlanScans.executedScans(df)
+    assert(PlanScans.governedCounts(executed) == Map("documents" -> 1))
+    // the scaladoc's 100 TB claim: Catalyst rewrites the rank-<=-cap
+    // filter into a partial top-K per map task BEFORE the source-keyed
+    // exchange (the engine-native salted top-K). If a refactor breaks
+    // the InferWindowGroupLimit pattern (e.g. ranks via something other
+    // than row_number, or filters after a projection the rule can't see
+    // through), a mega-source ships whole into one reducer — this pin
+    // makes that a same-day test failure, not a 100x surprise.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in executed plan:\n$plan")
+  }
+
+  test("q140 interleave reads documents once (round offsets ride the posed stream)") {
+    assert(counts("q140_source_interleave") == Map("documents" -> 1))
+  }
+
+  test("q142 cap increment reads documents once (batch leg; state is the stored artifact)") {
+    assert(counts("q142_source_cap_increment") == Map("documents" -> 1))
+  }
+
+  test("q141 cell cap keeps the q90 2-scan shape (corpus + broadcast centroids)") {
+    val q = SparkEntry.registry.find(_.name == "q141_cell_diversity_cap").get
+    val df = q.fn(spark, dir)
+    val executed = PlanScans.executedScans(df)
+    assert(PlanScans.governedCounts(executed) == Map("embeddings" -> 2))
+    // same 100 TB property as q139: the per-cell rank-<=-cap filter must
+    // stay in the WindowGroupLimit rewrite pattern so a mega-cell ships
+    // at most cap rows per map task into its reducer
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in executed plan:\n$plan")
+  }
+
   test("q136 KMV overlap reads documents once (persisted gram-set frame feeds 4 consumers)") {
     // signatures, per-source ground truth, the source list and the
     // exact-overlap leg all branch at the persisted distinct

@@ -660,6 +660,29 @@ object Sampling {
     * dimension-sized artifact read; the corpus is never rescanned; the
     * re-rank input is ≤ sources·cap + batch rows, and its rank-≤-cap
     * filter rides the same WindowGroupLimit partial top-K as q139. */
+  /** The mergeable-summary core shared by q142 and
+    * [[graft.streaming.StreamingCap]]: stored keep list ∪ arriving rows,
+    * re-ranked per source, cut at the cap. Because the rank key is total
+    * and row-intrinsic, this merge is ASSOCIATIVE and IDEMPOTENT —
+    * capMerge(capMerge(S, B), B) = capMerge(S, B) — which is what makes
+    * an at-least-once replayed batch exactly-once for free (the
+    * streaming twin's delivery contract, spec-pinned). Inputs must carry
+    * (doc_id, source, n_chars); stale rank columns are dropped. */
+  def capMerge(stored: DataFrame, batch: DataFrame): DataFrame = {
+    import stored.sparkSession.implicits._
+    val byQuality = Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id")
+    val cols = Seq($"doc_id", $"source", $"n_chars")
+    // SET union, not multiset: a replayed batch re-delivers rows already
+    // in the state, and without the dedup a doc would rank twice —
+    // distinct() is what makes the merge idempotent (batch-sized input,
+    // so the extra exchange is dimension+batch rows, never corpus rows)
+    stored.select(cols: _*).unionByName(batch.select(cols: _*)).distinct()
+      .withColumn("src_rank", row_number().over(byQuality).cast("long"))
+      .filter($"src_rank" <= SOURCE_CAP)
+      .select($"doc_id", $"source", $"src_rank", $"n_chars")
+  }
+
   def sourceCapIncrement(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = docs(spark, dir).select($"doc_id", $"source", $"n_chars")
@@ -682,11 +705,8 @@ object Sampling {
       .withColumn("r", row_number().over(byQuality))
       .filter($"r" <= SOURCE_CAP).drop("r")
       .write.mode("overwrite").parquet(s"$kp/q142_keep")
-    spark.read.parquet(s"$kp/q142_keep")
-      .unionByName(corpus.filter($"doc_id" >= cut))
-      .withColumn("src_rank", row_number().over(byQuality).cast("long"))
-      .filter($"src_rank" <= SOURCE_CAP)
-      .select($"doc_id", $"source", $"src_rank", $"n_chars")
+    capMerge(spark.read.parquet(s"$kp/q142_keep"),
+      corpus.filter($"doc_id" >= cut))
   }
 
   private val interleaveOracle = {

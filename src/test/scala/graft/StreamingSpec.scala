@@ -414,4 +414,41 @@ class StreamingSpec extends SparkSpec {
       case (id, c) if c == someCell => id }.toSet)
     graft.Caches.releasePrefix("ann.")
   }
+
+  test("streaming source cap: maintained keep list ≡ batch recompute, replay is a no-op") {
+    import graft.streaming.{CapDoc, StreamingCap}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_capstream").toString
+    // 14 docs in one source across two batches (cap 10): batch 2's long
+    // docs displace batch 1 keepers — the q142 boundary, streamed
+    val b1 = (0L until 12L).map(i => CapDoc(i, "srcA", 10 + i))
+    val b2 = (12L until 14L).map(i => CapDoc(i, "srcA", 100 + i))
+    val input = MemoryStream[CapDoc]
+    val query = StreamingCap.ingestStream(input.toDF(), stateDir).start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+    } finally query.stop()
+    val got = StreamingCap.readState(spark, stateDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("src_rank")).toMap
+    // batch recompute over every streamed row (the q139 semantics)
+    val allDf = (b1 ++ b2).toDF()
+    val empty = StreamingCap.readState(spark,
+      java.nio.file.Files.createTempDirectory("graft_capempty").toString)
+    val full = StreamingCap.mergeBatch(empty, allDf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("src_rank")).toMap
+    assert(got == full, "streamed keep list must equal batch recompute")
+    assert(got.size == graft.ops.Sampling.SOURCE_CAP)
+    assert(got(13L) == 1L && got(12L) == 2L) // batch-2 displacers on top
+    // the exactly-once property: replaying a batch into the already-
+    // merged state changes nothing (merge idempotence)
+    val once = StreamingCap.mergeBatch(empty, b1.toDF())
+    val replay = StreamingCap.mergeBatch(once, b1.toDF()).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("src_rank"))).toSet
+    val onceSet = once.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("src_rank"))).toSet
+    assert(replay == onceSet, "a replayed batch must be a no-op")
+  }
 }

@@ -124,6 +124,7 @@ object SqlSurface {
     val q02 = oracleOf(Financial.all, "q02_abc_analysis")
     val q31 = oracleOf(Udtf.all, "q31_reorder_alerts")
     val q63 = oracleOf(graft.functions.Format.all, "q63_formatted_valuation")
+    val q139 = oracleOf(Sampling.all, "q139_source_cap")
     Seq(
       Query("q01s_pricing_summary_sql",
         "SQL front door: q01 as pure SQL text over registered views — the oracle's own ANSI text, both engines",
@@ -139,6 +140,9 @@ object SqlSurface {
         viaSql(formattedValuationFusedSql +
           "\nORDER BY part_id, supplier_id"), Some(q63),
         headline = false,
-        benchFn = Some(viaSql(formattedValuationFusedSql) _)))
+        benchFn = Some(viaSql(formattedValuationFusedSql) _)),
+      Query("q139s_source_cap_sql",
+        "SQL front door: the per-source cap as pure SQL text — the oracle's own ANSI text, both engines; Catalyst's InferWindowGroupLimit fires on the SQL shape too (ScanBudgetSpec-pinned)",
+        viaSql(q139), Some(q139), headline = false))
   }
 }

@@ -143,6 +143,16 @@ class ScanBudgetSpec extends SparkSpec {
     assert(counts("q140_source_interleave") == Map("documents" -> 1))
   }
 
+  test("q139s SQL twin plans like the API: one scan, WindowGroupLimit intact") {
+    val q = SparkEntry.registry.find(_.name == "q139s_source_cap_sql").get
+    val df = q.fn(spark, dir)
+    val executed = PlanScans.executedScans(df)
+    assert(PlanScans.governedCounts(executed) == Map("documents" -> 1))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in SQL twin's executed plan:\n$plan")
+  }
+
   test("q142 cap increment reads documents once (batch leg; state is the stored artifact)") {
     assert(counts("q142_source_cap_increment") == Map("documents" -> 1))
   }

@@ -10,12 +10,16 @@ import graft.sources.Sinks
   *
   *   1. CURATE: the q62 verdict (dedup keep ∩ quality thresholds ∩
   *      recognized language) selects the documents worth training on;
-  *   2. SAMPLE: the deterministic md5-threshold mix ([[ops.Sampling]])
+  *   2. CAP: the q139 per-source ceiling ([[ops.Sampling.capFilter]],
+  *      ranked by the verdict's own n_tokens evidence) stops any single
+  *      source dominating the mix — the stage between dedup and rate
+  *      sampling in a RefinedWeb/FineWeb-style run;
+  *   3. SAMPLE: the deterministic md5-threshold mix ([[ops.Sampling]])
   *      downsamples each predicted-language stratum to its target rate;
-  *   3. SHARD: survivors' full rows land in `shards/shard=K/` by a
+  *   4. SHARD: survivors' full rows land in `shards/shard=K/` by a
   *      deterministic id hash ([[Sinks.writeShards]]) for round-robin
   *      loader consumption;
-  *   4. MANIFEST: a one-row summary (S7 dict-lift shape) records the
+  *   5. MANIFEST: a one-row summary (S7 dict-lift shape) records the
   *      stage counts, so a run is auditable without re-scanning shards.
   *
   * Every stage is a pure function of the input corpus — re-running the
@@ -30,7 +34,8 @@ object CurationPipeline {
     * (also written to `<outDir>/manifest`). */
   def run(
       spark: SparkSession, dir: String, outDir: String,
-      nShards: Int = 8): DataFrame = {
+      nShards: Int = 8,
+      sourceCap: Int = ops.Sampling.SOURCE_CAP): DataFrame = {
     import spark.implicits._
     // the verdict is the pipeline's dominant plan (the q62 dedup
     // composition) and is consumed twice — by the shard write and by the
@@ -38,7 +43,9 @@ object CurationPipeline {
     // metadata-sized, never the text
     val verdict = ops.TextPipeline.curationVerdict(spark, dir).persist()
     try {
-      val sampled = ops.Sampling.sampleFilter(verdict, "lang_pred")
+      val capped =
+        ops.Sampling.capFilter(verdict, $"n_tokens", sourceCap)
+      val sampled = ops.Sampling.sampleFilter(capped, "lang_pred")
       // shards carry the FULL document row (the loader wants text, not
       // verdict metadata): id-keyed left-semi against the sample survivors
       val shardInput = Tables(spark, dir, "documents")
@@ -48,10 +55,11 @@ object CurationPipeline {
       // see, so the manifest can never overstate the shipped artifact
       val nCorpus = Tables(spark, dir, "documents").count()
       val nCurated = verdict.count()
+      val nCapped = capped.count()
       val nSharded = spark.read.parquet(s"$outDir/shards").count()
       val manifest = Seq(
-        (nCorpus, nCurated, nSharded, nShards.toLong)
-      ).toDF("n_corpus", "n_curated", "n_sampled", "n_shards")
+        (nCorpus, nCurated, nCapped, nSharded, nShards.toLong)
+      ).toDF("n_corpus", "n_curated", "n_capped", "n_sampled", "n_shards")
       manifest.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/manifest")
       manifest

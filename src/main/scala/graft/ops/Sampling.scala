@@ -567,14 +567,25 @@ object Sampling {
     * two-stage top-K (q51's device), with no salting code to maintain.
     * ScanBudgetSpec pins both the single scan and the group-limit
     * rewrite being present in the executed plan. */
+  /** The reusable cap core: rank `df`'s rows within each source by
+    * `quality` (desc, doc_id tiebreak) and keep rank ≤ cap, rank exposed
+    * as `src_rank`. Any row-computable quality signal slots in — q139
+    * ranks the raw corpus by n_chars; [[graft.CurationPipeline]] ranks
+    * the CURATED survivors by n_tokens (the verdict's own evidence
+    * column), so the cap composes onto a verdict as cheaply as onto the
+    * corpus (the [[sampleFilter]] precedent). */
+  def capFilter(df: DataFrame, quality: Column,
+      cap: Int = SOURCE_CAP): DataFrame = {
+    val byQuality = Window.partitionBy(col("source"))
+      .orderBy(quality.desc, col("doc_id"))
+    df.withColumn("src_rank", row_number().over(byQuality).cast("long"))
+      .filter(col("src_rank") <= cap)
+  }
+
   def sourceCap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val byQuality = Window.partitionBy($"source")
-      .orderBy($"n_chars".desc, $"doc_id")
-    docs(spark, dir)
-      .select($"doc_id", $"source", $"n_chars")
-      .withColumn("src_rank", row_number().over(byQuality).cast("long"))
-      .filter($"src_rank" <= SOURCE_CAP)
+    capFilter(docs(spark, dir).select($"doc_id", $"source", $"n_chars"),
+      $"n_chars")
   }
 
   private val sourceCapOracle =

@@ -2582,6 +2582,57 @@ object TextPipeline {
        |                  AND truth.doc_b = bp.doc_b
        |ORDER BY truth.doc_a, truth.doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q143
+
+  /** Per-document gram NOVELTY — the memorization-risk / uniqueness
+    * signal orthogonal to the existing per-doc scores: q64 measures
+    * repetition WITHIN a document, q108 token typicality against the
+    * corpus UNIGRAM distribution; this measures how much of a document's
+    * PHRASE structure (3-gram grain, the dedup family's shingle) exists
+    * nowhere else in the corpus. novelty = |grams with df = 1| / |grams|:
+    * boilerplate and near-dup copies score ~0 (every gram shared), true
+    * one-of-a-kind text scores ~1 — the mix owner's "how much unique
+    * signal does this source actually add" number, and the inverse of a
+    * memorization-risk screen (low-novelty docs are the ones a model can
+    * reproduce from elsewhere in the corpus).
+    *
+    * 100 TB shape: rides the SAME distinct (doc_id, sh) projection as the
+    * whole dedup family; df is a count WINDOW over the one sh-keyed
+    * exchange (the q68/q108 device — never an aggregate joined back,
+    * which would re-scan); the per-doc rollup re-keys that stream by
+    * doc_id. Two exchanges, one corpus scan, no pair stage — cost is the
+    * gram stream, linear by construction. The one division is the only
+    * double. */
+  def gramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    shingles(spark, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when($"df" === 1, 1L).otherwise(0L)).cast("long")
+          .as("novel_grams"))
+      .withColumn("novelty",
+        $"novel_grams".cast("double") / $"n_grams".cast("double"))
+      .select($"doc_id", $"n_grams", $"novel_grams", $"novelty")
+  }
+
+  private val gramNoveltyOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |s AS (SELECT DISTINCT doc_id, sh FROM (
+       |        SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+       |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |                 AS sh
+       |        FROM t WHERE len(ws) >= 3)),
+       |d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS df FROM s)
+       |SELECT doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS novel_grams,
+       |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / COUNT(*) AS novelty
+       |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Seq[Query] = Seq(
@@ -2652,6 +2703,13 @@ object TextPipeline {
     Query("q124_minhash_estimate",
       "MinHash quality harness: per ground-truth pair, signature Jaccard estimate vs exact + band collisions, exact oracle",
       minhashEstimate, Some(minhashEstimateOracle), headline = false),
+    Query("q143_gram_novelty",
+      "per-doc 3-gram novelty (fraction of grams with corpus df = 1) — the memorization-risk / unique-signal score",
+      // compare-only orderBy (the q60/q62 convention); bench times the
+      // unordered operator
+      (s, d) => gramNovelty(s, d).orderBy("doc_id"),
+      Some(gramNoveltyOracle), headline = false,
+      benchFn = Some(gramNovelty)),
     Query("q92_source_boilerplate",
       "cross-doc source-level boilerplate fraction per document (shingle source-df window)",
       // compare-only orderBy (the q60/q62 convention); bench times the

@@ -27,7 +27,12 @@ class CurationPipelineSpec extends SparkSpec {
     assert(manifest.getAs[Long]("n_corpus") == 81L)
     // dup doc 100 must be dropped by the verdict stage
     assert(manifest.getAs[Long]("n_curated") < 81L)
-    assert(manifest.getAs[Long]("n_sampled") <= manifest.getAs[Long]("n_curated"))
+    // the fixture is single-source, so the cap stage binds exactly:
+    // n_capped = min(n_curated, SOURCE_CAP)
+    assert(manifest.getAs[Long]("n_capped") ==
+      math.min(manifest.getAs[Long]("n_curated"),
+        ops.Sampling.SOURCE_CAP.toLong))
+    assert(manifest.getAs[Long]("n_sampled") <= manifest.getAs[Long]("n_capped"))
     assert(manifest.getAs[Long]("n_sampled") > 0L)
 
     val shards = spark.read.parquet(s"$out/shards")

@@ -2633,6 +2633,62 @@ object TextPipeline {
        |         / COUNT(*) AS novelty
        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+
+  /** Per-SOURCE gram exclusivity — q143's question asked at mix grain:
+    * how much of a source's phrase inventory exists in NO other source?
+    * exclusivity = |grams in exactly this source| / |distinct grams in
+    * source| — the "marginal unique signal" number a mix owner reads
+    * before cutting or upweighting a source (the aggregate complement of
+    * q136's PAIRWISE overlap estimates: q136 prices any two sources
+    * against each other, this prices each source against everyone at
+    * once). Gram grain is the dedup family's 3-shingle; membership is
+    * DISTINCT (source, gram), so volume inside a source doesn't inflate
+    * its claim to a phrase.
+    *
+    * 100 TB shape: one corpus scan → distinct (source, sh) (hash agg,
+    * map-side combining); the per-gram source count is a count WINDOW
+    * over that frame's sh-keyed exchange (the q68/q143 device); the
+    * rollup is source-grain. Nothing after the distinct is corpus-sized
+    * — the (source, sh) frame is bounded by the distinct phrase
+    * inventory, the same stream q136's signatures ride. */
+  def sourceExclusivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bySource = docs(spark, dir)
+      .select($"source", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= SHINGLE_K)
+      .select($"source", explode(expr(
+        "transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("sh"))
+      .distinct()
+    bySource
+      .withColumn("nsrc", count(lit(1)).over(Window.partitionBy($"sh")))
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when($"nsrc" === 1, 1L).otherwise(0L)).cast("long")
+          .as("exclusive_grams"))
+      .withColumn("exclusivity",
+        $"exclusive_grams".cast("double") / $"n_grams".cast("double"))
+      .select($"source", $"n_grams", $"exclusive_grams", $"exclusivity")
+  }
+
+  private val sourceExclusivityOracle =
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |s AS (SELECT DISTINCT source, sh FROM (
+       |        SELECT source, unnest(list_transform(range(1, len(ws) - 1),
+       |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |                 AS sh
+       |        FROM t WHERE len(ws) >= 3)),
+       |d AS (SELECT source, COUNT(*) OVER (PARTITION BY sh) AS nsrc FROM s)
+       |SELECT source,
+       |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |       CAST(SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS exclusive_grams,
+       |       CAST(SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / COUNT(*) AS exclusivity
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Seq[Query] = Seq(
@@ -2710,6 +2766,11 @@ object TextPipeline {
       (s, d) => gramNovelty(s, d).orderBy("doc_id"),
       Some(gramNoveltyOracle), headline = false,
       benchFn = Some(gramNovelty)),
+    Query("q144_source_exclusivity",
+      "per-source exclusive-gram share (grams in no other source) — the marginal-unique-signal rollup",
+      (s, d) => sourceExclusivity(s, d).orderBy("source"),
+      Some(sourceExclusivityOracle), headline = false,
+      benchFn = Some(sourceExclusivity)),
     Query("q92_source_boilerplate",
       "cross-doc source-level boilerplate fraction per document (shingle source-df window)",
       // compare-only orderBy (the q60/q62 convention); bench times the

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, current_timestamp, lit, pmod, to_date, xxhash64}
+import org.apache.spark.sql.functions.{col, current_timestamp, lit, pmod, struct, to_date, to_json, xxhash64}
 import org.apache.spark.sql.types._
 
 /** Output surface — the reference's load stage re-expressed as Spark
@@ -151,6 +151,25 @@ object Sinks {
       .repartition(nShards, col("shard"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(path)
+
+  /** JSONL flavor of [[writeShards]] — the wire format LLM training
+    * loaders actually consume (one JSON object per line, shard dirs by
+    * the same deterministic id hash, so a loader can stripe across
+    * `shard=K/` dirs and a re-run reproduces byte-identical membership).
+    * Distributed text write: `to_json(struct(*))` is a codegen'd
+    * projection and each shard partition streams to its own .txt part —
+    * no driver-side formatting, no collect. Timestamps serialize in
+    * ISO-8601 (Spark's JSON default), embedding/binary columns as JSON
+    * arrays/base64 per `to_json`'s documented mapping. */
+  def writeJsonlShards(
+      df: DataFrame, path: String, idCol: String, nShards: Int): Unit =
+    df
+      .withColumn("shard", pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+      .select(col("shard"),
+        to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").text(path)
 
   /** S8: bulk export capped at `rowsPerFile` rows per output file —
     * the reference's 5 000-row INSERT chunks, executed writer-side. */

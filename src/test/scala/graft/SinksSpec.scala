@@ -316,4 +316,30 @@ class SinksSpec extends SparkSpec {
         new org.xml.sax.helpers.DefaultHandler)
     } finally zf.close()
   }
+
+  test("JSONL shard sink: loader-format round trip, deterministic membership") {
+    val docsDf = (0L until 40L)
+      .map(i => Doc(i, s"text body $i", lang = "en")).toDF
+    val out = tmp()
+    Sinks.writeJsonlShards(docsDf, out, "doc_id", nShards = 4)
+    // layout: shard=K dirs holding plain-text parts
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty && shardDirs.length <= 4)
+    // every line is a standalone JSON object a loader can parse — read
+    // back with the generic JSON reader and compare full rows
+    val back = spark.read.json(s"$out/shard=*/*.txt")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    assert(back == docsDf.collect().map(_.toSeq).toSet)
+    // membership is the same deterministic hash as the parquet shards
+    val out2 = tmp()
+    Sinks.writeJsonlShards(docsDf, out2, "doc_id", nShards = 4)
+    def perShard(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("shard=")).map { d =>
+        d.getName -> spark.read.json(s"$p/${d.getName}/*.txt")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      }.toMap
+    assert(perShard(out) == perShard(out2))
+  }
 }

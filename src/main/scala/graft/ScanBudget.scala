@@ -61,6 +61,9 @@ object ScanBudget {
     // variant's prescreen build).
     "q75_decontamination" -> Map("documents" -> 2),
     "q81_decontamination_bloom" -> Map("documents" -> 3),
+    // Contamination provenance: q75's eval-leg + training-leg floor (the
+    // pair join needs both carves as separate join inputs).
+    "q146_contamination_provenance" -> Map("documents" -> 2),
     // ANN: corpus leg + broadcast query leg (self-joins over one table);
     // q48 adds the seed-centroid leg. q85/q91 prove the cached-projection
     // form (ONE scan) — these uncached shapes are the documented floor.
@@ -102,7 +105,12 @@ object ScanBudget {
     // broadcast probe leg — the q48 3-scan floor with the stats pass
     // standing in for the centroid-seed pass (q107's honest train/score
     // shape applied to quantization).
-    "q132_ann_quantized" -> Map("embeddings" -> 3))
+    "q132_ann_quantized" -> Map("embeddings" -> 3),
+    // Bigram-LM perplexity: train-the-model pass (collapses to the
+    // distinct-bigram-grain model) + score-the-corpus pass — q107's
+    // honest train/score 2-scan floor applied to the LM quality filter
+    // (production trains on a sample/stored model and scores in 1 pass).
+    "q145_bigram_perplexity" -> Map("documents" -> 2))
     // q63s (round-12): the registered twin now executes the fused
     // single-scan SQL, so it rides the default 1-scan budget — the
     // round-10/11 two-scan dialect floor is retired. The oracle's

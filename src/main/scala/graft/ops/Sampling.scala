@@ -430,6 +430,111 @@ object Sampling {
        |         / (CAST(n_docs AS DOUBLE) / total_docs) AS upweight
        |FROM w, t ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q147
+
+  /** Token budget the epoch plan allocates, as a multiple of the corpus's
+    * own token count (2 = "train for two corpus-equivalents of tokens" —
+    * the regime where epoch caps actually bind somewhere). */
+  val EPOCH_TOKEN_MULT = 2L
+
+  /** Per-source repetition ceiling: no source is scheduled past this many
+    * epochs regardless of its weight (the Muennighoff et al. 2023 /
+    * "data-constrained scaling" discipline — returns on repeated data
+    * decay past ~4 epochs, so weight a cap would overshoot into is
+    * unmet, not silently over-repeated). */
+  val MAX_EPOCHS = 4L
+
+  /** Token-budget epoch plan — the LAST mix-stack decision before
+    * training launches, completing q71 (explicit targets) → q96 (derived
+    * temperature weights) → q139/q141 (hard caps) → q140/q105 (ordering):
+    * given a total token budget B = [[EPOCH_TOKEN_MULT]]·Σtokens and
+    * α=0.5 temperature weights over per-source TOKEN counts, each source
+    * gets target_tokens = B·w div Σw, scheduled as
+    * epochs = min([[MAX_EPOCHS]], ⌈target/T_s⌉) passes over its data;
+    * planned_tokens = min(target, epochs·T_s) and unmet_tokens is the
+    * budget the epoch cap refuses — the number the mix owner reallocates
+    * or accepts (fewer total tokens) BEFORE burning compute.
+    *
+    * Cross-engine exactness (the q96 device, applied to tokens): weights
+    * are floor(sqrt(n_tokens·10⁶)) BIGINTs (IEEE sqrt correctly rounded
+    * in both engines, argument < 2⁵³ exact), budget/target/epoch math is
+    * pure integer floor/ceil division, and the only double is the final
+    * planned_share division. Width note: B·w peaks ~3e14 at sf0.1 —
+    * 4 BIGINT orders of headroom; a corpus past ~10¹¹ tokens swaps the
+    * product to DECIMAL(38,0) (the q129 contract, unchanged semantics).
+    *
+    * Scale shape: one corpus scan → source-grain agg (map-side combined;
+    * n_tokens sums a per-row `size(split(…))` projection, no explode) +
+    * a 1-row broadcast total; everything after is dimension-sized. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bySource = docs(spark, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("nt"))
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"nt").cast("long").as("n_tokens"))
+      .withColumn("w",
+        floor(sqrt($"n_tokens".cast("double") * TEMP_SCALE)).cast("long"))
+    val totals = bySource.agg(
+      sum($"w").cast("long").as("total_w"),
+      sum($"n_tokens").cast("long").as("total_tokens"))
+    bySource.crossJoin(broadcast(totals))
+      .withColumn("target_tokens",
+        expr(s"($EPOCH_TOKEN_MULT * total_tokens) * w div total_w")
+          .cast("long"))
+      .withColumn("epochs",
+        least(lit(MAX_EPOCHS),
+          expr("(target_tokens + n_tokens - 1) div n_tokens"))
+          .cast("long"))
+      .withColumn("planned_tokens",
+        least($"target_tokens", $"epochs" * $"n_tokens").cast("long"))
+      .withColumn("unmet_tokens",
+        ($"target_tokens" - $"planned_tokens").cast("long"))
+      .withColumn("planned_share",
+        $"planned_tokens".cast("double") /
+          ($"total_tokens" * EPOCH_TOKEN_MULT).cast("double"))
+      .select($"source", $"n_docs", $"n_tokens", $"w", $"target_tokens",
+        $"epochs", $"planned_tokens", $"unmet_tokens", $"planned_share")
+      .orderBy($"source")
+  }
+
+  private val epochPlanOracle =
+    s"""WITH a AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents GROUP BY 1
+       |), w AS (
+       |  SELECT source, n_docs, n_tokens,
+       |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) * $TEMP_SCALE))
+       |              AS BIGINT) AS w
+       |  FROM a
+       |), t AS (
+       |  SELECT CAST(SUM(w) AS BIGINT) AS total_w,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM w
+       |), p AS (
+       |  SELECT source, n_docs, n_tokens, w,
+       |         CAST(($EPOCH_TOKEN_MULT * total_tokens) * w // total_w
+       |              AS BIGINT) AS target_tokens,
+       |         total_tokens
+       |  FROM w, t
+       |), e AS (
+       |  SELECT *, CAST(least($MAX_EPOCHS,
+       |           (target_tokens + n_tokens - 1) // n_tokens) AS BIGINT)
+       |           AS epochs
+       |  FROM p
+       |)
+       |SELECT source, n_docs, n_tokens, w, target_tokens, epochs,
+       |       CAST(least(target_tokens, epochs * n_tokens) AS BIGINT)
+       |         AS planned_tokens,
+       |       CAST(target_tokens - least(target_tokens, epochs * n_tokens)
+       |            AS BIGINT) AS unmet_tokens,
+       |       CAST(least(target_tokens, epochs * n_tokens) AS DOUBLE)
+       |         / CAST(total_tokens * $EPOCH_TOKEN_MULT AS DOUBLE)
+       |         AS planned_share
+       |FROM e ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q105
 
   /** Output shard count for the training-order shuffle. 16 against the
@@ -762,6 +867,9 @@ object Sampling {
     Query("q96_temperature_mix",
       "α=0.5 temperature-flattened source mix via exact integer-sqrt weights + floor-division epoch allocation",
       temperatureMix, Some(temperatureOracle), headline = false),
+    Query("q147_epoch_plan",
+      "token-budget epoch plan: temperature targets scheduled as ≤4 epochs/source, unmet budget surfaced (exact integer math)",
+      epochPlan, Some(epochPlanOracle), headline = false),
     Query("q105_training_shuffle",
       "deterministic md5-order training shuffle: shard + position + exclusive token offset per document",
       trainingShuffle, Some(trainingShuffleOracle), headline = false),

@@ -307,6 +307,81 @@ object Scrub {
        |       text_norm <> t_nfc AS ws_changed
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q146
+
+  /** Contamination PROVENANCE — the auditor's drill-down of [[decontaminate]]:
+    * q75/q81 flag a training doc on ANY shared eval shingle, which answers
+    * "is it contaminated?" but not the questions a release review asks —
+    * WHICH eval items leak into it, and HOW MUCH of each item it covers.
+    * One row per (training doc, eval item) pair sharing ≥1 shingle:
+    * `n_shared` (distinct shared shingles — both sides are distinct
+    * per doc, so the gram join needs no dedup), the eval item's own
+    * distinct-shingle inventory `eval_n`, and `containment` =
+    * n_shared/eval_n (ONE division of exact BIGINTs) — containment ≈ 1
+    * means the eval item appears wholesale (the Lee et al. 2022 /
+    * GPT-3-style "dirty document" evidence); small fractions are shared
+    * boilerplate a reviewer can discount. Eval membership is the same
+    * salted-hash carve as q75, so the flagged set here is EXACTLY q75's
+    * positives, with evidence attached.
+    *
+    * 100 TB shape: q75's documented 2-scan floor (eval leg + training
+    * leg carved from the same table). The pair stage is a gram-keyed
+    * equi-join whose volume is shared-posting pairs — bounded by the
+    * EVAL side's posting list (the suite is curated and small; a deploy
+    * broadcasts it, and the q81 bloom prescreen composes unchanged when
+    * it outgrows the broadcast). Rollups re-key at pair grain — never
+    * corpus-sized — and `eval_n` is a count window over the eval side's
+    * own exchange. */
+  def contaminationProvenance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def evalTag =
+      (Dx.hashKey(EVAL_SALT, $"doc_id") < EVAL_THRESHOLD).cast("int")
+    val sh = TextPipeline.shingles(spark, dir)
+      .withColumn("is_eval", evalTag)
+    val evalSide = sh.filter($"is_eval" === 1)
+      .select($"doc_id".as("eval_id"), $"sh")
+      .withColumn("eval_n",
+        count(lit(1)).over(Window.partitionBy($"eval_id")).cast("long"))
+    val trainSide = sh.filter($"is_eval" === 0).select($"doc_id", $"sh")
+    trainSide.join(evalSide, "sh")
+      .groupBy($"doc_id", $"eval_id", $"eval_n")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .withColumn("containment",
+        $"n_shared".cast("double") / $"eval_n".cast("double"))
+      .select($"doc_id", $"eval_id", $"n_shared", $"eval_n", $"containment")
+      .orderBy($"doc_id", $"eval_id")
+  }
+
+  private val provenanceOracle = {
+    val key = Dx.sqlHex2Long(
+      s"md5('$EVAL_SALT' || CAST(doc_id AS VARCHAR))", 8)
+    s"""WITH tagged AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN $key < $EVAL_THRESHOLD THEN 1 ELSE 0 END AS is_eval
+       |  FROM documents
+       |), t AS (SELECT doc_id, is_eval, string_split(text, ' ') AS ws
+       |         FROM tagged),
+       |s AS (SELECT DISTINCT doc_id, is_eval, sh FROM (
+       |        SELECT doc_id, is_eval,
+       |               unnest(list_transform(range(1, len(ws) - 1),
+       |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+       |        FROM t WHERE len(ws) >= 3)),
+       |e AS (
+       |  SELECT doc_id AS eval_id, sh,
+       |         CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS eval_n
+       |  FROM s WHERE is_eval = 1),
+       |tr AS (SELECT doc_id, sh FROM s WHERE is_eval = 0),
+       |p AS (
+       |  SELECT tr.doc_id, e.eval_id, e.eval_n,
+       |         CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM tr JOIN e ON tr.sh = e.sh
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, eval_id, n_shared, eval_n,
+       |       CAST(n_shared AS DOUBLE) / CAST(eval_n AS DOUBLE)
+       |         AS containment
+       |FROM p ORDER BY doc_id, eval_id""".stripMargin
+  }
+
   val all: Seq[Query] = Seq(
     Query("q75_decontamination",
       "eval-set n-gram overlap screen: training docs flagged on any shared shingle, one-scan window shape",
@@ -333,5 +408,8 @@ object Scrub {
       "canonical text normalization: native-codegen Unicode NFC + whitespace collapse, byte-compared output + change evidence",
       (s, d) => normalizeText(s, d).orderBy("doc_id"),
       Some(normalizeOracle), headline = false,
-      benchFn = Some(normalizeText)))
+      benchFn = Some(normalizeText)),
+    Query("q146_contamination_provenance",
+      "per-(train doc, eval item) leak evidence: shared shingles + eval-item containment (q75's drill-down)",
+      contaminationProvenance, Some(provenanceOracle), headline = false))
 }

@@ -757,6 +757,141 @@ object Terms {
        |         / CAST(t_s * t_all * 2 AS DOUBLE) AS tv
        |FROM agg ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q145
+
+  /** Per-document bigram-LM perplexity — the REAL n-gram-LM quality
+    * filter (the CCNet/FineWeb curation stage) that [[tokenTypicality]]
+    * is the exact-arithmetic proxy for. A bigram model with add-one
+    * smoothing is trained on the corpus itself and every document is
+    * scored by its negative log-likelihood under that model:
+    * P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V), nll = −Σᵢ ln P over the doc's
+    * bigram positions, nll_per_tok = nll / n_bigrams (nats/token —
+    * perplexity is its monotone exp, left presentational). Template/
+    * duplicated prose scores low, frequency-tail junk scores high — the
+    * standard keep-band filter reads both tails.
+    *
+    * Cross-engine float contract — NO LIBM ANYWHERE (the decisive
+    * finding, measured before this operator was registered: JVM
+    * `Math.log` vs glibc/DuckDB `ln` mismatches 0.14% of a 2.1M-rational
+    * sweep, `Math.exp` 0.24%, and Spark's `log` codegen actually calls
+    * `StrictMath.log`, 1.3% off glibc — a libm-backed score is a latent
+    * hash mismatch that passes on lucky corpora; this one FAILED the
+    * sf0.01 oracle on 52 cells before the rewrite). Instead each
+    * position's lp is [[graft.functions.PinnedMath.lnRatioSql]]: a pinned
+    * chain of exact-integer range reduction + a 20-term atanh Horner
+    * series in pure `+ − × ÷` doubles, ONE SHARED SQL TEXT evaluated
+    * verbatim by Spark and DuckDB — IEEE basic ops are correctly rounded
+    * by spec, so the bits match by construction. The per-doc sum is an
+    * ORDER-PINNED left fold (Spark: `aggregate(array_sort(collect_list(
+    * struct(pos, lp))))`; DuckDB: `list_reduce(list(lp ORDER BY pos))` —
+    * a fold from 0.0 equals the fold from the first element because
+    * 0.0 + x = x in IEEE). An unordered SUM would be legal SQL and wrong:
+    * float addition is not associative, and two engines' partial-
+    * aggregation orders never match.
+    *
+    * 100 TB shape: honest TWO-PASS train/score (q107's documented
+    * 2-scan design floor — a production run trains on a sample or a
+    * stored model artifact and scores in one pass). Pass 1 collapses the
+    * corpus to the DISTINCT-BIGRAM-grain model via one map-side-combined
+    * hash agg; the context total c(w₁·) is a sum window over that
+    * vocab-grain frame (never a corpus re-scan) and V rolls up from the
+    * same frame as a 1-row broadcast. Pass 2 joins the corpus bigram
+    * stream to the model on (w₁,w₂) — broadcastable while the model fits,
+    * shuffle-keyed by bigram beyond that — and the doc-grain rollup is
+    * the only other corpus-sized exchange. Per-position floats never
+    * cross an exchange unaggregated except inside the doc-keyed rollup
+    * that consumes them. */
+  def bigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def bigrams = docs(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> " +
+          "struct(i AS pos, ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
+      .select($"doc_id", $"b.pos".as("pos"), $"b.w1".as("w1"),
+        $"b.w2".as("w2"))
+    // Persisted at DISTINCT-BIGRAM grain (the model artifact): the vocab
+    // rollup and the scoring join both consume it, and their differing
+    // column pruning defeats exchange reuse — without the cache each
+    // re-derives the corpus explode (3 documents scans measured; the
+    // q108 persist precedent, harness clears the cache per query).
+    val model = graft.Caches.track(s"terms.bigramModel:$dir",
+      bigrams.groupBy($"w1", $"w2")
+        .agg(count(lit(1)).cast("long").as("c2"))
+        .withColumn("c1",
+          sum($"c2").over(Window.partitionBy($"w1")).cast("long")))
+    // model vocab: distinct tokens seen in any bigram slot — derived from
+    // the vocab-grain model frame, not a third corpus pass (a 1-token doc
+    // contributes no bigram and needs no smoothing mass; pinned in both
+    // engines by construction)
+    val vocab = model.select($"w1".as("w"))
+      .union(model.select($"w2".as("w")))
+      .agg(countDistinct($"w").cast("long").as("v"))
+    val scored = model.crossJoin(broadcast(vocab))
+      .withColumn("la", ($"c2" + 1).cast("long"))
+      .withColumn("lb", ($"c1" + $"v").cast("long"))
+      // pinned lp at MODEL grain: the heavy shared-text chain runs once
+      // per DISTINCT bigram, never per corpus position
+      .withColumn("lp", expr(graft.functions.PinnedMath.lnRatioSql("la", "lb")))
+      .select($"w1", $"w2", $"c2", $"lp")
+    bigrams.join(scored, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        // c2 = 1 ⇔ this occurrence is the bigram's ONLY one corpus-wide:
+        // the doc's novel-continuation count (novelty evidence for free)
+        count(when($"c2" === 1L, lit(1))).cast("long").as("n_singleton"),
+        expr("aggregate(array_sort(collect_list(struct(pos, lp))), " +
+          "cast(0.0 AS double), (a, x) -> a + x.lp)").as("sum_lp"))
+      .withColumn("nll", -$"sum_lp")
+      .withColumn("nll_per_tok", $"nll" / $"n_bigrams")
+      .select($"doc_id", $"n_bigrams", $"n_singleton", $"nll",
+        $"nll_per_tok")
+      .orderBy($"doc_id")
+  }
+
+  private val perplexityOracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2
+       |), bg AS (
+       |  SELECT doc_id, b.pos AS pos, b.w1 AS w1, b.w2 AS w2
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |          i -> {'pos': i, 'w1': ws[i], 'w2': ws[i + 1]})) AS b
+       |        FROM t)
+       |), model AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+       |  FROM bg GROUP BY 1, 2
+       |), m2 AS (
+       |  SELECT w1, w2, c2,
+       |         CAST(SUM(c2) OVER (PARTITION BY w1) AS BIGINT) AS c1
+       |  FROM model
+       |), v AS (
+       |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM
+       |    (SELECT w1 AS w FROM model UNION SELECT w2 AS w FROM model)
+       |), m3 AS (
+       |  SELECT w1, w2, c2, CAST(c2 + 1 AS BIGINT) AS la,
+       |         CAST(c1 + v.v AS BIGINT) AS lb
+       |  FROM m2 CROSS JOIN v
+       |), m4 AS (
+       |  SELECT w1, w2, c2,
+       |         ${graft.functions.PinnedMath.lnRatioSql("la", "lb")} AS lp
+       |  FROM m3
+       |), s AS (
+       |  SELECT bg.doc_id, bg.pos, m4.c2, m4.lp
+       |  FROM bg JOIN m4 ON bg.w1 = m4.w1 AND bg.w2 = m4.w2
+       |), d AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |         CAST(COUNT(CASE WHEN c2 = 1 THEN 1 END) AS BIGINT)
+       |           AS n_singleton,
+       |         -list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS nll
+       |  FROM s GROUP BY 1
+       |)
+       |SELECT doc_id, n_bigrams, n_singleton, nll,
+       |       nll / n_bigrams AS nll_per_tok
+       |FROM d ORDER BY doc_id""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q64_repetition_signals",
       "Gopher-style repetition filters: duplicate-token and top n-gram char fractions per doc",
@@ -784,5 +919,8 @@ object Terms {
       bpeTokenize, Some(bpeTokenizeOracle), headline = false),
     Query("q129_source_divergence",
       "per-source total-variation distance of token distributions vs the corpus (exact integer numerators, one final division)",
-      sourceDivergence, Some(divergenceOracle), headline = false))
+      sourceDivergence, Some(divergenceOracle), headline = false),
+    Query("q145_bigram_perplexity",
+      "per-doc bigram-LM perplexity quality filter (add-one smoothing, libm-free pinned ln chain + order-pinned fold, bit-exact vs DuckDB)",
+      bigramPerplexity, Some(perplexityOracle), headline = false))
 }

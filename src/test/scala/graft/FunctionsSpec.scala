@@ -144,4 +144,43 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(typed(1L) == builtin(1L))
   }
+
+  test("PinnedMath.lnRatioSql: libm-free ln accurate to ~1e-15, exact at powers of two, shift-safe at count widths") {
+    import graft.functions.PinnedMath
+    import spark.implicits._
+    // small-operand sweep (the sf-scale count regime) + large-operand
+    // probes (the 100 TB count widths: the a<<k intermediate must stay
+    // inside BIGINT while b is in the 1e13 class)
+    val pairs = (for { a <- 1L to 48L; b <- a to a + 64L } yield (a, b)) ++
+      Seq((2L, 4000000000000L), (999999999999L, 1000000000000L),
+        (3L, 9999999999999L), (1L, 1L << 50))
+    pairs.toDF("a", "b").createOrReplaceTempView("lnpairs")
+    val got = spark.sql(
+      s"SELECT a, b, ${PinnedMath.lnRatioSql("a", "b")} AS lp " +
+        "FROM lnpairs").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b, lp) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val truth = math.log(a.toDouble / b.toDouble)
+      if (a == b) assert(lp == 0.0, s"ln($a/$a) must be exactly 0")
+      else if (java.lang.Long.bitCount(b) == 1 && a == 1)
+        // p = 2^-n: m = 1 exactly, so lp = -n*LN2, one rounded product
+        assert(lp == -((63 - java.lang.Long.numberOfLeadingZeros(b)) *
+          0.6931471805599453), s"ln(1/$b) power-of-two path")
+      else {
+        // absolute ~ulp(ln m ≤ 0.7) + k·ulp(LN2) Horner/cancellation
+        // budget; relative term for the large-|truth| regime
+        val tol = 1e-14 + 4e-16 * math.abs(truth)
+        assert(math.abs(lp - truth) <= tol,
+          s"ln($a/$b): pinned=$lp libm=$truth diff=${lp - truth}")
+      }
+    }
+    // the fragment is pure +-*/ over exact integers: re-evaluating yields
+    // bit-identical doubles (the property the q145 oracle compare rests
+    // on; cross-ENGINE identity is proven by the driver's DuckDB hash)
+    val again = spark.sql(
+      s"SELECT ${PinnedMath.lnRatioSql("a", "b")} AS lp FROM lnpairs")
+      .collect().map(_.getDouble(0))
+    assert(got.map(_.getDouble(2)).sameElements(again))
+  }
 }

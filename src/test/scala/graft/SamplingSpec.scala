@@ -124,6 +124,36 @@ class SamplingSpec extends SparkSpec {
     assert(r.values.map(_._4).sum <= Sampling.EPOCH_DOCS)
   }
 
+  test("epoch plan: cap binds on the upweighted tail source, unmet budget surfaced") {
+    import spark.implicits._
+    // big: one 10,000-token doc → w = floor(sqrt(1e4·1e6)) = 100000
+    // tiny: one 4-token doc     → w = floor(sqrt(4·1e6))   = 2000
+    // B = 2·10004 = 20008; target_tiny = 20008·2000 div 102000 = 392
+    // ⌈392/4⌉ = 98 epochs → capped at 4 → planned 16, unmet 376
+    val bigText = Seq.fill(10000)("tok").mkString(" ")
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(1L, bigText, "en", "big"),
+      Doc(2L, "a b c d", "en", "tiny")).toDF)
+    val r = Sampling.epochPlan(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val tiny = r("tiny")
+    assert(tiny.getAs[Long]("w") == 2000L)
+    assert(tiny.getAs[Long]("target_tokens") == 392L)
+    assert(tiny.getAs[Long]("epochs") == Sampling.MAX_EPOCHS)
+    assert(tiny.getAs[Long]("planned_tokens") == 16L)
+    assert(tiny.getAs[Long]("unmet_tokens") == 376L)
+    val big = r("big")
+    // head source: target 2·10004·100000 div 102000 = 19615 → 2 epochs,
+    // epoch ceiling does NOT bind → target fully planned
+    assert(big.getAs[Long]("target_tokens") == 19615L)
+    assert(big.getAs[Long]("epochs") == 2L)
+    assert(big.getAs[Long]("unmet_tokens") == 0L)
+    // floor division + the cap never over-commit the budget
+    assert(r.values.map(_.getAs[Long]("planned_tokens")).sum <=
+      Sampling.EPOCH_TOKEN_MULT * 10004L)
+    assert(big.getAs[Double]("planned_share") == 19615.0 / 20008.0)
+  }
+
   test("sequence packing: distributed prefix sum ≡ doc_id-ordered layout") {
     import spark.implicits._
     // 40 docs with varying token counts over the 4 shuffle partitions the

@@ -60,6 +60,38 @@ class ScrubSpec extends SparkSpec {
     assert(r(clean).getAs[Boolean]("clean"))
   }
 
+  test("contamination provenance: per-eval-item containment, wholesale copy scores 1.0") {
+    def isEval(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((Scrub.EVAL_SALT + id.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) < Scrub.EVAL_THRESHOLD
+    }
+    val Seq(evalA, evalB) = (0L until 3000L).filter(isEval).take(2)
+    val Seq(wholesale, partial, clean) =
+      (0L until 3000L).filterNot(isEval).take(3)
+    // evalA: 5 tokens → 3 distinct shingles; evalB disjoint vocabulary
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(evalA, "secret eval answer tokens here"),
+      Doc(evalB, "zulu yankee xray whiskey victor"),
+      // contains ALL of evalA's text → containment 3/3; none of evalB's
+      Doc(wholesale, "intro secret eval answer tokens here outro"),
+      // shares exactly one 3-gram with evalA ("secret eval answer")
+      Doc(partial, "prefix words secret eval answer"),
+      Doc(clean, "wholly unrelated training content")).toDF)
+    val r = Scrub.contaminationProvenance(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x).toMap
+    // pair grain: only train docs sharing ≥1 shingle with an eval item
+    assert(r.keySet == Set((wholesale, evalA), (partial, evalA)))
+    val w = r((wholesale, evalA))
+    assert(w.getAs[Long]("n_shared") == 3L)
+    assert(w.getAs[Long]("eval_n") == 3L)
+    assert(w.getAs[Double]("containment") == 1.0)
+    val p = r((partial, evalA))
+    assert(p.getAs[Long]("n_shared") == 1L)
+    assert(p.getAs[Double]("containment") == 1.0 / 3)
+  }
+
   test("bloom prescreen ≡ exact decontamination, even saturated") {
     // a corpus big enough that eval docs exist and shingles collide
     def isEval(id: Long): Boolean = {

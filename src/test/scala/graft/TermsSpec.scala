@@ -165,4 +165,26 @@ class TermsSpec extends SparkSpec {
     // micro-fixture
     assert(r.forall(_.getAs[String]("typicality_class") == "common"))
   }
+
+  test("bigram perplexity: hand-computed smoothing, singleton count, duplicate docs score identically") {
+    import spark.implicits._
+    // corpus bigrams: (a,b)×2 from docs 1/2, (a,c)×1 from doc 3.
+    // model: c2(a,b)=2, c2(a,c)=1, c1(a)=3, V={a,b,c}=3.
+    // lp(a,b) = ln((2+1)/(3+3)) = ln(1/2); lp(a,c) = ln((1+1)/(3+3)) = ln(1/3).
+    val dir = fixtureDir("documents" ->
+      Seq(Doc(1L, "a b"), Doc(2L, "a b"), Doc(3L, "a c")).toDF)
+    val r = Terms.bigramPerplexity(spark, dir).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(r.forall(_.getAs[Long]("n_bigrams") == 1L))
+    // only (a,c) occurs exactly once corpus-wide
+    assert(r.map(_.getAs[Long]("n_singleton")).toSeq == Seq(0L, 0L, 1L))
+    val nll = r.map(_.getAs[Double]("nll"))
+    // ln(1/2) rides the exact power-of-two path: nll = LN2 to the bit
+    assert(nll(0) == 0.6931471805599453)
+    // identical docs must score bit-identically (determinism, not luck)
+    assert(nll(0) == nll(1))
+    assert(math.abs(nll(2) - math.log(3.0)) < 1e-14)
+    assert(r.forall(row =>
+      row.getAs[Double]("nll_per_tok") == row.getAs[Double]("nll")))
+  }
 }

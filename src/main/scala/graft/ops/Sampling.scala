@@ -468,13 +468,21 @@ object Sampling {
     * a 1-row broadcast total; everything after is dimension-sized. */
   def epochPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bySource = docs(spark, dir)
-      .select($"source", size(split($"text", " ")).cast("long").as("nt"))
-      .groupBy($"source")
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum($"nt").cast("long").as("n_tokens"))
-      .withColumn("w",
-        floor(sqrt($"n_tokens".cast("double") * TEMP_SCALE)).cast("long"))
+    // Persisted at SOURCE grain (≤ sources rows): the totals rollup
+    // consumes only (w, n_tokens), so column pruning rewrites ITS
+    // aggregate differently from the plan branch that keeps n_docs —
+    // two non-identical subtrees, no exchange reuse, two corpus scans
+    // (measured by the round-12 scan audit; q96 escapes because its
+    // totals consume every non-key agg output). The q108 persist
+    // precedent; harness clears the cache per query.
+    val bySource = graft.Caches.track(s"sampling.epochBySource:$dir",
+      docs(spark, dir)
+        .select($"source", size(split($"text", " ")).cast("long").as("nt"))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($"nt").cast("long").as("n_tokens"))
+        .withColumn("w",
+          floor(sqrt($"n_tokens".cast("double") * TEMP_SCALE)).cast("long")))
     val totals = bySource.agg(
       sum($"w").cast("long").as("total_w"),
       sum($"n_tokens").cast("long").as("total_tokens"))

@@ -801,9 +801,12 @@ object Terms {
     * the only other corpus-sized exchange. Per-position floats never
     * cross an exchange unaggregated except inside the doc-keyed rollup
     * that consumes them. */
-  def bigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    def bigrams = docs(spark, dir)
+  /** Corpus bigram stream (doc_id, pos, w1, w2) from a documents-shaped
+    * frame — one projection + one explode, shared by q145 and q148. */
+  private def bigramFrame(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    docsDf
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(size($"ws") >= 2)
       .select($"doc_id", explode(expr(
@@ -811,30 +814,53 @@ object Terms {
           "struct(i AS pos, ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
       .select($"doc_id", $"b.pos".as("pos"), $"b.w1".as("w1"),
         $"b.w2".as("w2"))
+  }
+
+  /** Distinct-bigram-grain counts (w1, w2, c2) — THE model artifact: a
+    * sum-mergeable summary (counts(A∪B) = key-merge summed counts), the
+    * property q148's incremental maintenance rests on. */
+  private def bigramCounts(bg: DataFrame): DataFrame = {
+    val s = bg.sparkSession
+    import s.implicits._
+    bg.groupBy($"w1", $"w2").agg(count(lit(1)).cast("long").as("c2"))
+  }
+
+  /** Add-one-smoothed scoring surface over a (w1, w2, c2) model frame:
+    * context totals c1 as a sum window (vocab-grain, never a corpus
+    * re-scan), vocab V from the model's own key set as a 1-row
+    * broadcast, and the pinned libm-free lp — evaluated at MODEL grain,
+    * once per distinct bigram, never per corpus position. */
+  private def scoreModel(model: DataFrame): DataFrame = {
+    val s = model.sparkSession
+    import s.implicits._
+    val withC1 = model.withColumn("c1",
+      sum($"c2").over(Window.partitionBy($"w1")).cast("long"))
+    // model vocab: distinct tokens seen in any bigram slot — derived from
+    // the vocab-grain model frame, not another corpus pass (a 1-token doc
+    // contributes no bigram and needs no smoothing mass; pinned in both
+    // engines by construction)
+    val vocab = model.select($"w1".as("w"))
+      .union(model.select($"w2".as("w")))
+      .agg(countDistinct($"w").cast("long").as("v"))
+    withC1.crossJoin(broadcast(vocab))
+      .withColumn("la", ($"c2" + 1).cast("long"))
+      .withColumn("lb", ($"c1" + $"v").cast("long"))
+      .withColumn("lp",
+        expr(graft.functions.PinnedMath.lnRatioSql("la", "lb")))
+      .select($"w1", $"w2", $"c2", $"c1", $"lp")
+  }
+
+  def bigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def bigrams = bigramFrame(docs(spark, dir))
     // Persisted at DISTINCT-BIGRAM grain (the model artifact): the vocab
     // rollup and the scoring join both consume it, and their differing
     // column pruning defeats exchange reuse — without the cache each
     // re-derives the corpus explode (3 documents scans measured; the
     // q108 persist precedent, harness clears the cache per query).
     val model = graft.Caches.track(s"terms.bigramModel:$dir",
-      bigrams.groupBy($"w1", $"w2")
-        .agg(count(lit(1)).cast("long").as("c2"))
-        .withColumn("c1",
-          sum($"c2").over(Window.partitionBy($"w1")).cast("long")))
-    // model vocab: distinct tokens seen in any bigram slot — derived from
-    // the vocab-grain model frame, not a third corpus pass (a 1-token doc
-    // contributes no bigram and needs no smoothing mass; pinned in both
-    // engines by construction)
-    val vocab = model.select($"w1".as("w"))
-      .union(model.select($"w2".as("w")))
-      .agg(countDistinct($"w").cast("long").as("v"))
-    val scored = model.crossJoin(broadcast(vocab))
-      .withColumn("la", ($"c2" + 1).cast("long"))
-      .withColumn("lb", ($"c1" + $"v").cast("long"))
-      // pinned lp at MODEL grain: the heavy shared-text chain runs once
-      // per DISTINCT bigram, never per corpus position
-      .withColumn("lp", expr(graft.functions.PinnedMath.lnRatioSql("la", "lb")))
-      .select($"w1", $"w2", $"c2", $"lp")
+      bigramCounts(bigrams))
+    val scored = scoreModel(model).select($"w1", $"w2", $"c2", $"lp")
     bigrams.join(scored, Seq("w1", "w2"))
       .groupBy($"doc_id")
       .agg(
@@ -892,6 +918,88 @@ object Terms {
        |       nll / n_bigrams AS nll_per_tok
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+
+  private val liveModelDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** T1 for the q145 LM: incremental MODEL maintenance. Bigram counts
+    * are a SUM-MERGEABLE summary — counts(A∪B) = key-merge of summed
+    * counts — so maintaining the model needs the stored artifact
+    * (distinct-bigram grain, the whole persisted state) plus ONE scan of
+    * the arriving batch, never a corpus rescan. The context totals c1,
+    * the vocab V and every smoothed lp are then RE-DERIVED from the
+    * merged frame — the part a naive "only touched bigrams change"
+    * increment gets wrong: a batch that adds vocabulary changes V and
+    * with it EVERY bigram's smoothed probability (TermsSpec pins exactly
+    * that boundary). The driver oracle is the FULL-CORPUS model
+    * recompute, so the merge identity is proven per round (the q134
+    * HLL-max / q142 rank-cap discipline, applied to sum-merge); output
+    * is the scored model surface (w1, w2, c2, c1, lp) q145's score pass
+    * consumes.
+    *
+    * 100 TB shape: increment cost is batch-sized + a model-sized
+    * artifact read; the registered plan scans `documents` once (the
+    * batch leg — 1-scan budget-pinned); everything after the merge is
+    * vocab-grain. Cited split: max(doc_id)·4/5 mirrors q134/q142's
+    * stored/batch carve. */
+  def bigramModelIncrement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = docs(spark, dir)
+    val cut = corpus.agg(expr("max(doc_id) * 4 div 5")).head().getLong(0)
+    val sk = java.nio.file.Files
+      .createTempDirectory("graft_q148_model").toString
+    Option(liveModelDir.getAndSet(sk)).foreach { old =>
+      val p = java.nio.file.Paths.get(old)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    // setup: the stored model artifact, as a prior load would have left it
+    bigramCounts(bigramFrame(corpus.filter($"doc_id" < cut)))
+      .write.mode("overwrite").parquet(s"$sk/q148_model")
+    val batch = bigramCounts(bigramFrame(corpus.filter($"doc_id" >= cut)))
+    // Persisted at merged-model grain: scoreModel consumes the frame
+    // three ways (c1 window, two vocab legs) — without the cache each
+    // re-derives the batch scan (the q145 persist rationale).
+    val merged = graft.Caches.track(s"terms.bigramModelInc:$dir",
+      spark.read.parquet(s"$sk/q148_model").union(batch)
+        .groupBy($"w1", $"w2").agg(sum($"c2").cast("long").as("c2")))
+    scoreModel(merged).orderBy($"w1", $"w2")
+  }
+
+  /** Oracle = the FULL-CORPUS model recompute: stored ⊎ batch merge must
+    * be indistinguishable from never having split the corpus. */
+  private val modelIncrementOracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2
+       |), bg AS (
+       |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |          i -> {'pos': i, 'w1': ws[i], 'w2': ws[i + 1]})) AS b
+       |        FROM t)
+       |), model AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+       |  FROM bg GROUP BY 1, 2
+       |), m2 AS (
+       |  SELECT w1, w2, c2,
+       |         CAST(SUM(c2) OVER (PARTITION BY w1) AS BIGINT) AS c1
+       |  FROM model
+       |), v AS (
+       |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM
+       |    (SELECT w1 AS w FROM model UNION SELECT w2 AS w FROM model)
+       |), m3 AS (
+       |  SELECT w1, w2, c2, c1, CAST(c2 + 1 AS BIGINT) AS la,
+       |         CAST(c1 + v.v AS BIGINT) AS lb
+       |  FROM m2 CROSS JOIN v
+       |)
+       |SELECT w1, w2, c2, c1,
+       |       ${graft.functions.PinnedMath.lnRatioSql("la", "lb")} AS lp
+       |FROM m3 ORDER BY w1, w2""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q64_repetition_signals",
       "Gopher-style repetition filters: duplicate-token and top n-gram char fractions per doc",
@@ -922,5 +1030,8 @@ object Terms {
       sourceDivergence, Some(divergenceOracle), headline = false),
     Query("q145_bigram_perplexity",
       "per-doc bigram-LM perplexity quality filter (add-one smoothing, libm-free pinned ln chain + order-pinned fold, bit-exact vs DuckDB)",
-      bigramPerplexity, Some(perplexityOracle), headline = false))
+      bigramPerplexity, Some(perplexityOracle), headline = false),
+    Query("q148_bigram_model_increment",
+      "incremental LM-model maintenance: stored counts + one batch scan, sum-merged; oracle = full-corpus recompute",
+      bigramModelIncrement, Some(modelIncrementOracle), headline = false))
 }

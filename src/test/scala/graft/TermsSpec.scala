@@ -187,4 +187,30 @@ class TermsSpec extends SparkSpec {
     assert(r.forall(row =>
       row.getAs[Double]("nll_per_tok") == row.getAs[Double]("nll")))
   }
+
+  test("bigram model increment: batch vocabulary changes EVERY smoothed lp, merge ≡ full recompute") {
+    import spark.implicits._
+    // cut = max(doc_id)·4/5 = 4 → stored: docs 1–3, batch: docs 4–5.
+    // stored model alone: (a,b) c2=3, V={a,b}=2 → lp(a,b)=ln(4/5).
+    // batch doc 4 "a c" adds NEW word c (V 2→3) and a new bigram;
+    // batch doc 5 "a b" increments the stored bigram.
+    // merged truth: (a,b) c2=4, (a,c) c2=1, c1(a)=5, V=3:
+    //   lp(a,b) = ln(5/8), lp(a,c) = ln(2/8) = −2·ln2 (exact pow-2 path)
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(1L, "a b"), Doc(2L, "a b"), Doc(3L, "a b"),
+      Doc(4L, "a c"), Doc(5L, "a b")).toDF)
+    val r = Terms.bigramModelIncrement(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r.keySet == Set(("a", "b"), ("a", "c")))
+    val ab = r(("a", "b"))
+    assert(ab.getAs[Long]("c2") == 4L && ab.getAs[Long]("c1") == 5L)
+    // the naive "only touched bigrams change" increment would have kept
+    // the stored V=2 smoothing ln(4/5+…); the re-derived value is ln(5/8)
+    assert(math.abs(ab.getAs[Double]("lp") - math.log(5.0 / 8)) < 1e-14)
+    assert(math.abs(ab.getAs[Double]("lp") - math.log(4.0 / 5)) > 0.1)
+    val ac = r(("a", "c"))
+    assert(ac.getAs[Long]("c2") == 1L)
+    assert(ac.getAs[Double]("lp") == -2 * 0.6931471805599453)
+    spark.catalog.clearCache()
+  }
 }

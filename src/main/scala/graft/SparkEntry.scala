@@ -19,7 +19,8 @@ object SparkEntry {
       ops.Incremental.all ++ ops.Generator.all ++ ops.Multimodal.all ++
       functions.Format.all ++ ops.Terms.all ++ ops.Sampling.all ++
       ops.Events.all ++ ops.Scrub.all ++ ops.History.all ++
-      ops.SqlSurface.all ++ ops.Retrieval.all ++ ops.Sketch.all
+      ops.SqlSurface.all ++ ops.Retrieval.all ++ ops.Sketch.all ++
+      ops.Classify.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

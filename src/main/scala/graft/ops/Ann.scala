@@ -1836,6 +1836,109 @@ object Ann {
        |  FROM cos)
        |WHERE rnk <= $TOPK ORDER BY query_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q151
+
+  /** Per-dimension embedding health report — the gate an ANN operator
+    * runs BEFORE indexing (the ingest-side complement of q103's recall
+    * evaluation): per dimension, value counts, NaN / ±Inf / exact-zero
+    * counts, finite min/max, and exact fixed-point sums of values and
+    * squares. A
+    * dead (all-zero) dimension wastes quantizer bits and planes (q132's
+    * per-dim affine quantization degenerates, [[planesFor]] overcounts
+    * effective dimensionality); a NaN anywhere poisons every decimal
+    * cosine downstream; a runaway-range dimension dominates euclidean
+    * cell assignment. This report is how those regressions surface as a
+    * 64-row diff instead of a recall drop three stages later.
+    *
+    * Exactness: each float is quantized on the SAME 1e-12 fixed-point
+    * grid as every cosine in this module, but carried as the BIGINT
+    * numerator floor(x·1e12+0.5) directly (float→double is exact and
+    * |x|·1e12 ≪ 2⁵³, so the floor result IS an integer both engines
+    * agree on; a DECIMAL output column would not survive the compare —
+    * DuckDB's pandas bridge flattens decimals to float64). Sums of
+    * values/squares are therefore order-independent BIGINTs; min/max are
+    * comparisons on exact doubles with non-finite values masked out
+    * (counted, never folded — an unmasked NaN/Inf would be an ANSI cast
+    * error mid-report); mean is the one
+    * pinned expression sum/(n·1e12) on exact operands. No libm, no float
+    * accumulation. BIGINT width: with unit-scale elements (|x| ≲ 10,
+    * x² ≲ 100) the per-dim sums hold under 2⁶³ to ~9·10¹⁶ vectors —
+    * effectively unbounded; past that the documented DECIMAL(38,0) swap
+    * applies (the q129 contract).
+    *
+    * 100 TB shape: ONE embeddings scan; the (vec × dim) element stream
+    * collapses through a map-side-combined hash agg keyed by dim, so the
+    * exchange ships at most |dims| rows per map task; output is
+    * dimension-sized. */
+  def embeddingDimStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // finite mask: NaN fails every comparison, ±Inf fails the abs bound —
+    // exact predicates, no rounding. Non-finite values are COUNTED but
+    // excluded from range and moments (an unguarded floor+CAST on NaN/Inf
+    // is an ANSI cast error — the poison this report exists to surface
+    // must not abort the report itself).
+    val fin = !isnan($"xd") && abs($"xd") <= lit(Double.MaxValue)
+    embeddings(spark, dir)
+      .select(posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"dim".cast("long").as("dim"), $"x".cast("double").as("xd"))
+      .withColumn("qv", when(fin,
+        expr("CAST(floor(xd * 1e12 + 0.5) AS BIGINT)")).otherwise(lit(0L)))
+      .withColumn("qsq", when(fin,
+        expr("CAST(floor(xd * xd * 1e12 + 0.5) AS BIGINT)")).otherwise(lit(0L)))
+      .groupBy($"dim")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        count(when(isnan($"xd"), lit(1))).cast("long").as("n_nan"),
+        count(when(!isnan($"xd") && abs($"xd") > lit(Double.MaxValue),
+          lit(1))).cast("long").as("n_inf"),
+        count(when($"xd" === 0.0d, lit(1))).cast("long").as("n_zero"),
+        min(when(fin, $"xd")).as("min_v"),
+        max(when(fin, $"xd")).as("max_v"),
+        sum($"qv").cast("long").as("sum_e12"),
+        sum($"qsq").cast("long").as("ssq_e12"),
+        count(when(fin, lit(1))).cast("long").as("n_fin"))
+      .withColumn("mean", when($"n_fin" > 0L,
+        $"sum_e12".cast("double") / ($"n_fin".cast("double") * lit(1e12))))
+      .select($"dim", $"n", $"n_nan", $"n_inf", $"n_zero", $"min_v",
+        $"max_v", $"sum_e12", $"ssq_e12", $"mean")
+      .orderBy($"dim")
+  }
+
+  private val dimStatsOracle =
+    s"""WITH el AS (
+       |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+       |         CAST(unnest(embedding) AS DOUBLE) AS xd
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT dim, xd,
+       |         NOT isnan(xd) AND abs(xd) <= 1.7976931348623157e308 AS fin
+       |  FROM el
+       |), q2 AS (
+       |  SELECT dim, xd, fin,
+       |         CASE WHEN fin THEN CAST(floor(xd * 1e12 + 0.5) AS BIGINT)
+       |              ELSE 0 END AS qv,
+       |         CASE WHEN fin THEN CAST(floor(xd * xd * 1e12 + 0.5) AS BIGINT)
+       |              ELSE 0 END AS qsq
+       |  FROM q
+       |), a AS (
+       |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       |       CAST(COUNT(CASE WHEN isnan(xd) THEN 1 END) AS BIGINT) AS n_nan,
+       |       CAST(COUNT(CASE WHEN NOT isnan(xd)
+       |         AND abs(xd) > 1.7976931348623157e308 THEN 1 END) AS BIGINT)
+       |         AS n_inf,
+       |       CAST(COUNT(CASE WHEN xd = 0 THEN 1 END) AS BIGINT) AS n_zero,
+       |       MIN(CASE WHEN fin THEN xd END) AS min_v,
+       |       MAX(CASE WHEN fin THEN xd END) AS max_v,
+       |       CAST(SUM(qv) AS BIGINT) AS sum_e12,
+       |       CAST(SUM(qsq) AS BIGINT) AS ssq_e12,
+       |       CAST(COUNT(CASE WHEN fin THEN 1 END) AS BIGINT) AS n_fin
+       |  FROM q2 GROUP BY dim
+       |)
+       |SELECT dim, n, n_nan, n_inf, n_zero, min_v, max_v, sum_e12, ssq_e12,
+       |       CASE WHEN n_fin > 0 THEN CAST(sum_e12 AS DOUBLE)
+       |         / (CAST(n_fin AS DOUBLE) * 1e12) END AS mean
+       |FROM a ORDER BY dim""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q29_ann_bruteforce",
       "exact cosine top-10 per probe query, decimal-exact dot products",
@@ -1903,5 +2006,8 @@ object Ann {
       // the capped stream
       (s, d) => cellDiversityCap(s, d).orderBy("cent_id", "cell_rank"),
       Some(cellCapOracle), headline = false,
-      benchFn = Some(cellDiversityCap)))
+      benchFn = Some(cellDiversityCap)),
+    Query("q151_embedding_dim_stats",
+      "per-dimension embedding health report: NaN/zero counts, finite range, exact fixed-point sums — the pre-indexing ANN gate",
+      embeddingDimStats, Some(dimStatsOracle), headline = false))
 }

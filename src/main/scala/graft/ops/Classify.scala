@@ -1,0 +1,310 @@
+package graft.ops
+
+import graft.{Caches, Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-based document classification — the supervised complement of the
+  * q145 LM-perplexity filter. Every production curation stack runs a
+  * trained classifier as a quality/domain gate (the CCNet/fastText
+  * "looks like Wikipedia" filter, FineWeb-Edu's quality scorer, domain
+  * routers for mix construction); the reference has no analog (its text
+  * surface ends at notes columns) but the builder brief makes
+  * training-data operators first-class. A multinomial Naive Bayes with
+  * add-one smoothing is the canonical exact-arithmetic representative of
+  * that family: the training step IS a token-count aggregation (the same
+  * sum-mergeable summary class as the q145/q148 LM — a linear scan, no
+  * iterative optimizer), and scoring is a log-linear sum, so the whole
+  * train→classify→evaluate lifecycle carries a full DuckDB oracle where a
+  * gradient-trained model could not.
+  *
+  * Three consumers of ONE scoring pipeline ([[scoredBest]] — shared so
+  * predictions, the evaluation report and the mislabel audit can never
+  * disagree, the q60/q138 discipline):
+  *  - q149: out-of-sample per-doc predictions on the deterministic
+  *    `doc_id % 5` 80/20 carve (the q148 stored/batch class) — train on
+  *    ≠0, score the held-out 0 class;
+  *  - q152: the confusion matrix of exactly those predictions — the
+  *    artifact a gate owner reads before trusting the filter;
+  *  - q153: the label-consistency audit (Northcutt et al.'s confident-
+  *    learning move, public): train on ALL rows, score every row
+  *    IN-SAMPLE, and surface docs whose recorded `lang` the corpus-wide
+  *    model itself rejects, ranked by ln-odds margin — the standard
+  *    label-noise screen run before trusting provider metadata.
+  *
+  * Task: predict `lang` from token counts (5 classes — the label a real
+  * pipeline's fastText lang-ID stage predicts; q24's n-gram heuristic is
+  * the rule-based version of the same gate).
+  *
+  * Cross-engine float contract (the q145 discipline): NO LIBM. Every log
+  * in the score — the class prior ln(N_c/N), the seen-term
+  * lp = ln((c_ct+1)/(T_c+V)) and the unseen-term default ln(1/(T_c+V)) —
+  * is [[graft.functions.PinnedMath.lnRatioSql]], one shared SQL text both
+  * engines evaluate verbatim. Per-(doc, class) accumulation is an
+  * ORDER-PINNED left fold over term-sorted contributions (contrib =
+  * lp · n as one correctly rounded product), seeded at 0.0 (0.0 + x = x,
+  * so Spark's seeded `aggregate` equals DuckDB's unseeded `list_reduce`);
+  * the final score is the single add prior + Σ. Bit-identical scores make
+  * the argmax — and therefore the prediction, the confusion matrix and
+  * the audit ranking — identical by construction; ties (equal doubles,
+  * impossible in practice) break by class name ascending via the shared
+  * (score DESC, cls ASC) rank.
+  *
+  * 100 TB shape: ONE documents scan collapses to the persisted
+  * (doc, lang, term, n) doc-term frame (the q145 model-persist
+  * rationale — train aggregation, priors and the scoring stream all
+  * consume it; budget-pinned). The model is (class × vocab)-grain —
+  * dimension-sized, broadcast into the scoring join while it fits and
+  * term-keyed beyond (the q145 model-join contract); context totals T_c
+  * are a sum window over the model frame (the q68 device), V and the
+  * priors are 1-row/class-row broadcasts. Scoring work is
+  * |scored doc-term| × C rows — linear in the corpus with C a
+  * dimension — and the only corpus-sized exchanges are the doc-term
+  * hash agg and the doc-keyed rollup. The heavy pinned-ln chain runs at
+  * MODEL grain (once per class×term), never per corpus position. q152's
+  * rollup is C×C-grain on top of q149's stream; q153 adds one
+  * doc-keyed-frame self-alignment (the label row rides the same window
+  * partition as the argmax — no extra exchange).
+  */
+object Classify {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Holdout carve: doc_id % HOLDOUT_MOD == 0 is scored, the rest trains
+    * (q149/q152). q153 trains and scores on everything. */
+  val HOLDOUT_MOD = 5L
+
+  /** Per-(scored doc, class) NB scores + the per-doc argmax surface:
+    * columns (doc_id, label, cls, score, rk, nxt, lbl_score) where rk
+    * ranks (score DESC, cls ASC) within the doc, nxt is the runner-up
+    * score and lbl_score the score of the doc's RECORDED label — computed
+    * with window functions over the one doc-keyed exchange, no join-back.
+    * `trainSide`/`scoreSide` carve the persisted doc-term frame. */
+  private def scoredBest(spark: SparkSession, dir: String,
+      trainSide: Column => Column, scoreSide: Column => Column,
+      cacheTag: String): DataFrame = {
+    import spark.implicits._
+    // ONE corpus scan → doc-term grain, persisted: the train counts, the
+    // priors and the scoring stream are three consumers whose differing
+    // column pruning would otherwise re-derive the scan (q145 rationale).
+    val dt = Caches.track(s"classify.docTerms:$cacheTag:$dir",
+      docs(spark, dir)
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"lang", $"term")
+        .agg(count(lit(1)).cast("long").as("n")))
+    val train = dt.filter(trainSide($"doc_id"))
+    val score = dt.filter(scoreSide($"doc_id"))
+
+    // model counts at (class, term) grain; T_c as a sum window over the
+    // model frame (vocab-grain — never a corpus re-scan), V from the
+    // model's own key set as a 1-row broadcast.
+    val ct = train.groupBy($"lang".as("cls"), $"term")
+      .agg(sum($"n").cast("long").as("c_ct"))
+    val ct2 = ct.withColumn("t_c",
+      sum($"c_ct").over(Window.partitionBy($"cls")).cast("long"))
+    val vocab = ct.agg(countDistinct($"term").cast("long").as("v"))
+
+    // class surface: prior ln(N_c/N) + the unseen-term default
+    // ln(1/(T_c+V)) — C rows, broadcast.
+    val prior = train.select($"doc_id", $"lang").distinct()
+      .groupBy($"lang".as("cls"))
+      .agg(count(lit(1)).cast("long").as("n_c"))
+    val nAll = prior.agg(sum($"n_c").cast("long").as("n_all"))
+    val classes = ct2.groupBy($"cls").agg(max($"t_c").as("t_c"))
+      .join(prior, "cls")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(nAll))
+      .withColumn("one", lit(1L))
+      .withColumn("lb", ($"t_c" + $"v").cast("long"))
+      .withColumn("lp0",
+        expr(graft.functions.PinnedMath.lnRatioSql("one", "lb")))
+      .withColumn("lp_prior",
+        expr(graft.functions.PinnedMath.lnRatioSql("n_c", "n_all")))
+      .select($"cls", $"lp0", $"lp_prior")
+
+    // scored model surface: lp = ln((c_ct+1)/(T_c+V)) at (class, term)
+    // grain — the pinned chain runs once per model cell.
+    val model = ct2.crossJoin(broadcast(vocab))
+      .withColumn("la", ($"c_ct" + 1L).cast("long"))
+      .withColumn("lb", ($"t_c" + $"v").cast("long"))
+      .withColumn("lp",
+        expr(graft.functions.PinnedMath.lnRatioSql("la", "lb")))
+      .select($"cls", $"term", $"lp")
+
+    // scored stream × classes, model-joined; unseen terms take the class
+    // default. contrib = lp · n is one correctly rounded product.
+    val cand = score.select($"doc_id", $"lang".as("label"), $"term", $"n")
+      .crossJoin(broadcast(classes))
+      .join(broadcast(model), Seq("cls", "term"), "left")
+      .withColumn("contrib", coalesce($"lp", $"lp0") * $"n".cast("double"))
+
+    // order-pinned fold by term, then ONE add for the prior (both engines
+    // evaluate the same two-operand trees — see class doc).
+    val scored = cand
+      .groupBy($"doc_id", $"label", $"cls", $"lp_prior")
+      .agg(expr("aggregate(array_sort(collect_list(struct(term, contrib)))," +
+        " cast(0.0 AS double), (a, x) -> a + x.contrib)").as("sum_lp"))
+      .withColumn("score", $"lp_prior" + $"sum_lp")
+
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"cls".asc)
+    val wd = Window.partitionBy($"doc_id")
+    scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("nxt", lead($"score", 1).over(w))
+      // the recorded label's own score, aligned without a join-back: a
+      // max over the same doc partition of (score when cls = label)
+      .withColumn("lbl_score",
+        max(when($"cls" === $"label", $"score")).over(wd))
+      .select($"doc_id", $"label", $"cls", $"score", $"rk", $"nxt",
+        $"lbl_score")
+  }
+
+  // ---------------------------------------------------------------- q149
+
+  def nbLangClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    scoredBest(spark, dir,
+      id => id % HOLDOUT_MOD =!= 0L, id => id % HOLDOUT_MOD === 0L, "split")
+      .filter($"rk" === 1)
+      .select($"doc_id", $"label", $"cls".as("pred"), $"score",
+        ($"score" - $"nxt").as("margin"),
+        ($"cls" === $"label").cast("int").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- q152
+
+  /** Confusion matrix of q149's holdout predictions: one row per
+    * non-empty (label, pred) cell. Marginals (per-class recall/precision,
+    * overall accuracy) all derive from these cells; emitting the cells
+    * keeps the output C×C-bounded and the oracle single-grained. */
+  def nbConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    scoredBest(spark, dir,
+      id => id % HOLDOUT_MOD =!= 0L, id => id % HOLDOUT_MOD === 0L, "split")
+      .filter($"rk" === 1)
+      .groupBy($"label", $"cls".as("pred"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy($"label", $"pred")
+  }
+
+  // ---------------------------------------------------------------- q153
+
+  /** Label-consistency audit (confident learning, Northcutt et al. 2021,
+    * public): train on the WHOLE corpus, score every document in-sample,
+    * and emit the documents whose recorded label the model rejects —
+    * pred ≠ label — with the evidence ranked by ln-odds margin
+    * score(pred) − score(label) (how strongly the corpus-wide token
+    * distribution prefers the predicted class over the recorded one).
+    * The high-margin head of this list is where mislabeled provider
+    * metadata lives; it is read before q71/q65 trust `lang` as a
+    * sampling stratum. */
+  def labelAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    scoredBest(spark, dir, _ => lit(true), _ => lit(true), "all")
+      .filter($"rk" === 1 && $"cls" =!= $"label")
+      .select($"doc_id", $"label", $"cls".as("pred"),
+        $"score".as("score_pred"), $"lbl_score".as("score_label"),
+        ($"score" - $"lbl_score").as("margin"))
+      .orderBy($"margin".desc, $"doc_id")
+  }
+
+  // ------------------------------------------------------------- oracles
+
+  private def ln(a: String, b: String): String =
+    graft.functions.PinnedMath.lnRatioSql(a, b)
+
+  /** Shared CTE chain: doc-term counts, the smoothed model over the
+    * `trainWhere` side, and per-(doc, class) scores + argmax rank over
+    * the `scoreWhere` side — the SQL mirror of [[scoredBest]]. */
+  private def scoredCtes(trainWhere: String, scoreWhere: String): String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, lang, term, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  GROUP BY 1, 2, 3
+       |), train AS (SELECT * FROM dt WHERE $trainWhere),
+       |hold AS (SELECT * FROM dt WHERE $scoreWhere),
+       |ct AS (
+       |  SELECT lang AS cls, term, CAST(SUM(n) AS BIGINT) AS c_ct
+       |  FROM train GROUP BY 1, 2
+       |), ct2 AS (
+       |  SELECT cls, term, c_ct,
+       |         CAST(SUM(c_ct) OVER (PARTITION BY cls) AS BIGINT) AS t_c
+       |  FROM ct
+       |), v AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM ct),
+       |prior AS (
+       |  SELECT lang AS cls, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_c
+       |  FROM train GROUP BY 1
+       |), nall AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n_all FROM prior),
+       |cb AS (
+       |  SELECT t.cls, CAST(1 AS BIGINT) AS one,
+       |         CAST(t.t_c + v.v AS BIGINT) AS lb, n_c, n_all
+       |  FROM (SELECT cls, MAX(t_c) AS t_c FROM ct2 GROUP BY 1) t
+       |  JOIN prior ON t.cls = prior.cls CROSS JOIN v CROSS JOIN nall
+       |), classes AS (
+       |  SELECT cls, ${ln("one", "lb")} AS lp0,
+       |         ${ln("n_c", "n_all")} AS lp_prior
+       |  FROM cb
+       |), mb AS (
+       |  SELECT cls, term, CAST(c_ct + 1 AS BIGINT) AS la,
+       |         CAST(t_c + v.v AS BIGINT) AS lb
+       |  FROM ct2 CROSS JOIN v
+       |), model AS (
+       |  SELECT cls, term, ${ln("la", "lb")} AS lp FROM mb
+       |), cand AS (
+       |  SELECT h.doc_id, h.lang AS label, h.term, h.n,
+       |         c.cls, c.lp0, c.lp_prior, m.lp
+       |  FROM hold h CROSS JOIN classes c
+       |  LEFT JOIN model m ON m.cls = c.cls AND m.term = h.term
+       |), sc AS (
+       |  SELECT doc_id, label, cls, lp_prior,
+       |         list_reduce(
+       |           list(COALESCE(lp, lp0) * CAST(n AS DOUBLE) ORDER BY term),
+       |           (a, b) -> a + b) AS sum_lp
+       |  FROM cand GROUP BY 1, 2, 3, 4
+       |), rk AS (
+       |  SELECT doc_id, label, cls, lp_prior + sum_lp AS score,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id
+       |           ORDER BY lp_prior + sum_lp DESC, cls) AS rk,
+       |         LEAD(lp_prior + sum_lp, 1) OVER (PARTITION BY doc_id
+       |           ORDER BY lp_prior + sum_lp DESC, cls) AS nxt,
+       |         MAX(CASE WHEN cls = label THEN lp_prior + sum_lp END)
+       |           OVER (PARTITION BY doc_id) AS lbl_score
+       |  FROM sc
+       |)""".stripMargin
+
+  private val splitTrain = s"doc_id % $HOLDOUT_MOD <> 0"
+  private val splitHold = s"doc_id % $HOLDOUT_MOD = 0"
+
+  private val nbOracle =
+    s"""${scoredCtes(splitTrain, splitHold)}
+       |SELECT doc_id, label, cls AS pred, score, score - nxt AS margin,
+       |       CAST(CASE WHEN cls = label THEN 1 ELSE 0 END AS INT) AS correct
+       |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  private val confusionOracle =
+    s"""${scoredCtes(splitTrain, splitHold)}
+       |SELECT label, cls AS pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM rk WHERE rk = 1 GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
+
+  private val auditOracle =
+    s"""${scoredCtes("TRUE", "TRUE")}
+       |SELECT doc_id, label, cls AS pred, score AS score_pred,
+       |       lbl_score AS score_label, score - lbl_score AS margin
+       |FROM rk WHERE rk = 1 AND cls <> label
+       |ORDER BY margin DESC, doc_id""".stripMargin
+
+  val all: Seq[Query] = Seq(
+    Query("q149_nb_classifier",
+      "Naive Bayes lang classifier train->classify->eval: add-one smoothing, deterministic 80/20 split, libm-free pinned-ln scores bit-exact vs DuckDB",
+      nbLangClassifier, Some(nbOracle), headline = false),
+    Query("q152_nb_confusion",
+      "confusion matrix of the q149 holdout predictions: non-empty (label, pred) cells, C x C-bounded",
+      nbConfusion, Some(confusionOracle), headline = false),
+    Query("q153_label_audit",
+      "label-consistency audit (confident-learning): corpus-trained model vs recorded lang, disagreements ranked by exact ln-odds margin",
+      labelAudit, Some(auditOracle), headline = false))
+}

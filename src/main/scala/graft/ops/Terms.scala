@@ -1000,6 +1000,87 @@ object Terms {
        |       ${graft.functions.PinnedMath.lnRatioSql("la", "lb")} AS lp
        |FROM m3 ORDER BY w1, w2""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+
+  /** Heaps-law vocabulary-growth curve: distinct terms seen vs tokens
+    * ingested, at data-decile grain — the mix owner's "what does the next
+    * decade of data buy in vocabulary" number (Heaps 1978: V(n) ≈ K·n^β;
+    * a flattening curve says more of the SAME source adds tokens, not
+    * coverage — the argument for source diversification that q143's
+    * per-doc novelty and q144's per-source exclusivity make at finer
+    * grains). Deciles carve the dense doc_id keyspace directly
+    * (bucket = doc_id·10 div (max_id+1) — the generator writes ids
+    * 0..n−1, pinned by TESTDATA; a sparse keyspace swaps in the
+    * documented Scale.prefixSum ranking, same contract): each term's
+    * FIRST bucket is a min aggregate, so "new vocabulary per decile"
+    * needs no ordered scan and no global row_number over the corpus.
+    * All counts are exact integers.
+    *
+    * 100 TB shape: ONE documents scan (cached base: the decile rollup
+    * and the term explode both consume it — budget-pinned); the term
+    * frame collapses to vocab grain via one map-side-combined min agg;
+    * everything after is DECILE-grain (10 rows — the cumulative window
+    * is the q08 single-partition-over-aggregate class at fixed size). */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = graft.Caches.track(s"terms.vocabGrowthBase:$dir",
+      docs(spark, dir).select($"doc_id", split($"text", " ").as("ws")))
+    val mx = base.agg((max($"doc_id") + 1L).as("n_keys"))
+    val bucketed = base.crossJoin(broadcast(mx))
+      .withColumn("bucket", expr("(doc_id * 10) div n_keys").cast("long"))
+    val perBucket = bucketed.groupBy($"bucket")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size($"ws")).cast("long").as("n_tokens"))
+    val firstSeen = bucketed
+      .select($"bucket", explode($"ws").as("term"))
+      .groupBy($"term").agg(min($"bucket").as("fb"))
+      .groupBy($"fb".as("bucket"))
+      .agg(count(lit(1)).cast("long").as("new_terms"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("new_terms", coalesce($"new_terms", lit(0L)).cast("long"))
+      .withColumn("docs_cum", sum($"n_docs").over(w).cast("long"))
+      .withColumn("tokens_cum", sum($"n_tokens").over(w).cast("long"))
+      .withColumn("vocab_cum", sum($"new_terms").over(w).cast("long"))
+      .select($"bucket", $"n_docs", $"n_tokens", $"new_terms",
+        $"docs_cum", $"tokens_cum", $"vocab_cum")
+      .orderBy($"bucket")
+  }
+
+  private val vocabGrowthOracle =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), mx AS (SELECT MAX(doc_id) + 1 AS n_keys FROM base),
+       |b AS (
+       |  SELECT doc_id, ws,
+       |         CAST((doc_id * 10) // n_keys AS BIGINT) AS bucket
+       |  FROM base CROSS JOIN mx
+       |), d AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(len(ws)) AS BIGINT) AS n_tokens
+       |  FROM b GROUP BY 1
+       |), ft AS (
+       |  SELECT term, MIN(bucket) AS fb
+       |  FROM (SELECT bucket, unnest(ws) AS term FROM b) GROUP BY 1
+       |), nv AS (
+       |  SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS new_terms
+       |  FROM ft GROUP BY 1
+       |)
+       |SELECT d.bucket, n_docs, n_tokens,
+       |       CAST(COALESCE(new_terms, 0) AS BIGINT) AS new_terms,
+       |       CAST(SUM(n_docs) OVER (ORDER BY d.bucket
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS BIGINT) AS docs_cum,
+       |       CAST(SUM(n_tokens) OVER (ORDER BY d.bucket
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS BIGINT) AS tokens_cum,
+       |       CAST(SUM(COALESCE(new_terms, 0)) OVER (ORDER BY d.bucket
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS BIGINT) AS vocab_cum
+       |FROM d LEFT JOIN nv ON d.bucket = nv.bucket
+       |ORDER BY d.bucket""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q64_repetition_signals",
       "Gopher-style repetition filters: duplicate-token and top n-gram char fractions per doc",
@@ -1033,5 +1114,8 @@ object Terms {
       bigramPerplexity, Some(perplexityOracle), headline = false),
     Query("q148_bigram_model_increment",
       "incremental LM-model maintenance: stored counts + one batch scan, sum-merged; oracle = full-corpus recompute",
-      bigramModelIncrement, Some(modelIncrementOracle), headline = false))
+      bigramModelIncrement, Some(modelIncrementOracle), headline = false),
+    Query("q150_vocab_growth",
+      "Heaps-law vocabulary-growth curve: new distinct terms per data decile, exact integers, decile-grain output",
+      vocabGrowth, Some(vocabGrowthOracle), headline = false))
 }

@@ -486,4 +486,35 @@ class AnnSpec extends SparkSpec {
     assert(byCell(9L).map(_._1).toSet == Set(1L, 9L, 17L))
     spark.catalog.clearCache()
   }
+  test("q151 dim stats: exact fixed-point moments, non-finite counted not folded") {
+    import spark.implicits._
+    val dir = fixtureDir("embeddings" -> Seq(
+      Emb(0L, Seq(1.0f, 0.0f), 0),
+      Emb(1L, Seq(3.0f, 0.0f), 0),
+      Emb(2L, Seq(-1.5f, 2.0f), 0),
+      Emb(3L, Seq(0.5f, Float.NaN), 0),
+      Emb(4L, Seq(0.25f, Float.PositiveInfinity), 0)).toDF)
+    val rows = graft.ops.Ann.embeddingDimStats(spark, dir).collect()
+    assert(rows.length == 2)
+    val d0 = rows(0)
+    assert(d0.getAs[Long]("dim") == 0L)
+    assert(d0.getAs[Long]("n") == 5L && d0.getAs[Long]("n_nan") == 0L &&
+      d0.getAs[Long]("n_inf") == 0L && d0.getAs[Long]("n_zero") == 0L)
+    assert(d0.getAs[Double]("min_v") == -1.5 && d0.getAs[Double]("max_v") == 3.0)
+    // (1 + 3 - 1.5 + 0.5 + 0.25) * 1e12
+    assert(d0.getAs[Long]("sum_e12") == 3250000000000L)
+    // (1 + 9 + 2.25 + 0.25 + 0.0625) * 1e12
+    assert(d0.getAs[Long]("ssq_e12") == 12562500000000L)
+    assert(d0.getAs[Double]("mean") == 3250000000000L.toDouble / (5.0 * 1e12))
+    val d1 = rows(1)
+    assert(d1.getAs[Long]("n_nan") == 1L && d1.getAs[Long]("n_inf") == 1L)
+    assert(d1.getAs[Long]("n_zero") == 2L)
+    // finite values of dim 1: 0, 0, 2 -> range [0, 2], sums over finite only
+    assert(d1.getAs[Double]("min_v") == 0.0 && d1.getAs[Double]("max_v") == 2.0)
+    assert(d1.getAs[Long]("sum_e12") == 2000000000000L)
+    assert(d1.getAs[Long]("ssq_e12") == 4000000000000L)
+    // mean divides by the FINITE count (3), not n (5)
+    assert(d1.getAs[Double]("mean") == 2000000000000L.toDouble / (3.0 * 1e12))
+    spark.catalog.clearCache()
+  }
 }

@@ -212,6 +212,25 @@ class ScanBudgetSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q149 classifier reads documents once (doc-term persist feeds train, priors and holdout)") {
+    // train counts, priors and the holdout stream are three consumers of
+    // the persisted doc-term frame — losing the persist re-reads the
+    // corpus per leg (the q145 model-persist rationale)
+    assert(counts("q149_nb_classifier") == Map("documents" -> 1))
+    Caches.releasePrefix("classify.")
+    spark.catalog.clearCache()
+  }
+
+  test("q150 vocab growth reads documents once (cached base feeds deciles and the term explode)") {
+    assert(counts("q150_vocab_growth") == Map("documents" -> 1))
+    Caches.releasePrefix("terms.")
+    spark.catalog.clearCache()
+  }
+
+  test("q151 dim stats read embeddings once (single dim-keyed hash agg)") {
+    assert(counts("q151_embedding_dim_stats") == Map("embeddings" -> 1))
+  }
+
   test("q112 profiling reads lineitem once (melt-first, not multi-distinct expand)") {
     // the expand shape also read once but funneled every distinct value
     // through one reducer (8.3 s at sf0.1) — this pin protects the scan

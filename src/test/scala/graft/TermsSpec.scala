@@ -213,4 +213,40 @@ class TermsSpec extends SparkSpec {
     assert(ac.getAs[Double]("lp") == -2 * 0.6931471805599453)
     spark.catalog.clearCache()
   }
+  test("vocab growth: new-term deciles and exact cumulative curve") {
+    import spark.implicits._
+    // ids 0..9 dense -> n_keys=10, bucket = doc_id. New vocabulary:
+    // b0 {a,b}=2, b1 {c}=1, later buckets introduce nothing.
+    val docsFx = Seq(Doc(0L, "a b a"), Doc(1L, "b c"), Doc(2L, "c")) ++
+      (3L to 9L).map(i => Doc(i, "a"))
+    val dir = fixtureDir("documents" -> docsFx.toDF)
+    val rows = Terms.vocabGrowth(spark, dir).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == (0L to 9L))
+    val byB = rows.map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(byB(0L).getAs[Long]("n_tokens") == 3L)
+    assert(byB(0L).getAs[Long]("new_terms") == 2L)
+    assert(byB(1L).getAs[Long]("new_terms") == 1L)
+    assert((2L to 9L).forall(b => byB(b).getAs[Long]("new_terms") == 0L))
+    assert(byB(9L).getAs[Long]("vocab_cum") == 3L)
+    assert(byB(9L).getAs[Long]("tokens_cum") == 13L)
+    assert(byB(9L).getAs[Long]("docs_cum") == 10L)
+    // monotone cumulative
+    val vc = rows.map(_.getAs[Long]("vocab_cum")).toSeq
+    assert(vc == vc.sorted)
+    spark.catalog.clearCache()
+  }
+
+  test("vocab growth: buckets carve the dense keyspace (5 docs -> even buckets)") {
+    import spark.implicits._
+    // n_keys = 5: bucket = id*10 div 5 = 2*id -> only even buckets exist;
+    // the curve reports the buckets that HAVE data, no phantom rows.
+    val dir = fixtureDir("documents" ->
+      (0L to 4L).map(i => Doc(i, "t")).toDF)
+    val rows = Terms.vocabGrowth(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+    assert(rows.head.getAs[Long]("new_terms") == 1L)
+    assert(rows.last.getAs[Long]("vocab_cum") == 1L)
+    spark.catalog.clearCache()
+  }
 }

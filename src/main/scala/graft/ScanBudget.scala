@@ -101,11 +101,12 @@ object ScanBudget {
     // Hybrid RRF: the dense leg inherits q29's corpus-leg + broadcast
     // probe-leg floor (the BM25 leg rides q122's one documents scan).
     "q127_hybrid_rrf" -> Map("embeddings" -> 2),
-    // Scalar-quantized ANN: per-dim min/max train leg + corpus leg +
-    // broadcast probe leg — the q48 3-scan floor with the stats pass
-    // standing in for the centroid-seed pass (q107's honest train/score
-    // shape applied to quantization).
-    "q132_ann_quantized" -> Map("embeddings" -> 3),
+    // Scalar-quantized ANN: corpus leg + broadcast probe leg (the q29
+    // self-join floor). The per-dim min/max train leg is a driver-cached
+    // 64-double artifact since round 13 (the q85 trainedCache precedent
+    // — train once, serve many), so the serve plan dropped from the q48
+    // 3-scan form to this 2-scan floor.
+    "q132_ann_quantized" -> Map("embeddings" -> 2),
     // Bigram-LM perplexity: train-the-model pass (collapses to the
     // distinct-bigram-grain model) + score-the-corpus pass — q107's
     // honest train/score 2-scan floor applied to the LM quality filter

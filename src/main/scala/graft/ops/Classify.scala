@@ -133,10 +133,14 @@ object Classify {
       .select($"cls", $"term", $"lp")
 
     // scored stream × classes, model-joined; unseen terms take the class
-    // default. contrib = lp · n is one correctly rounded product.
+    // default. contrib = lp · n is one correctly rounded product. classes
+    // is C rows — always broadcast; the model is (class × vocab)-grain and
+    // carries NO hint: Spark's size estimate / AQE broadcasts it while it
+    // fits and falls back to a (cls, term)-keyed shuffle join beyond — a
+    // forced hint here would be a driver-OOM bet at web-scale vocab.
     val cand = score.select($"doc_id", $"lang".as("label"), $"term", $"n")
       .crossJoin(broadcast(classes))
-      .join(broadcast(model), Seq("cls", "term"), "left")
+      .join(model, Seq("cls", "term"), "left")
       .withColumn("contrib", coalesce($"lp", $"lp0") * $"n".cast("double"))
 
     // order-pinned fold by term, then ONE add for the prior (both engines

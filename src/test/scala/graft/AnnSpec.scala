@@ -267,6 +267,47 @@ class AnnSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("capped semdedup ≡ uncapped when no cell exceeds the budget") {
+    // round-12 verdict item 3: the q88 delegate-budget + rank-chain
+    // device composed into the learned-cell path. Fixture occupancies
+    // are far below OCC_CAP, so the capped verdict must be byte-identical
+    // to the uncapped one — the property that keeps q101 hash-green
+    // against its all-pairs oracle at correctness scale.
+    def verdict(cap: Int) =
+      Ann.semDedup(spark, dir, dim = DIM, occCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val uncapped = verdict(Int.MaxValue)
+    assert(verdict(Ann.OCC_CAP) == uncapped)
+    Ann.clearTrainedCache()
+    graft.Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
+  test("capped semdedup: dense over-cap cell still drops every duplicate member") {
+    // one adversarially dense cell — 40 EXACT copies (the round-9
+    // scale-killer in semantic-dedup form): with occCap=8/chainW=3 the
+    // pair stage is cut from C(40,2)=780 to C(8,2)+32·3=124 edges, yet
+    // the verdict must still keep exactly ONE representative. Exact
+    // copies tie on m_asg, so the rank tie-break is vec_id and every
+    // chain edge is id-consecutive at cosine 1.0 — each member except
+    // the id-minimum pairs with a lower id and drops (member recall 1.0
+    // under an 80%-over-cap cell).
+    val denseDir = fixtureDir(
+      "embeddings" -> (Emb(8L, base(0).toSeq, 0) +:
+        (0 until 39).map(k => Emb(100L + k, base(0).toSeq, 0))).toDF())
+    Ann.clearTrainedCache()
+    val rows = Ann.semDedup(spark, denseDir, dim = DIM, k = Some(1),
+      occCap = 8, chainW = 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(rows.size == 40, s"verdict must cover every vector: ${rows.size}")
+    assert(rows.filter(_._2).keySet == Set(8L),
+      s"kept = ${rows.filter(_._2).keySet.toSeq.sorted}")
+    Ann.clearTrainedCache()
+    graft.Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
   test("semdedup metric knob: double leg matches decimal, malformed value diagnosed") {
     // The deploy knob can flip the assignment to IEEE doubles; on the
     // fixture (well-separated planted clusters — no near-exact metric
@@ -494,6 +535,24 @@ class AnnSpec extends SparkSpec {
       Emb(2L, Seq(-1.5f, 2.0f), 0),
       Emb(3L, Seq(0.5f, Float.NaN), 0),
       Emb(4L, Seq(0.25f, Float.PositiveInfinity), 0)).toDF)
+    val d0big = graft.ops.Ann.embeddingDimStats(spark, fixtureDir(
+      // round-12 ADVICE: a LARGE FINITE float (here 1e20, well past the
+      // 1e12-grid BIGINT bound) must not abort the report with an ANSI
+      // cast error — it is counted as n_big, excluded from the moment
+      // sums, but still folds into min/max (comparisons cannot overflow).
+      "embeddings" -> Seq(
+        Emb(0L, Seq(1.0f), 0),
+        Emb(1L, Seq(1.0e20f), 0),
+        Emb(2L, Seq(2.0f), 0)).toDF)).collect()(0)
+    assert(d0big.getAs[Long]("n") == 3L && d0big.getAs[Long]("n_big") == 1L &&
+      d0big.getAs[Long]("n_nan") == 0L && d0big.getAs[Long]("n_inf") == 0L)
+    assert(d0big.getAs[Double]("max_v") == 1.0e20f.toDouble,
+      "runaway range must stay visible in max_v")
+    assert(d0big.getAs[Long]("sum_e12") == 3000000000000L,
+      "grid sums must exclude the out-of-grid value")
+    assert(d0big.getAs[Double]("mean") == 3000000000000L.toDouble / (2.0 * 1e12),
+      "mean divides by the in-grid count")
+    spark.catalog.clearCache()
     val rows = graft.ops.Ann.embeddingDimStats(spark, dir).collect()
     assert(rows.length == 2)
     val d0 = rows(0)
@@ -515,6 +574,57 @@ class AnnSpec extends SparkSpec {
     assert(d1.getAs[Long]("ssq_e12") == 4000000000000L)
     // mean divides by the FINITE count (3), not n (5)
     assert(d1.getAs[Double]("mean") == 2000000000000L.toDouble / (3.0 * 1e12))
+    spark.catalog.clearCache()
+  }
+
+  test("q132 quantizer-stats cache serves byte-identical to fresh derivation") {
+    // round-12 verdict item 6: the per-dim min/max artifact is cached on
+    // the driver like the trained centroids (q85 precedent). The cache
+    // must be invisible to results — a cache-hit serve, a warm-hit serve
+    // and a cold re-derivation produce identical rows, cosines included.
+    def serve() = Ann.sqTopK(spark, dir).collect().map(_.toSeq).toSeq
+    Ann.clearSqStatsCache()
+    val cold = serve() // derives stats, populates the cache
+    val warm = serve() // cache hit
+    assert(warm == cold, "cache-hit serve must be byte-identical")
+    Ann.clearSqStatsCache()
+    assert(serve() == cold, "fresh stats must reproduce the cached serve")
+    Ann.clearSqStatsCache()
+    spark.catalog.clearCache()
+  }
+
+  test("q132 quantization chain replays JDK math (screen scores pinned)") {
+    // The q124/q128 discipline applied to the int8 screen: recompute the
+    // per-dim affine quantization and the integer dot product in plain
+    // JDK arithmetic on the driver, and require the operator's emitted
+    // qscore to equal the replay for every output row. This pins the
+    // entire screen construction — floor((x−mn)·255/range + 0.5) in that
+    // exact double evaluation order, then exact long dots — so a drift in
+    // either engine shows up as a unit failure, not a driver-round hash.
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val dims = vecs.values.head.length
+    val mn = (0 until dims).map(i => vecs.values.map(_(i)).min).toArray
+    val mx = (0 until dims).map(i => vecs.values.map(_(i)).max).toArray
+    def quant(v: Array[Double]): Array[Long] =
+      v.zipWithIndex.map { case (x, i) =>
+        val range = if (mx(i) > mn(i)) mx(i) - mn(i) else 1.0d
+        math.floor((x - mn(i)) * 255.0d / range + 0.5d).toLong
+      }
+    val q = vecs.map { case (id, v) => id -> quant(v) }
+    Ann.clearSqStatsCache()
+    val out = Ann.sqTopK(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qid, nid, qscore) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val replay = q(qid).zip(q(nid)).map { case (a, b) => a * b }.sum
+      assert(qscore == replay,
+        s"screen qscore for ($qid,$nid): got $qscore, JDK replay $replay")
+    }
+    Ann.clearSqStatsCache()
     spark.catalog.clearCache()
   }
 }

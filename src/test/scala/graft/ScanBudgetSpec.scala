@@ -231,6 +231,28 @@ class ScanBudgetSpec extends SparkSpec {
     assert(counts("q151_embedding_dim_stats") == Map("embeddings" -> 1))
   }
 
+  test("q153 label audit reads documents once (self-alignment rides the doc-keyed frame)") {
+    // round-12 verdict item 5: the label row rides the same window
+    // partition as the argmax — a refactor that aligns the recorded
+    // label via a join-back to a second corpus read trips this.
+    assert(counts("q153_label_audit") == Map("documents" -> 1))
+    Caches.releasePrefix("classify.")
+    spark.catalog.clearCache()
+  }
+
+  test("q126 index increment never scans the corpus (batch + index artifacts only)") {
+    // round-12 verdict item 5's retrieval half: T1 for the index — the
+    // increment reads the arriving batch and the stored index artifacts;
+    // a full documents scan appearing here means the increment regressed
+    // to a rebuild.
+    val df = SparkEntry.registry.find(_.name == "q126_bm25_index_increment")
+      .get.fn(spark, dir)
+    val executed = PlanScans.executedScans(df)
+    assert(PlanScans.governedCounts(executed).getOrElse("documents", 0) == 0,
+      s"increment must not scan the corpus: $executed")
+    spark.catalog.clearCache()
+  }
+
   test("q112 profiling reads lineitem once (melt-first, not multi-distinct expand)") {
     // the expand shape also read once but funneled every distinct value
     // through one reducer (8.3 s at sf0.1) — this pin protects the scan

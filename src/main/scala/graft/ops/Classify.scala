@@ -215,6 +215,124 @@ object Classify {
       .orderBy($"margin".desc, $"doc_id")
   }
 
+  // ---------------------------------------------------------------- q156
+
+  /** Margin-bin width for [[nbCalibration]] (the margin is an
+    * unnormalized ln-odds, so bins are in nats; 5-nat bins split the
+    * fixture's margins non-trivially). */
+  val CALIB_BIN_W = 5.0
+
+  /** Reliability/calibration report over q149's holdout predictions: bin
+    * the argmax ln-odds margin (score of the winner minus the runner-up)
+    * into fixed [[CALIB_BIN_W]]-nat bins capped at bin 9, and report
+    * per-bin document count, correct count and accuracy. This is the
+    * report read BEFORE using the classifier's confidence as a
+    * quality-filter threshold (q25/q62's consumers): a well-calibrated
+    * model shows accuracy rising monotonically with margin, and the bin
+    * where accuracy crosses the pipeline's tolerance IS the filter
+    * threshold. Binning is floor of one correctly rounded division on
+    * the already-pinned double margin; counts are exact integers;
+    * accuracy is one double division — everything bit-replayable.
+    *
+    * 100 TB shape: rides q149's stream (one documents scan via the
+    * persisted doc-term frame); the rollup is 10 rows. */
+  def nbCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    scoredBest(spark, dir,
+      id => id % HOLDOUT_MOD =!= 0L, id => id % HOLDOUT_MOD === 0L, "split")
+      .filter($"rk" === 1)
+      .withColumn("bin",
+        least(lit(9L), floor(($"score" - $"nxt") / CALIB_BIN_W)
+          .cast("long")))
+      .groupBy($"bin")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        count(when($"cls" === $"label", lit(1))).cast("long")
+          .as("n_correct"))
+      .withColumn("acc",
+        $"n_correct".cast("double") / $"n_docs".cast("double"))
+      .orderBy($"bin")
+  }
+
+  // ---------------------------------------------------------------- q157
+
+  private val liveNbModelDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** T1 for the q149 classifier: incremental MODEL maintenance — the
+    * q148 discipline applied to the NB artifact. Both halves of the
+    * model are SUM-MERGEABLE summaries: (class, term) occurrence counts
+    * and per-class document counts merge by key-summed union, so
+    * maintenance needs the stored artifacts plus ONE scan of the
+    * arriving batch, never a corpus rescan. Context totals T_c, vocab V,
+    * doc total N and every smoothed lp / prior / unseen-default are then
+    * RE-DERIVED from the merged frames — the V-shift and N-shift that a
+    * "only touched cells change" increment gets wrong (a batch that adds
+    * vocabulary or documents changes EVERY cell's smoothed probability;
+    * ClassifySpec pins the boundary). The driver oracle is the
+    * FULL-CORPUS recompute, so the merge identity is proven per round.
+    * Output is the complete serving surface at (class, term) grain with
+    * the class columns alongside: exactly what [[scoredBest]]'s scoring
+    * join consumes.
+    *
+    * 100 TB shape: increment cost is batch-sized + model-sized artifact
+    * reads; the registered plan scans `documents` once (the batch leg);
+    * everything after the merge is model-grain. Split: max(doc_id)·4/5,
+    * the q134/q142/q148 stored/batch carve. */
+  def nbModelIncrement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = docs(spark, dir)
+    val cut = corpus.agg(expr("max(doc_id) * 4 div 5")).head().getLong(0)
+    val sk = java.nio.file.Files
+      .createTempDirectory("graft_q157_model").toString
+    Option(liveNbModelDir.getAndSet(sk)).foreach { old =>
+      val p = java.nio.file.Paths.get(old)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    def termCounts(df: DataFrame) = df
+      .select($"lang".as("cls"), explode(split($"text", " ")).as("term"))
+      .groupBy($"cls", $"term").agg(count(lit(1)).cast("long").as("c_ct"))
+    def priorCounts(df: DataFrame) = df
+      .groupBy($"lang".as("cls")).agg(count(lit(1)).cast("long").as("n_c"))
+    // setup: the stored artifacts, as a prior load would have left them
+    termCounts(corpus.filter($"doc_id" < cut))
+      .write.mode("overwrite").parquet(s"$sk/q157_terms")
+    priorCounts(corpus.filter($"doc_id" < cut))
+      .write.mode("overwrite").parquet(s"$sk/q157_prior")
+    // ONE batch scan feeds both merges (persisted batch projection)
+    val batch = graft.Caches.track(s"classify.nbIncBatch:$dir",
+      corpus.filter($"doc_id" >= cut).select($"doc_id", $"lang", $"text"))
+    val ct = graft.Caches.track(s"classify.nbIncModel:$dir",
+      spark.read.parquet(s"$sk/q157_terms").union(termCounts(batch))
+        .groupBy($"cls", $"term").agg(sum($"c_ct").cast("long").as("c_ct")))
+    val prior = spark.read.parquet(s"$sk/q157_prior")
+      .union(priorCounts(batch))
+      .groupBy($"cls").agg(sum($"n_c").cast("long").as("n_c"))
+    val vocab = ct.agg(countDistinct($"term").cast("long").as("v"))
+    val nAll = prior.agg(sum($"n_c").cast("long").as("n_all"))
+    ct.withColumn("t_c",
+        sum($"c_ct").over(Window.partitionBy($"cls")).cast("long"))
+      .crossJoin(broadcast(vocab))
+      .join(broadcast(prior), "cls")
+      .crossJoin(broadcast(nAll))
+      .withColumn("one", lit(1L))
+      .withColumn("la", ($"c_ct" + 1L).cast("long"))
+      .withColumn("lb", ($"t_c" + $"v").cast("long"))
+      .withColumn("lp",
+        expr(graft.functions.PinnedMath.lnRatioSql("la", "lb")))
+      .withColumn("lp0",
+        expr(graft.functions.PinnedMath.lnRatioSql("one", "lb")))
+      .withColumn("lp_prior",
+        expr(graft.functions.PinnedMath.lnRatioSql("n_c", "n_all")))
+      .select($"cls", $"term", $"c_ct", $"t_c", $"lp", $"n_c",
+        $"lp_prior", $"lp0")
+      .orderBy($"cls", $"term")
+  }
+
   // ------------------------------------------------------------- oracles
 
   private def ln(a: String, b: String): String =
@@ -301,6 +419,49 @@ object Classify {
        |FROM rk WHERE rk = 1 AND cls <> label
        |ORDER BY margin DESC, doc_id""".stripMargin
 
+  private val calibrationOracle =
+    s"""${scoredCtes(splitTrain, splitHold)}
+       |SELECT bin, n_docs, n_correct,
+       |       CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS acc
+       |FROM (
+       |  SELECT LEAST(9, CAST(floor((score - nxt) / $CALIB_BIN_W)
+       |           AS BIGINT)) AS bin,
+       |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(COUNT(CASE WHEN cls = label THEN 1 END) AS BIGINT)
+       |           AS n_correct
+       |  FROM rk WHERE rk = 1 GROUP BY 1)
+       |ORDER BY bin""".stripMargin
+
+  /** Oracle = the FULL-CORPUS model recompute: stored ⊎ batch merge must
+    * be indistinguishable from never having split the corpus. */
+  private val nbIncrementOracle =
+    s"""WITH dt AS (
+       |  SELECT lang AS cls, unnest(string_split(text, ' ')) AS term
+       |  FROM documents
+       |), ct AS (
+       |  SELECT cls, term, CAST(COUNT(*) AS BIGINT) AS c_ct
+       |  FROM dt GROUP BY 1, 2
+       |), ct2 AS (
+       |  SELECT cls, term, c_ct,
+       |         CAST(SUM(c_ct) OVER (PARTITION BY cls) AS BIGINT) AS t_c
+       |  FROM ct
+       |), v AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM ct),
+       |prior AS (
+       |  SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_c
+       |  FROM documents GROUP BY 1
+       |), nall AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n_all FROM prior),
+       |mb AS (
+       |  SELECT ct2.cls, term, c_ct, t_c, n_c, n_all,
+       |         CAST(1 AS BIGINT) AS one,
+       |         CAST(c_ct + 1 AS BIGINT) AS la,
+       |         CAST(t_c + v.v AS BIGINT) AS lb
+       |  FROM ct2 CROSS JOIN v
+       |  JOIN prior ON prior.cls = ct2.cls CROSS JOIN nall
+       |)
+       |SELECT cls, term, c_ct, t_c, ${ln("la", "lb")} AS lp, n_c,
+       |       ${ln("n_c", "n_all")} AS lp_prior, ${ln("one", "lb")} AS lp0
+       |FROM mb ORDER BY cls, term""".stripMargin
+
   val all: Seq[Query] = Seq(
     Query("q149_nb_classifier",
       "Naive Bayes lang classifier train->classify->eval: add-one smoothing, deterministic 80/20 split, libm-free pinned-ln scores bit-exact vs DuckDB",
@@ -310,5 +471,11 @@ object Classify {
       nbConfusion, Some(confusionOracle), headline = false),
     Query("q153_label_audit",
       "label-consistency audit (confident-learning): corpus-trained model vs recorded lang, disagreements ranked by exact ln-odds margin",
-      labelAudit, Some(auditOracle), headline = false))
+      labelAudit, Some(auditOracle), headline = false),
+    Query("q156_nb_calibration",
+      "reliability report: holdout accuracy per ln-odds-margin bin - the confidence-as-quality-filter threshold read",
+      nbCalibration, Some(calibrationOracle), headline = false),
+    Query("q157_nb_model_increment",
+      "maintain->serve for the NB model: stored count artifacts + one batch scan, V/N-shift re-derived == full-corpus recompute (sum-merge identity)",
+      nbModelIncrement, Some(nbIncrementOracle), headline = false))
 }

@@ -655,6 +655,73 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q155
+
+  /** Reservoir size per stratum for [[weightedReservoir]]. */
+  val RSAMPLE_K = 10
+
+  /** Salt pinning reservoir membership independent of every other hash
+    * use. */
+  val RSAMPLE_SALT = "graft-rsample:"
+
+  /** FIXED-SIZE weighted sampling without replacement — the
+    * Efraimidis–Spiliotis A-ES reservoir (2006, public) as one Spark
+    * plan: each document draws a deterministic uniform u from its md5
+    * key, gets sort key u^(1/w) — computed as ln(u)/w so the whole key
+    * is [[graft.functions.PinnedMath.lnRatioSql]] (one pinned ln of the
+    * exact rational (h+1)/2³² ) over one correctly rounded division —
+    * and the k LARGEST keys per stratum are exactly a
+    * probability-∝-weight sample without replacement. Complements q113
+    * (Bernoulli keep at a weight-derived RATE — output size varies) and
+    * q65 (fixed rate per stratum): this is the "give me EXACTLY k docs
+    * per language, long docs proportionally likelier" shape.
+    *
+    * Determinism: u is a pure function of doc_id (stable under re-runs,
+    * increments, any partitioning — the property weighted `rand()`
+    * sampling loses); the ln is libm-free and bit-equal cross-engine;
+    * ties are impossible in practice and broken by doc_id anyway.
+    *
+    * 100 TB shape: ONE scan + one lang-keyed exchange; the rank-≤-k
+    * row_number filter is the InferWindowGroupLimit pattern (q139's
+    * device), so every map task ships at most k rows per stratum — the
+    * reservoir property ("bounded state per stratum regardless of input
+    * size") realized by the engine's partial top-K. Mergeable by
+    * construction: the union of two corpora's reservoirs re-ranked is
+    * the corpus-union reservoir (keys are row-intrinsic). */
+  def weightedReservoir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"smp_key".desc, $"doc_id")
+    docs(spark, dir)
+      .withColumn("u_num", Dx.hashKey(RSAMPLE_SALT, $"doc_id") + lit(1L))
+      .withColumn("wt", greatest($"n_chars", lit(1L)))
+      .withColumn("smp_key",
+        expr(graft.functions.PinnedMath.lnRatioSql("u_num", "4294967296")) /
+          $"wt".cast("double"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= RSAMPLE_K)
+      .select($"lang", $"doc_id", $"n_chars", $"smp_key", $"rk")
+  }
+
+  private val reservoirOracle = {
+    val hex = Dx.sqlHex2Long(
+      s"md5('$RSAMPLE_SALT' || CAST(doc_id AS VARCHAR))", 8)
+    val ln = graft.functions.PinnedMath.lnRatioSql("u_num", "4294967296")
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         CAST($hex + 1 AS BIGINT) AS u_num,
+       |         GREATEST(n_chars, 1) AS wt
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         ($ln) / CAST(wt AS DOUBLE) AS smp_key
+       |  FROM b)
+       |SELECT lang, doc_id, n_chars, smp_key, rk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |              ORDER BY smp_key DESC, doc_id) AS BIGINT) AS rk
+       |  FROM k)
+       |WHERE rk <= $RSAMPLE_K ORDER BY lang, rk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q139
 
   /** Per-source document budget for [[sourceCap]]. 10 keeps 40% of each
@@ -888,6 +955,11 @@ object Sampling {
       (s, d) => lengthWeightedSample(s, d).orderBy("doc_id"),
       Some(wsampleOracle), headline = false,
       benchFn = Some(lengthWeightedSample)),
+    Query("q155_weighted_reservoir",
+      "A-ES weighted reservoir: exactly k docs per language, probability proportional to length, pinned-ln keys bit-exact vs DuckDB",
+      (s, d) => weightedReservoir(s, d).orderBy("lang", "rk"),
+      Some(reservoirOracle), headline = false,
+      benchFn = Some(weightedReservoir)),
     Query("q139_source_cap",
       "per-source document cap: top-10 by quality rank per source via the engine-native WindowGroupLimit partial top-K",
       // orderBy is compare-presentation (q113 precedent); the bench

@@ -308,6 +308,40 @@ class AnnSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("hierarchical semdedup: flat keep verdict, families co-located") {
+    // round-13: semDedupAuto assigns coarse→fine (n·2√k instead of n·k).
+    // The hierarchy can legally re-cell vectors whose nearest centroid's
+    // parent is not their nearest coarse centroid (this fixture plants 16
+    // directions over √16 = 4 coarse cells, so re-celling DOES happen —
+    // the approximation is real, and the driver oracle replays it
+    // exactly). What dedup consumes is invariant and pinned here:
+    //  - the KEEP verdict equals the flat assignment's verdict, and
+    //  - each planted family (query + companions; identical filler
+    //    twins) still lands in ONE cell — identical/near-identical
+    //    vectors follow the same coarse→fine path by construction.
+    def run(h: Boolean) = Ann.semDedup(spark, dir, dim = DIM, hier = h)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val hier = run(true)
+    val flat = run(false)
+    assert(hier.map(r => (r._1, r._3)).toSet ==
+      flat.map(r => (r._1, r._3)).toSet,
+      "keep verdict must be invariant under the hierarchy")
+    val cell = hier.map(r => r._1 -> r._2).toMap
+    (0 until 8).foreach { q =>
+      assert(cell(100L + 2 * q) == cell(q.toLong) &&
+        cell(101L + 2 * q) == cell(q.toLong),
+        s"family of query $q split: ${cell(q.toLong)} vs " +
+          s"${cell(100L + 2 * q)}/${cell(101L + 2 * q)}")
+    }
+    (8 until 16).foreach { j =>
+      assert(cell(j.toLong) == cell(j + 8L),
+        s"identical twins ($j, ${j + 8}) split")
+    }
+    Ann.clearTrainedCache()
+    graft.Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
   test("semdedup metric knob: double leg matches decimal, malformed value diagnosed") {
     // The deploy knob can flip the assignment to IEEE doubles; on the
     // fixture (well-separated planted clusters — no near-exact metric
@@ -574,6 +608,77 @@ class AnnSpec extends SparkSpec {
     assert(d1.getAs[Long]("ssq_e12") == 4000000000000L)
     // mean divides by the FINITE count (3), not n (5)
     assert(d1.getAs[Double]("mean") == 2000000000000L.toDouble / (3.0 * 1e12))
+    spark.catalog.clearCache()
+  }
+
+  test("q154 PQ-ANN ranks the planted companions first through the ADC screen") {
+    Ann.clearPqCache()
+    val top = Ann.pqTopK(spark, dir, dim = DIM)
+      .filter($"rnk" <= 2).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    (0 until 8).foreach { q =>
+      assert(top(q.toLong) == Set(100L + 2 * q, 101L + 2 * q),
+        s"query $q top-2 = ${top(q.toLong)}")
+    }
+    Ann.clearPqCache()
+    graft.Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
+  test("q154 PQ chain replays JDK math (codes and ADC pinned)") {
+    // the q132 discipline for the PQ screen: recompute codebook norms,
+    // per-subspace code assignment and the ADC lookup sum in plain JDK
+    // arithmetic on the 1e-12 fixed-point grid (every dotDec term is
+    // k/1e12, so integer units replay the decimal chain exactly), and
+    // require the operator's emitted adc to equal the replay for every
+    // output row.
+    val sub = DIM / Ann.PQ_M
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def qprod(x: Double, y: Double): Long =
+      math.floor(x * y * 1e12 + 0.5).toLong
+    def subv(v: Array[Double], m: Int): Array[Double] =
+      v.slice(m * sub, m * sub + sub)
+    val codesIds = (Ann.NQUERIES until Ann.NQUERIES + Ann.PQ_K)
+      .map(_.toLong)
+    def dotU(a: Array[Double], b: Array[Double]): Long =
+      a.zip(b).map { case (x, y) => qprod(x, y) }.sum
+    def codeOf(v: Array[Double], m: Int): Long =
+      codesIds.map { c =>
+        val cs = subv(vecs(c), m)
+        ((dotU(cs, cs) - 2 * dotU(subv(v, m), cs)), c)
+      }.min._2
+    Ann.clearPqCache()
+    val out = Ann.pqTopK(spark, dir, dim = DIM).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qid, nid, adc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val units = (0 until Ann.PQ_M).map { m =>
+        val c = codeOf(vecs(nid), m)
+        dotU(subv(vecs(qid), m), subv(vecs(c), m))
+      }.sum
+      val replay = units.toDouble / 1e12
+      assert(adc == replay,
+        s"ADC for ($qid,$nid): got $adc, JDK replay $replay")
+    }
+    Ann.clearPqCache()
+    graft.Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
+  test("q154 PQ codebook cache serves byte-identical to fresh derivation") {
+    def serve() = Ann.pqTopK(spark, dir, dim = DIM)
+      .collect().map(_.toSeq).toSeq
+    Ann.clearPqCache()
+    val cold = serve()
+    val warm = serve()
+    assert(warm == cold, "cache-hit serve must be byte-identical")
+    Ann.clearPqCache()
+    assert(serve() == cold, "fresh codebook must reproduce the cached serve")
+    Ann.clearPqCache()
+    graft.Caches.releasePrefix("ann.")
     spark.catalog.clearCache()
   }
 

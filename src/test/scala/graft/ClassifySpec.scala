@@ -75,4 +75,57 @@ class ClassifySpec extends SparkSpec {
     Caches.releasePrefix("classify.")
     assert(ids == Set(0L, 5L, 10L))
   }
+
+  test("q156 calibration: margin bins, counts and the bin-9 cap") {
+    import spark.implicits._
+    // hand-model fixture (test 1's): both holdout docs land at margin
+    // ln 5 ≈ 1.61 → bin 0, both correct. Doc 10 repeats the
+    // discriminative token 40× → margin 40·ln 5 ≈ 64 → raw bin 12,
+    // capped at 9.
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(0L, "aa bb", lang = "en"),
+      Doc(1L, "aa aa bb", lang = "en"), Doc(2L, "aa aa bb", lang = "en"),
+      Doc(3L, "cc cc bb", lang = "de"), Doc(4L, "cc cc bb", lang = "de"),
+      Doc(5L, "cc", lang = "de"),
+      Doc(10L, Seq.fill(40)("aa").mkString(" "), lang = "en")).toDF)
+    val rows = Classify.nbCalibration(spark, dir).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"),
+          r.getAs[Double]("acc"))).toMap
+    Caches.releasePrefix("classify.")
+    assert(rows.keySet == Set(0L, 9L), s"bins = ${rows.keySet}")
+    assert(rows(0L) == ((2L, 2L, 1.0)))
+    assert(rows(9L) == ((1L, 1L, 1.0)), "the 40x margin must cap at bin 9")
+  }
+
+  test("q157 increment: stored+batch merge == full recompute, V/N-shift included") {
+    import spark.implicits._
+    // cut = max_id·4 div 5 = 3: stored docs {0,1,2}, batch {3,4}. The
+    // batch adds NEW vocabulary (dd) and new documents, so V shifts 3→4
+    // and N 3→5 — every lp/lp0/lp_prior must reflect the MERGED state:
+    //   merged: en aa=3, bb=1 (T_en=4); de cc=1, dd=2 (T_de=3); V=4;
+    //   priors en 3/5, de 2/5.
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(0L, "aa bb", lang = "en"), Doc(1L, "aa", lang = "en"),
+      Doc(2L, "cc", lang = "de"),
+      Doc(3L, "dd dd", lang = "de"), Doc(4L, "aa", lang = "en")).toDF)
+    val rows = Classify.nbModelIncrement(spark, dir).collect()
+    Caches.releasePrefix("classify.")
+    assert(rows.map(r => (r.getAs[String]("cls"), r.getAs[String]("term"),
+      r.getAs[Long]("c_ct"), r.getAs[Long]("t_c"), r.getAs[Long]("n_c")))
+      .toSeq == Seq(
+        ("de", "cc", 1L, 3L, 2L), ("de", "dd", 2L, 3L, 2L),
+        ("en", "aa", 3L, 4L, 3L), ("en", "bb", 1L, 4L, 3L)))
+    def lp(r: org.apache.spark.sql.Row, c: String) = r.getAs[Double](c)
+    val byKey = rows.map(r =>
+      (r.getAs[String]("cls"), r.getAs[String]("term")) -> r).toMap
+    assert(math.abs(lp(byKey(("en", "aa")), "lp") - math.log(4.0 / 8)) < 1e-9)
+    assert(math.abs(lp(byKey(("de", "dd")), "lp") - math.log(3.0 / 7)) < 1e-9)
+    assert(math.abs(lp(byKey(("en", "aa")), "lp0") - math.log(1.0 / 8)) < 1e-9)
+    assert(math.abs(lp(byKey(("de", "cc")), "lp0") - math.log(1.0 / 7)) < 1e-9)
+    assert(math.abs(
+      lp(byKey(("en", "aa")), "lp_prior") - math.log(3.0 / 5)) < 1e-9)
+    assert(math.abs(
+      lp(byKey(("de", "cc")), "lp_prior") - math.log(2.0 / 5)) < 1e-9)
+  }
 }

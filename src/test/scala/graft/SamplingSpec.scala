@@ -317,4 +317,32 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("weighted reservoir: exactly k per stratum, weight dominance, stable replay") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    // en: 30 short docs + one (id 200) with n_chars far above the rest —
+    // its key ln(u)/w sits within 1e-9·|ln u| of 0 and must beat every
+    // unit-weight key (which is ≤ ln(u) ≈ -0.69 in expectation); de has
+    // only 3 docs — fewer than k, so the whole stratum survives (the
+    // reservoir is a rank bound, not a quota).
+    val docsIn =
+      Doc(200L, "z", lang = "en").copy(n_chars = 1000000000L) +:
+        ((0L until 30L).map(i => Doc(i, "y" * 20, lang = "en")) ++
+          (300L until 303L).map(i => Doc(i, "w" * 9, lang = "de")))
+    val dir = fixtureDir("documents" -> docsIn.toDF)
+    def run() = Sampling.weightedReservoir(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getLong(4)))
+    val rows = run()
+    val byLang = rows.groupBy(_._1)
+    assert(byLang("en").length == Sampling.RSAMPLE_K,
+      s"en must keep exactly k, got ${byLang("en").length}")
+    assert(byLang("de").length == 3, "a stratum smaller than k survives whole")
+    assert(byLang("en").minBy(_._4)._2 == 200L,
+      "the giant-weight doc must rank first in its stratum")
+    assert(rows.forall(_._3 <= 0.0), "A-ES keys are ln(u)/w <= 0")
+    // membership is a pure function of the rows: byte-stable replay
+    assert(run().toSeq == rows.toSeq)
+  }
 }

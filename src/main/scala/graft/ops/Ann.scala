@@ -2179,28 +2179,32 @@ object Ann {
     * the PQ premise (memory-bound lookups instead of d multiplies); the
     * rerank touches SQ_CAND·|Q| rows. Composes with IVF (encode within
     * cells) exactly as q132 does. */
-  def pqTopK(spark: SparkSession, dir: String,
-      dim: Int = EMBED_DIM): DataFrame = {
-    import spark.implicits._
-    require(dim % PQ_M == 0, s"dim $dim must split into $PQ_M subspaces")
+  /** (vec_id, m, code) — every vector's PQ codes: per (vector,
+    * subspace) the nearest codebook entry by the norm-dropped decimal
+    * metric (‖c‖² − 2·x·c orders d² for fixed x), code tie-break. */
+  private def pqCodes(base: DataFrame, cb: DataFrame,
+      dim: Int): DataFrame = {
+    import base.sparkSession.implicits._
     val sub = dim / PQ_M
-    val base = graft.Caches.track(s"ann.pq_base:$dir",
-      withNorm(spark, dir))
-    val cb = pqCodebook(spark, dir, dim)
-    val subs = base.select($"vec_id", posexplode(expr(
+    val d24 = org.apache.spark.sql.types.DecimalType(24, 15)
+    base.select($"vec_id", posexplode(expr(
       s"transform(sequence(0, ${PQ_M - 1}), " +
         s"mm -> slice(embedding, mm * $sub + 1, $sub))")).as(Seq("m", "sub")))
-    // encode: per (vector, subspace) the nearest code by the norm-dropped
-    // decimal metric (‖c‖² − 2·x·c orders d² for fixed x), code tie-break
-    val d24 = org.apache.spark.sql.types.DecimalType(24, 15)
-    val codes = subs.join(broadcast(cb), Seq("m"))
+      .join(broadcast(cb), Seq("m"))
       .withColumn("mdec",
         ($"c_nrm".cast(d24) - lit(2) * dotDec("sub", "c_sub").cast(d24))
           .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
       .groupBy($"vec_id", $"m")
       .agg(min_by($"code", struct($"mdec", $"code")).as("code"))
-    // LUT: exact decimal partial dot of every (query subvector, code)
-    val lut = base.filter($"vec_id" < NQUERIES)
+  }
+
+  /** (query_id, m, code, dd) — exact decimal partial dot of every
+    * (query subvector, codebook entry): the ADC lookup table,
+    * |Q|·M·K rows, broadcast into the screen. */
+  private def pqLut(base: DataFrame, cb: DataFrame, dim: Int): DataFrame = {
+    import base.sparkSession.implicits._
+    val sub = dim / PQ_M
+    base.filter($"vec_id" < NQUERIES)
       .select($"vec_id".as("query_id"), posexplode(expr(
         s"transform(sequence(0, ${PQ_M - 1}), " +
           s"mm -> slice(embedding, mm * $sub + 1, $sub))"))
@@ -2208,6 +2212,17 @@ object Ann {
       .join(broadcast(cb), Seq("m"))
       .select($"query_id", $"m", $"code",
         dotDec("q_sub", "c_sub").as("dd"))
+  }
+
+  def pqTopK(spark: SparkSession, dir: String,
+      dim: Int = EMBED_DIM): DataFrame = {
+    import spark.implicits._
+    require(dim % PQ_M == 0, s"dim $dim must split into $PQ_M subspaces")
+    val base = graft.Caches.track(s"ann.pq_base:$dir",
+      withNorm(spark, dir))
+    val cb = pqCodebook(spark, dir, dim)
+    val codes = pqCodes(base, cb, dim)
+    val lut = pqLut(base, cb, dim)
     // ADC: sum of M lookups per (query, candidate) — decimal, order-free
     val adc = codes.join(broadcast(lut), Seq("m", "code"))
       .filter($"vec_id" =!= $"query_id")
@@ -2287,6 +2302,187 @@ object Ann {
        |norms AS (
        |  SELECT vec_id, SUM(${prodDec.format("x", "x")}) AS nrm
        |  FROM el GROUP BY 1),
+       |dots AS (
+       |  SELECT c.query_id, c.neighbor_id, c.adc_dec,
+       |         SUM(${prodDec.format("q.x", "e.x")}) AS dot
+       |  FROM cand c
+       |       JOIN el q ON q.vec_id = c.query_id
+       |       JOIN el e ON e.vec_id = c.neighbor_id AND q.i = e.i
+       |  GROUP BY 1, 2, 3),
+       |cos AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(adc_dec AS DOUBLE) AS adc,
+       |         CAST(dot AS DOUBLE)
+       |           / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nn.nrm AS DOUBLE))) AS cosine
+       |  FROM dots JOIN norms nq ON nq.vec_id = query_id
+       |            JOIN norms nn ON nn.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, adc, cosine, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM cos)
+       |WHERE rnk <= $TOPK ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q158
+
+  /** q158: IVF + PQ composed serve — THE standard billion-vector
+    * architecture (Jégou et al. 2011's IVFADC), assembled from proven
+    * legs: the q48 coarse quantizer prunes the corpus to the query's
+    * [[IVF_NPROBE]] cells, the q154 ADC screen ranks the pruned
+    * candidates by M table lookups each (never touching raw candidate
+    * vectors), and only the top-[[SQ_CAND]] reach the exact decimal
+    * rerank. Both component claims ("composes with IVF", q132/q154's
+    * scaladocs) become one measured, oracle-checked operator.
+    *
+    * 100 TB shape: the multiplication of the two pruning factors is the
+    * point — a probe touches nprobe/ncells of the corpus (IVF leg),
+    * and each surviving candidate costs M lookups instead of d
+    * multiplies (PQ leg), so serve cost is
+    * n·(nprobe/ncells)·M lookups + SQ_CAND·|Q| exact dots. ONE
+    * embeddings scan (the shared q154 persisted base feeds affinity,
+    * encoding, LUT, probe carve and rerank); assignment and probes ride
+    * the q48-audited exchanges (argmax is a map-side-combined
+    * aggregate, never an N×ncells shuffle); the codebook is the q154
+    * driver-cached artifact. Fixture note: the [[PQ_K]] codebook seeds
+    * and the [[IVF_NCENTROIDS]] coarse seeds are the same id range —
+    * deterministic and replayed verbatim by the oracle. */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+      dim: Int = EMBED_DIM): DataFrame = {
+    import spark.implicits._
+    import graft.functions.DotProduct
+    require(dim % PQ_M == 0, s"dim $dim must split into $PQ_M subspaces")
+    val base = graft.Caches.track(s"ann.pq_base:$dir",
+      withNorm(spark, dir))
+    val cents = base
+      .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + IVF_NCENTROIDS)
+      .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"),
+        $"nrm_dec".as("c_nrm"))
+    // the q48 front half: affinity argmax assignment + nprobe query cells
+    val aff = base.join(broadcast(cents))
+      .withColumn("aff",
+        DotProduct(col("embedding"), col("c_emb"))
+          / sqrt($"c_nrm".cast("double")))
+    val assigned = aff.groupBy($"vec_id")
+      .agg(max_by($"cent_id", struct($"aff", -$"cent_id")).as("cent_id"))
+    val byAff = Window.partitionBy($"vec_id")
+      .orderBy($"aff".desc, $"cent_id".asc)
+    val probes = aff.filter($"vec_id" < NQUERIES)
+      .withColumn("arn", row_number().over(byAff))
+      .filter($"arn" <= IVF_NPROBE)
+      .select($"vec_id".as("query_id"), $"cent_id")
+    val cand = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id")
+    // the q154 back half: ADC over the PRUNED candidates, exact rerank
+    val cb = pqCodebook(spark, dir, dim)
+    val codes = pqCodes(base, cb, dim)
+    val lut = pqLut(base, cb, dim)
+    val adc = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"dd").cast(
+        org.apache.spark.sql.types.DecimalType(38, 15)).as("adc_dec"))
+    val wCand = Window.partitionBy($"query_id")
+      .orderBy($"adc_dec".desc, $"vec_id".asc)
+    val wRank = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    val queries = base.select($"vec_id".as("query_id"),
+      $"embedding".as("q_emb"), $"nrm_dec".as("q_nrm"))
+      .filter($"query_id" < NQUERIES)
+    adc
+      .withColumn("crnk", row_number().over(wCand))
+      .filter($"crnk" <= SQ_CAND)
+      .join(base, "vec_id")
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine",
+        dotDec("q_emb", "embedding").cast("double") /
+          (sqrt($"q_nrm".cast("double")) * sqrt($"nrm_dec".cast("double"))))
+      .withColumn("adc", $"adc_dec".cast("double"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter($"rnk" <= TOPK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"adc",
+        $"cosine", $"rnk")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  private def ivfPqOracle(dim: Int): String = {
+    val sub = dim / PQ_M
+    s"""WITH el AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         unnest(embedding) AS x
+       |  FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM el GROUP BY 1),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb
+       |  FROM embeddings
+       |  WHERE vec_id >= $NQUERIES AND vec_id < ${NQUERIES + IVF_NCENTROIDS}),
+       |aff AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         list_sum(list_transform(range(1, ${dim + 1}),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
+       |           / sqrt(CAST(nc.nrm AS DOUBLE)) AS aff
+       |  FROM embeddings e
+       |  CROSS JOIN cents c
+       |  JOIN norms nc ON nc.vec_id = c.cent_id),
+       |ranked AS (
+       |  SELECT vec_id, cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |           ORDER BY aff DESC, cent_id) AS arn
+       |  FROM aff),
+       |assigned AS (
+       |  SELECT vec_id, cent_id FROM ranked WHERE arn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id FROM ranked
+       |  WHERE vec_id < $NQUERIES AND arn <= $IVF_NPROBE),
+       |cand0 AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a USING (cent_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |se AS (
+       |  SELECT vec_id, CAST((i - 1) // $sub AS INT) AS m,
+       |         CAST((i - 1) % $sub AS INT) AS j, x
+       |  FROM el),
+       |cb AS (
+       |  SELECT m, vec_id AS code, j, x FROM se
+       |  WHERE vec_id >= $NQUERIES AND vec_id < ${NQUERIES + PQ_K}),
+       |cbn AS (
+       |  SELECT m, code, SUM(${prodDec.format("x", "x")}) AS c_nrm
+       |  FROM cb GROUP BY 1, 2),
+       |enc AS (
+       |  SELECT s.vec_id, s.m, c.code,
+       |         CAST(n.c_nrm - 2 * SUM(${prodDec.format("s.x", "c.x")})
+       |              AS DECIMAL(38,15)) AS mdec
+       |  FROM se s
+       |  JOIN cb c ON c.m = s.m AND c.j = s.j
+       |  JOIN cbn n ON n.m = c.m AND n.code = c.code
+       |  GROUP BY s.vec_id, s.m, c.code, n.c_nrm),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |             ORDER BY mdec, code) AS rn
+       |    FROM enc) WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, q.m, c.code,
+       |         SUM(${prodDec.format("q.x", "c.x")}) AS dd
+       |  FROM se q JOIN cb c ON c.m = q.m AND c.j = q.j
+       |  WHERE q.vec_id < $NQUERIES
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT c0.query_id, c0.vec_id,
+       |         CAST(SUM(l.dd) AS DECIMAL(38,15)) AS adc_dec
+       |  FROM cand0 c0
+       |  JOIN codes k ON k.vec_id = c0.vec_id
+       |  JOIN lut l ON l.query_id = c0.query_id
+       |    AND l.m = k.m AND l.code = k.code
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, vec_id AS neighbor_id, adc_dec FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY adc_dec DESC, vec_id) AS crnk
+       |    FROM adc)
+       |  WHERE crnk <= $SQ_CAND),
        |dots AS (
        |  SELECT c.query_id, c.neighbor_id, c.adc_dec,
        |         SUM(${prodDec.format("q.x", "e.x")}) AS dot
@@ -2496,6 +2692,10 @@ object Ann {
     Query("q154_ann_pq",
       "product-quantized ANN: per-subspace codebooks, ADC lookup-table screen (M decimal lookups per candidate), exact decimal rerank",
       (s, d) => pqTopK(s, d), Some(pqOracle), headline = false),
+    Query("q158_ann_ivfpq",
+      "IVF+PQ composed serve (IVFADC): nprobe coarse cells prune the corpus, ADC lookup screen ranks the pruned candidates, exact decimal rerank",
+      (s, d) => ivfPqTopK(s, d), Some(ivfPqOracle(EMBED_DIM)),
+      headline = false),
     Query("q141_cell_diversity_cap",
       "cell-capped diversity selection: top-16 nearest per IVF cell by exact decimal distance — semantic-space source capping",
       // orderBy is compare-presentation (q90 precedent); the bench times

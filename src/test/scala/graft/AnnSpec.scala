@@ -668,6 +668,30 @@ class AnnSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q158 IVF+PQ composed serve recovers the planted companions") {
+    // companions share the query's coarse cell (near-identical vectors
+    // agree on the affinity argmax) and the ADC screen ranks them at the
+    // top — the composed path must return them rank 1/2 like q29/q48/q154
+    // do individually. Also pin the composition's PRUNING is real: each
+    // query's candidate set (any rank) stays under nprobe cells' worth
+    // of the corpus, i.e. strictly fewer than the 39 a full screen sees.
+    Ann.clearPqCache()
+    val rows = Ann.ivfPqTopK(spark, dir, dim = DIM).collect()
+    val top = rows.filter(_.getLong(4) <= 2L)
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    (0 until 8).foreach { q =>
+      assert(top(q.toLong) == Set(100L + 2 * q, 101L + 2 * q),
+        s"query $q top-2 = ${top(q.toLong)}")
+    }
+    val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.values.forall(n => n > 0 && n < 39),
+      s"probe pruning must bound candidates: $perQuery")
+    Ann.clearPqCache()
+    graft.Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
   test("q154 PQ codebook cache serves byte-identical to fresh derivation") {
     def serve() = Ann.pqTopK(spark, dir, dim = DIM)
       .collect().map(_.toSeq).toSeq

@@ -688,18 +688,77 @@ object Sampling {
     * size") realized by the engine's partial top-K. Mergeable by
     * construction: the union of two corpora's reservoirs re-ranked is
     * the corpus-union reservoir (keys are row-intrinsic). */
-  def weightedReservoir(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val w = Window.partitionBy($"lang").orderBy($"smp_key".desc, $"doc_id")
-    docs(spark, dir)
-      .withColumn("u_num", Dx.hashKey(RSAMPLE_SALT, $"doc_id") + lit(1L))
+  /** (lang, doc_id, n_chars, smp_key) — the A-ES key projection; the
+    * key is row-intrinsic (a pure function of doc_id and n_chars), the
+    * property both the one-shot reservoir and the increment rest on. */
+  private def reservoirKeyed(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.withColumn("u_num", Dx.hashKey(RSAMPLE_SALT, $"doc_id") + lit(1L))
       .withColumn("wt", greatest($"n_chars", lit(1L)))
       .withColumn("smp_key",
         expr(graft.functions.PinnedMath.lnRatioSql("u_num", "4294967296")) /
           $"wt".cast("double"))
-      .withColumn("rk", row_number().over(w).cast("long"))
+      .select($"lang", $"doc_id", $"n_chars", $"smp_key")
+  }
+
+  /** Top-[[RSAMPLE_K]] per stratum by (smp_key desc, doc_id) — the
+    * WindowGroupLimit-rewritten rank cap both paths share. */
+  private def reservoirRank(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"smp_key".desc, $"doc_id")
+    df.withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= RSAMPLE_K)
       .select($"lang", $"doc_id", $"n_chars", $"smp_key", $"rk")
+  }
+
+  def weightedReservoir(spark: SparkSession, dir: String): DataFrame =
+    reservoirRank(reservoirKeyed(docs(spark, dir)))
+
+  // ---------------------------------------------------------------- q159
+
+  private val liveReservoirDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** T1 for the q155 reservoir — the q142 rank-cap merge identity with a
+    * ROW-INTRINSIC key, which makes it exact rather than conditional:
+    * top-k(A ∪ B) = top-k(top-k(A) ∪ B) holds for ANY rank cap, and
+    * because the A-ES key is a pure function of the row (no corpus
+    * statistics in it — contrast q157, where V/N shift), the stored
+    * reservoir rows never go stale. Maintenance is therefore: stored
+    * per-stratum reservoir (k rows per stratum, the WHOLE state) ∪ one
+    * keyed scan of the arriving batch, re-rank, cut at k. The driver
+    * oracle is the FULL-CORPUS reservoir — the merge identity proven per
+    * round. This is the "mergeable by construction" claim in
+    * [[weightedReservoir]]'s scaladoc made executable.
+    *
+    * 100 TB shape: increment cost is batch-sized + (k × strata) stored
+    * rows; the registered plan scans `documents` once (the batch leg);
+    * the re-rank is over (k·strata + |batch|) rows. Split:
+    * max(doc_id)·4/5, the q142/q148/q157 stored/batch carve. */
+  def reservoirIncrement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = docs(spark, dir).select($"doc_id", $"lang", $"n_chars")
+    val cut = corpus.agg(expr("max(doc_id) * 4 div 5")).head().getLong(0)
+    val rp = java.nio.file.Files
+      .createTempDirectory("graft_q159_reservoir").toString
+    Option(liveReservoirDir.getAndSet(rp)).foreach { old =>
+      val p = java.nio.file.Paths.get(old)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    // stored state: the prefix corpus's reservoir, ranks dropped (they
+    // recompute on merge)
+    reservoirRank(reservoirKeyed(corpus.filter($"doc_id" < cut)))
+      .drop("rk")
+      .write.mode("overwrite").parquet(s"$rp/q159_reservoir")
+    reservoirRank(
+      spark.read.parquet(s"$rp/q159_reservoir")
+        .unionByName(reservoirKeyed(corpus.filter($"doc_id" >= cut))))
   }
 
   private val reservoirOracle = {
@@ -960,6 +1019,13 @@ object Sampling {
       (s, d) => weightedReservoir(s, d).orderBy("lang", "rk"),
       Some(reservoirOracle), headline = false,
       benchFn = Some(weightedReservoir)),
+    Query("q159_reservoir_increment",
+      "maintain->serve for the A-ES reservoir: stored per-stratum reservoir + one keyed batch scan re-ranked == full recompute (intrinsic-key rank-cap identity)",
+      (s, d) => reservoirIncrement(s, d).orderBy("lang", "rk"),
+      // the oracle is the FULL-corpus reservoir: the driver round proves
+      // the merge identity, not just the increment's self-consistency
+      Some(reservoirOracle), headline = false,
+      benchFn = Some(reservoirIncrement)),
     Query("q139_source_cap",
       "per-source document cap: top-10 by quality rank per source via the engine-native WindowGroupLimit partial top-K",
       // orderBy is compare-presentation (q113 precedent); the bench

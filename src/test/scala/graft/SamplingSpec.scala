@@ -345,4 +345,23 @@ class SamplingSpec extends SparkSpec {
     // membership is a pure function of the rows: byte-stable replay
     assert(run().toSeq == rows.toSeq)
   }
+
+  test("reservoir increment ≡ full recompute (intrinsic-key rank-cap identity)") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    // 40 en + 15 de docs with varied weights; cut = 54·4 div 5 = 43, so
+    // the batch spans both strata and displaces stored keepers in en.
+    val docsIn = (0L until 40L).map(i =>
+      Doc(i, "y" * (5 * (i.toInt % 7 + 1)), lang = "en")) ++
+      (40L until 55L).map(i => Doc(i, "w" * (3 * (i.toInt % 5 + 1)),
+        lang = "de"))
+    val dir = fixtureDir("documents" -> docsIn.toDF)
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(x => (x._1, x._5))
+    val inc = canon(Sampling.reservoirIncrement(spark, dir).collect())
+    val full = canon(Sampling.weightedReservoir(spark, dir).collect())
+    assert(inc.toSeq == full.toSeq,
+      "stored ⊎ batch re-rank must equal the full-corpus reservoir")
+  }
 }

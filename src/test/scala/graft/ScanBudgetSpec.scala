@@ -240,6 +240,23 @@ class ScanBudgetSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q154 PQ serve reads embeddings once (persisted base feeds encode, LUT and rerank)") {
+    assert(counts("q154_ann_pq") == Map("embeddings" -> 1))
+    ops.Ann.clearPqCache()
+    Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
+  test("q158 IVF+PQ composed serve also reads embeddings once") {
+    // affinity, probe carve, encoding, LUT and rerank all branch from the
+    // one persisted base — a regression to a per-leg scan multiplies the
+    // corpus read by the number of composition stages.
+    assert(counts("q158_ann_ivfpq") == Map("embeddings" -> 1))
+    ops.Ann.clearPqCache()
+    Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
   test("q126 index increment never scans the corpus (batch + index artifacts only)") {
     // round-12 verdict item 5's retrieval half: T1 for the index — the
     // increment reads the arriving batch and the stored index artifacts;

@@ -737,6 +737,23 @@ object Sampling {
     * rows; the registered plan scans `documents` once (the batch leg);
     * the re-rank is over (k·strata + |batch|) rows. Split:
     * max(doc_id)·4/5, the q142/q148/q157 stored/batch carve. */
+  /** Shared merge core for q159 and
+    * [[graft.streaming.StreamingReservoir]]: stored reservoir rows ⊎ an
+    * arriving batch (any frames carrying doc_id, lang, n_chars), SET
+    * union (the capMerge device — a replayed batch re-delivers rows
+    * already in the state; distinct() is what makes the merge
+    * idempotent), re-keyed — the A-ES key is a pure function of the
+    * base columns, so recomputing it for the k·strata stored rows is
+    * cheap and keeps one formula path — and re-ranked at k. */
+  def reservoirMerge(stored: DataFrame, batch: DataFrame): DataFrame = {
+    val s = stored.sparkSession
+    import s.implicits._
+    val cols = Seq($"doc_id", $"lang", $"n_chars")
+    reservoirRank(reservoirKeyed(
+      stored.select(cols: _*).unionByName(batch.select(cols: _*))
+        .distinct()))
+  }
+
   def reservoirIncrement(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = docs(spark, dir).select($"doc_id", $"lang", $"n_chars")
@@ -756,9 +773,9 @@ object Sampling {
     reservoirRank(reservoirKeyed(corpus.filter($"doc_id" < cut)))
       .drop("rk")
       .write.mode("overwrite").parquet(s"$rp/q159_reservoir")
-    reservoirRank(
-      spark.read.parquet(s"$rp/q159_reservoir")
-        .unionByName(reservoirKeyed(corpus.filter($"doc_id" >= cut))))
+    reservoirMerge(
+      spark.read.parquet(s"$rp/q159_reservoir"),
+      corpus.filter($"doc_id" >= cut))
   }
 
   private val reservoirOracle = {

@@ -451,4 +451,38 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("src_rank"))).toSet
     assert(replay == onceSet, "a replayed batch must be a no-op")
   }
+
+  test("streaming reservoir: maintained sample ≡ batch recompute, replay is a no-op") {
+    import graft.streaming.{ResDoc, StreamingReservoir}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_resstream").toString
+    // 30 en docs across two batches (k = 10): the stream-maintained
+    // reservoir must equal the one-shot reservoir over every row — the
+    // q159 merge identity, streamed. Weights vary so the A-ES keys do.
+    val b1 = (0L until 20L).map(i => ResDoc(i, "en", 5 * (i % 7 + 1)))
+    val b2 = (20L until 30L).map(i => ResDoc(i, "en", 3 * (i % 5 + 1)))
+    val input = MemoryStream[ResDoc]
+    val query = StreamingReservoir.ingestStream(input.toDF(), stateDir).start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+    } finally query.stop()
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk"),
+        r.getAs[Double]("smp_key"))).toSet
+    val got = canon(StreamingReservoir.readState(spark, stateDir).collect())
+    val empty = StreamingReservoir.readState(spark,
+      java.nio.file.Files.createTempDirectory("graft_resempty").toString)
+    val full = canon(
+      StreamingReservoir.mergeBatch(empty, (b1 ++ b2).toDF()).collect())
+    assert(got == full, "streamed reservoir must equal batch recompute")
+    assert(got.size == graft.ops.Sampling.RSAMPLE_K)
+    // exactly-once: replaying a batch into merged state changes nothing
+    val once = StreamingReservoir.mergeBatch(empty, b1.toDF())
+    val replay = canon(
+      StreamingReservoir.mergeBatch(once, b1.toDF()).collect())
+    assert(replay == canon(once.collect()), "a replayed batch must be a no-op")
+  }
 }

@@ -557,7 +557,10 @@ object Terms {
     * projection: no shuffle, no state, no join. Semantically the same
     * train/serve two-pass as q107; the gated apply plan itself is
     * 1-scan. */
-  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+  /** Doc-grain BPE token accounting (doc_id, lang, n_chars, n_words,
+    * n_tokens_bpe) — the shared core of q121 (per-doc report) and q160
+    * (per-language fertility rollup). */
+  private def bpeTokenized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ruleset = bpeMerges(spark, dir).collect()
       .map(r => (r.getString(1), r.getString(2), r.getString(3)))
@@ -569,20 +572,59 @@ object Terms {
       replace(sym, lit(s" $a  $b "), lit(s" $m "))
     }
     docs(spark, dir)
-      .select($"doc_id", $"n_chars", explode(split($"text", " ")).as("w"))
+      .select($"doc_id", $"lang", $"n_chars",
+        explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
       // tokens in a word = symbols = separator runs − 1 under the
       // invariant: size(split(sym, '  ')) = symbols + 2 ⇒ symbols =
       // size − 2
-      .select($"doc_id", $"n_chars",
+      .select($"doc_id", $"lang", $"n_chars",
         (size(split(applied, "  ")) - 2).cast("long").as("w_tokens"))
-      .groupBy($"doc_id")
+      .groupBy($"doc_id", $"lang")
       .agg(max($"n_chars").cast("long").as("n_chars"),
         count(lit(1)).cast("long").as("n_words"),
         sum($"w_tokens").cast("long").as("n_tokens_bpe"))
+  }
+
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTokenized(spark, dir)
+      .select($"doc_id", $"n_chars", $"n_words", $"n_tokens_bpe")
       .withColumn("chars_per_token",
         $"n_chars".cast("double") / $"n_tokens_bpe")
       .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- q160
+
+  /** q160: tokenizer FERTILITY per language — the fairness read run
+    * after any tokenizer change (Ács 2019 popularized the metric;
+    * fertility = subword tokens per whitespace word): a language whose
+    * fertility is 2× another's pays 2× the context budget and 2× the
+    * compute per sentence, so the mix owner reads this table next to
+    * q147's epoch plan before trusting a token-denominated budget.
+    * Per language: docs, exact char/word/BPE-token totals, and the two
+    * ratios (chars per token — compression; tokens per word —
+    * fertility). Totals are exact BIGINTs off q121's doc-grain core;
+    * each ratio is one double division.
+    *
+    * 100 TB shape: q121's one-scan K-replace projection, then a doc-
+    * grain hash agg and a LANG-grain rollup (dimension-sized output);
+    * training's scans run before the registered plan (ruleset = driver
+    * planning input, the q121/trained-centroid precedent). */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTokenized(spark, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"n_chars").cast("long").as("n_chars"),
+        sum($"n_words").cast("long").as("n_words"),
+        sum($"n_tokens_bpe").cast("long").as("n_tokens_bpe"))
+      .withColumn("chars_per_token",
+        $"n_chars".cast("double") / $"n_tokens_bpe")
+      .withColumn("fertility",
+        $"n_tokens_bpe".cast("double") / $"n_words")
+      .orderBy($"lang")
   }
 
   private val bpeTokenizeOracle = {
@@ -636,6 +678,68 @@ object Terms {
        |       CAST(MAX(n_chars) AS DOUBLE) / SUM(w_tokens)
        |         AS chars_per_token
        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private val bpeFertilityOracle = {
+    // the q121 scaffolding (trained rules replayed as CTEs, K-replace
+    // apply) with lang carried, doc-grain rollup, then the lang rollup
+    val rounds = (1 to BPE_ROUNDS).map { i =>
+      s"""p$i AS (
+         |  SELECT l[i] AS lft, l[i + 1] AS rgt,
+         |         CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(sym, '  ') AS l, freq FROM w${i - 1}),
+         |       unnest(range(2, len(l) - 1)) AS u(i)
+         |  GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT lft, rgt, lft || rgt AS merged
+         |  FROM p$i ORDER BY cnt DESC, lft, rgt LIMIT 1
+         |), w$i AS (
+         |  SELECT replace(sym, ' ' || b$i.lft || '  ' || b$i.rgt || ' ',
+         |                 ' ' || b$i.merged || ' ') AS sym, freq
+         |  FROM w${i - 1}, b$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val appliedSql = (1 to BPE_ROUNDS).foldLeft(
+      """'  ' || array_to_string(list_transform(range(1, length(w) + 1),
+        |                        i -> substr(w, i, 1)), '  ') || '  '"""
+        .stripMargin) { (acc, i) =>
+      s"replace($acc, ' ' || b$i.lft || '  ' || b$i.rgt || ' ', ' ' || b$i.merged || ' ')"
+    }
+    val bJoin = (1 to BPE_ROUNDS).map(i => s"b$i").mkString(", ")
+    s"""WITH w0 AS (
+       |  SELECT '  ' || array_to_string(
+       |           list_transform(range(1, length(w) + 1),
+       |                          i -> substr(w, i, 1)), '  ') || '  '
+       |           AS sym,
+       |         CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1
+       |),
+       |$rounds,
+       |tok AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         CAST(len(string_split($appliedSql, '  ')) - 2 AS BIGINT)
+       |           AS w_tokens
+       |  FROM (SELECT doc_id, lang, n_chars,
+       |               unnest(string_split(text, ' ')) AS w
+       |        FROM documents),
+       |       $bJoin
+       |  WHERE length(w) > 0
+       |), perdoc AS (
+       |  SELECT doc_id, lang, CAST(MAX(n_chars) AS BIGINT) AS n_chars,
+       |         CAST(COUNT(*) AS BIGINT) AS n_words,
+       |         CAST(SUM(w_tokens) AS BIGINT) AS n_tokens_bpe
+       |  FROM tok GROUP BY doc_id, lang
+       |)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |       CAST(SUM(n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+       |       CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens_bpe) AS DOUBLE)
+       |         AS chars_per_token,
+       |       CAST(SUM(n_tokens_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+       |         AS fertility
+       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   private val bpeOracle = {
@@ -1106,6 +1210,9 @@ object Terms {
     Query("q121_bpe_tokenize",
       "BPE apply: tokenize with the just-trained ruleset, per-doc token accounting + compression ratio",
       bpeTokenize, Some(bpeTokenizeOracle), headline = false),
+    Query("q160_bpe_fertility",
+      "tokenizer fertility per language: subword tokens per word + chars per token off q121's doc-grain core - the token-budget fairness read",
+      bpeFertility, Some(bpeFertilityOracle), headline = false),
     Query("q129_source_divergence",
       "per-source total-variation distance of token distributions vs the corpus (exact integer numerators, one final division)",
       sourceDivergence, Some(divergenceOracle), headline = false),

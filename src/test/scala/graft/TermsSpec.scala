@@ -152,6 +152,23 @@ class TermsSpec extends SparkSpec {
     assert(r(2L) == ((8L, 3L, 3L, 8.0 / 3)))
   }
 
+  test("bpe fertility: per-language rollup of the doc-grain accounting") {
+    import spark.implicits._
+    // q121's fixture with languages attached: en = {aaaa, ab ab ab}
+    // (12 chars, 4 words, 4 tokens under merges aa/ab/aaaa), de = {ab}
+    // (2 chars, 1 word, 1 token). Fertility en = 4/4 = 1.0, de = 1.0;
+    // chars_per_token en = 3.0, de = 2.0 — the per-lang disparity the
+    // report exists to surface.
+    val dir = fixtureDir("documents" -> Seq(
+      Doc(1L, "aaaa", lang = "en"), Doc(2L, "ab ab ab", lang = "en"),
+      Doc(3L, "ab", lang = "de")).toDF)
+    val r = graft.ops.Terms.bpeFertility(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5), x.getDouble(6))).toMap
+    assert(r("en") == ((2L, 12L, 4L, 4L, 3.0, 1.0)))
+    assert(r("de") == ((1L, 2L, 1L, 1L, 2.0, 1.0)))
+  }
+
   test("token typicality: exact mean-corpus-frequency score") {
     import spark.implicits._
     // counts: a=2 b=1 c=1, T=4. doc1 "a a b": (2+2+1)/3/4; doc2 "c": 1/1/4.

@@ -174,7 +174,10 @@ object Retrieval {
     * assignment is a broadcast join of the ≤Σ|Qᵢ|-row (query_id, term)
     * table onto the tf stream. One corpus scan serves the whole batch —
     * the retrieval analog of q90's batched IVF assignment. */
-  def bm25Batch(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared batch-serve core: every query's candidates ranked —
+    * (query_id, rnk, doc_id, dl, n_hits, score), unbounded rank. q123
+    * cuts it at [[BATCH_TOP_K]]; q161 packs it under a token budget. */
+  private def bm25BatchRanked(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val allTerms = QUERY_BATCH.flatMap(_._2).distinct.sorted
     val qterms = QUERY_BATCH
@@ -204,8 +207,13 @@ object Retrieval {
       .orderBy($"score".desc, $"doc_id".asc)
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter($"rnk" <= BATCH_TOP_K)
       .select($"query_id", $"rnk", $"doc_id", $"dl", $"n_hits", $"score")
+  }
+
+  def bm25Batch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bm25BatchRanked(spark, dir)
+      .filter($"rnk" <= BATCH_TOP_K)
       .orderBy($"query_id", $"rnk")
   }
 
@@ -232,6 +240,72 @@ object Retrieval {
        |FROM byq
        |QUALIFY rnk <= $BATCH_TOP_K
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q161
+
+  /** Context token budget for [[ragContext]] (dl = whitespace tokens, the
+    * q49 proxy; a deployment passes its tokenizer's counts — q160's
+    * fertility table says how far the proxy drifts per language). 120
+    * packs 3–5 fixture docs, so the cut lands mid-list. */
+  val RAG_BUDGET = 120L
+
+  /** q161: retrieval-augmented CONTEXT ASSEMBLY — the serve-side step
+    * between retrieval and the model call that every RAG deployment
+    * runs: for each query, take the BM25-ranked candidates (q123's
+    * batch-serve core) and fill a fixed token budget in rank order,
+    * emitting each included document's context position and the exact
+    * running token total. Prefix ("fill until full") semantics: a
+    * document is included iff the cumulative dl through its rank fits
+    * [[RAG_BUDGET]] — the running sum is a per-query window over k-row
+    * ranked lists, all integer arithmetic on top of the already-pinned
+    * BM25 scores.
+    *
+    * 100 TB shape: identical to q123 (ONE corpus scan serves the whole
+    * batch; candidate lists are k rows per query), plus a k-row window
+    * per query — assembly cost is output-sized, never corpus-sized. */
+  def ragContext(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wCum = Window.partitionBy($"query_id").orderBy($"rnk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bm25BatchRanked(spark, dir)
+      .withColumn("cum_tokens", sum($"dl").over(wCum).cast("long"))
+      .filter($"cum_tokens" <= RAG_BUDGET)
+      .select($"query_id", $"rnk".as("ctx_pos"), $"doc_id", $"dl",
+        $"cum_tokens", $"score")
+      .orderBy($"query_id", $"ctx_pos")
+  }
+
+  private val ragContextOracle = {
+    val allTerms = QUERY_BATCH.flatMap(_._2).distinct.sorted
+    val values = QUERY_BATCH
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""${bm25Sql(allTerms)}, qt AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, term
+       |  FROM (VALUES $values) AS v(query_id, term)
+       |), byq AS (
+       |  SELECT qt.query_id, scored.doc_id, scored.dl,
+       |         CAST(SUM(CAST(scored.rscore AS DECIMAL(30,6))) AS DOUBLE)
+       |           AS score
+       |  FROM scored JOIN qt ON scored.term = qt.term
+       |  GROUP BY 1, 2, 3
+       |), ranked AS (
+       |  SELECT query_id, CAST(ROW_NUMBER() OVER (
+       |           PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+       |           AS BIGINT) AS ctx_pos,
+       |         doc_id, dl, score
+       |  FROM byq
+       |), packed AS (
+       |  SELECT query_id, ctx_pos, doc_id, dl, score,
+       |         CAST(SUM(dl) OVER (PARTITION BY query_id ORDER BY ctx_pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              AS BIGINT) AS cum_tokens
+       |  FROM ranked
+       |)
+       |SELECT query_id, ctx_pos, doc_id, dl, cum_tokens, score
+       |FROM packed WHERE cum_tokens <= $RAG_BUDGET
+       |ORDER BY query_id, ctx_pos""".stripMargin
   }
 
   // ---------------------------------------------------------------- q125
@@ -517,6 +591,9 @@ object Retrieval {
     Query("q123_bm25_batch",
       "batched BM25 serve: 3 queries scored in one corpus pass, top-5 each via per-query rank window",
       bm25Batch, Some(bm25BatchOracle), headline = false),
+    Query("q161_rag_context",
+      "RAG context assembly: BM25-ranked candidates packed into a fixed token budget in rank order, exact running totals per query",
+      ragContext, Some(ragContextOracle), headline = false),
     Query("q125_bm25_serve_index",
       "build→serve: BM25 over a term-hash-partitioned on-disk index, PartitionFilters-pruned bucket reads, ≡ the scan path",
       bm25ServeIndex, Some(bm25Oracle), headline = false),

@@ -30,10 +30,19 @@ object Caches {
   private val reg = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Persist `df` (if not already persisted) and track the handle under
-    * `tag`; returns `df`. */
+    * `tag`; returns `df`. A displaced handle whose plan DIFFERS from the
+    * incoming one is unpersisted here (round-13 ADVICE: repeat-callable
+    * track sites would otherwise accumulate orphaned persisted frames
+    * over a long session). Same-plan displacement must NOT unpersist:
+    * Spark's CacheManager dedupes by canonical plan, so dropping the old
+    * handle would evict the cache entry the incoming frame relies on. */
   def track(tag: String, df: DataFrame): DataFrame = {
     if (df.storageLevel == StorageLevel.NONE) df.persist()
-    reg.put(tag, df)
+    reg.put(tag, df).foreach { old =>
+      if ((old ne df) && !old.queryExecution.analyzed
+            .sameResult(df.queryExecution.analyzed))
+        old.unpersist()
+    }
     df
   }
 

@@ -1728,12 +1728,19 @@ object Ann {
         val bCh = ranked.select(
           $"vec_id".as("id_b"), $"embedding".as("e_b"),
           $"nrm_dec".as("n_b"), $"cent_id", $"rk".as("rk_b"))
+        // ids along a chain edge are distinct (ranks strictly increase),
+        // so the swap predicate is total; embeddings/norms swap TOGETHER
+        // with the ids (round-13 ADVICE: a consumer reading emb_a as
+        // vec_a's embedding must not be lied to, even though the only
+        // consumer today — the symmetric cosine — cannot tell)
         val chain = aCh.join(bCh, Seq("cent_id", "rk_b")).select(
           $"cent_id",
-          least($"id_a", $"id_b").as("vec_a"), $"e_a".as("emb_a"),
-          $"n_a".as("nrm_a"),
-          greatest($"id_a", $"id_b").as("vec_b"), $"e_b".as("emb_b"),
-          $"n_b".as("nrm_b"))
+          least($"id_a", $"id_b").as("vec_a"),
+          when($"id_a" < $"id_b", $"e_a").otherwise($"e_b").as("emb_a"),
+          when($"id_a" < $"id_b", $"n_a").otherwise($"n_b").as("nrm_a"),
+          greatest($"id_a", $"id_b").as("vec_b"),
+          when($"id_a" < $"id_b", $"e_b").otherwise($"e_a").as("emb_b"),
+          when($"id_a" < $"id_b", $"n_b").otherwise($"n_a").as("nrm_b"))
         delegates.unionByName(chain)
       }
     // double prescreen + margin, decimal only on survivors — the q47/q88
@@ -1784,6 +1791,26 @@ object Ann {
     val n = embeddings(spark, dir).select("vec_id").count()
     semDedup(spark, dir, dim, Some(ncentroidsFor(n)), occCap = OCC_CAP,
       hier = true)
+  }
+
+  /** Max per-cell occupancy under q101's sized quantizer — the cap-audit
+    * diagnostic (round-13 ADVICE): [[semDedupAutoOracle]] replays the
+    * hierarchical assignment but NOT the [[OCC_CAP]] pair budget, so the
+    * implementation ≡ oracle only while every cell stays at-or-under the
+    * cap. AnnSpec asserts this at the driver's correctness scale
+    * (sf0.01), turning a would-be unexplained hash mismatch on a skewed
+    * corpus into an explicit "cell X tripped the budget" diagnosis. */
+  private[graft] def semDedupMaxOccupancy(spark: SparkSession,
+      dir: String): Long = {
+    import spark.implicits._
+    val n = embeddings(spark, dir).select("vec_id").count()
+    val vecs = graft.Caches.track(vecsTag(dir), embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
+    val cents = trainedCents(spark, dir, vecs, ncentroidsFor(n))
+    assignCellsHier(vecs, cents, exactMetric = semDedupExactMetric)
+      .groupBy($"cent_id").agg(count(lit(1)).as("occ"))
+      .agg(max($"occ")).as[Long].head()
   }
 
   private def semDedupOracle: String =
@@ -1918,6 +1945,68 @@ object Ann {
   private def annRecallOracle: String =
     s"""WITH bf AS ($bruteForceOracle),
        |ap AS (${lshOracle(EMBED_DIM)})
+       |SELECT b.query_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       |       CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+       |FROM bf b LEFT JOIN ap a
+       |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------- q162 / q163 / q164
+
+  /** Per-query recall@[[TOPK]] of an approximate serve against
+    * [[bruteForceTopK]] — the [[annRecall]] evaluation applied to the
+    * QUANTIZED screens (round-13 verdict item 1: the quantized family
+    * shipped correctness proofs but no measured retrieval quality).
+    * Measuring the FINAL output is exactly screen recall@k: the rerank
+    * is exact cosine over the screened candidates, so a true top-k
+    * neighbor that survives the screen always lands in the final top-k
+    * (at most k−1 vectors can outrank it), and one lost in the screen
+    * can never reappear. Evaluation cost is output-sized (two k·|Q|-row
+    * frames joined on (query_id, neighbor_id)); both legs are
+    * deterministic, so the evaluation carries an exact DuckDB oracle —
+    * the q103 discipline. */
+  private def recallAgainstBrute(spark: SparkSession, dir: String,
+      approx: DataFrame): DataFrame = {
+    import spark.implicits._
+    val exact = bruteForceTopK(spark, dir)
+      .select($"query_id", $"neighbor_id")
+    val ap = approx.select($"query_id", $"neighbor_id", lit(1).as("hit"))
+    exact.join(ap, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        count($"hit").cast("long").as("n_hit"))
+      .withColumn("recall", $"n_hit".cast("double") / $"n_exact")
+      .select($"query_id", $"n_exact", $"n_hit", $"recall")
+  }
+
+  /** q162: recall@k of the q132 int8 screen. */
+  def sqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstBrute(spark, dir, sqTopK(spark, dir))
+
+  /** q163: recall@k of the q154 trained-PQ ADC screen. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstBrute(spark, dir, pqTopK(spark, dir))
+
+  /** [[pqRecall]] with the round-13 seeded codebook — the baseline the
+    * trained recall is measured against (SCALING.md); not registered. */
+  private[graft] def pqRecallSeeded(spark: SparkSession,
+      dir: String): DataFrame =
+    recallAgainstBrute(spark, dir, pqTopK(spark, dir, trained = false))
+
+  /** q164: recall@k of the q158 IVF+PQ composed serve (coarse pruning ×
+    * ADC screen — the two approximation legs evaluated together). */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstBrute(spark, dir, ivfPqTopK(spark, dir))
+
+  private[graft] def ivfPqRecallSeeded(spark: SparkSession,
+      dir: String): DataFrame =
+    recallAgainstBrute(spark, dir, ivfPqTopK(spark, dir, trained = false))
+
+  private def quantRecallOracle(approxSql: String): String =
+    s"""WITH bf AS ($bruteForceOracle),
+       |ap AS ($approxSql)
        |SELECT b.query_id,
        |       CAST(COUNT(*) AS BIGINT) AS n_exact,
        |       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
@@ -2110,6 +2199,11 @@ object Ann {
   val PQ_M = 8
   val PQ_K = 16
 
+  /** Lloyd rounds for the per-subspace codebook training — mirrors
+    * [[KMEANS_ITERS]] so the coarse quantizer and the PQ codebooks carry
+    * the same fixed-round oracle contract. */
+  val PQ_ITERS = 2
+
   /** Session-scoped PQ codebook cache — the [[sqStatsCache]]/
     * [[trainedCache]] precedent: codebooks are built once per corpus dir
     * and served many times; the cached value is M×K tiny rows. */
@@ -2127,31 +2221,111 @@ object Ann {
     org.apache.spark.sql.types.StructField("c_nrm",
       org.apache.spark.sql.types.DecimalType(38, 15))))
 
-  /** Per-subspace codebook for `dir`: the subvectors of the [[PQ_K]]
-    * seed vectors (`vec_id ∈ [NQUERIES, NQUERIES+PQ_K)` — the IVF seed
-    * convention), code id = seed vec_id. Seeded codebooks keep the whole
-    * construction exactly replayable; a production deployment would run
-    * the per-subspace Lloyd loop ([[ivfKmeans]]'s machinery over each
-    * slice) into the same cache slot — the serve plan is unchanged. */
-  private def pqCodebook(spark: SparkSession, dir: String,
-      dim: Int): DataFrame = {
-    import spark.implicits._
+  /** The corpus sliced into PQ subspaces: `(vec_id, m, sub)` — the
+    * shared slicing for training, encoding and the LUT, so the three
+    * consumers cannot drift on the subvector layout. */
+  private def pqSubvectors(base: DataFrame, dim: Int): DataFrame = {
+    import base.sparkSession.implicits._
     val sub = dim / PQ_M
-    val rows = pqCodebookCache.computeIfAbsent(s"$dir#dim=$dim", { _ =>
-      embeddings(spark, dir)
-        .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + PQ_K)
-        .select($"vec_id".as("code"), posexplode(expr(
-          s"transform(sequence(0, ${PQ_M - 1}), " +
-            s"mm -> slice(embedding, mm * $sub + 1, $sub))"))
-          .as(Seq("m", "sub")))
+    base.select($"vec_id", posexplode(expr(
+      s"transform(sequence(0, ${PQ_M - 1}), " +
+        s"mm -> slice(embedding, mm * $sub + 1, $sub))"))
+      .as(Seq("m", "sub")))
+  }
+
+  /** One per-subspace Lloyd round: assign every (vector, subspace) to
+    * its nearest code by the norm-dropped decimal metric (the
+    * [[kmeansStep]] argmin restated per slice), then recompute each
+    * code's c_sub as the elementwise mean of its assigned subvectors —
+    * the [[cellMeans]] decimal-sum mean (`CAST(SUM(valDec(x)) AS
+    * DOUBLE) / COUNT(*)`), so the round replays exactly in SQL. A code
+    * capturing nothing vanishes — the fixed-round oracle contract
+    * [[ivfKmeans]] documents, one level down. */
+  private def pqLloydRound(subs: DataFrame, cb: DataFrame): DataFrame = {
+    import subs.sparkSession.implicits._
+    val d24 = org.apache.spark.sql.types.DecimalType(24, 15)
+    val asn = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("mdec",
+        ($"c_nrm".cast(d24) - lit(2) * dotDec("sub", "c_sub").cast(d24))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+      .groupBy($"vec_id", $"m")
+      // every row of a (vec_id, m) group carries the same sub (the join
+      // fanned it out over codes), so first() is deterministic here
+      .agg(first($"sub").as("sub"),
+        min_by($"code", struct($"mdec", $"code")).as("code"))
+    asn.select($"m", $"code", posexplode($"sub").as(Seq("j", "x")))
+      .groupBy($"m", $"code", $"j")
+      .agg((sum(valDec($"x")).cast("double") / count(lit(1))).as("x"))
+      .groupBy($"m", $"code")
+      .agg(transform(array_sort(collect_list(struct($"j", $"x"))),
+        s => s.getField("x")).as("c_sub"))
+      .select($"m".cast("int"), $"code".cast("long"),
+        $"c_sub".cast("array<double>"),
+        dotDec("c_sub", "c_sub").as("c_nrm"))
+  }
+
+  /** Per-subspace codebook for `dir`. `trained = true` (the serve
+    * default, round-14) runs [[PQ_ITERS]] per-subspace Lloyd rounds —
+    * [[ivfKmeans]]'s machinery applied to each dim/M slice — from the
+    * [[PQ_K]] seed subvectors (`vec_id ∈ [NQUERIES, NQUERIES+PQ_K)`,
+    * the IVF seed convention; code id = seed vec_id survives training).
+    * Each round's M×K result is collected (tiny, the [[trainedCache]]
+    * precedent) so lineage stays flat; the driver oracle replays the
+    * rounds in SQL, so the TRAINED construction keeps the exact
+    * cross-engine proof. `trained = false` is the round-13 seeded
+    * baseline, kept so the q163/q164 recall harnesses can measure what
+    * training buys. */
+  private def pqCodebook(spark: SparkSession, dir: String,
+      dim: Int, trained: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val key = s"$dir#dim=$dim" +
+      (if (trained) s"#iters=$PQ_ITERS" else "")
+    val rows = pqCodebookCache.computeIfAbsent(key, { _ =>
+      val seeds = pqSubvectors(
+        embeddings(spark, dir)
+          .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + PQ_K),
+        dim)
         .select($"m".cast("int"),
-          $"code".cast("long"),
+          $"vec_id".cast("long").as("code"),
           expr("transform(sub, x -> CAST(x AS DOUBLE))").as("c_sub"),
           dotDec("sub", "sub").as("c_nrm"))
-        .collect()
+      if (!trained) seeds.collect()
+      else {
+        val subs = pqSubvectors(embeddings(spark, dir), dim).persist()
+        try {
+          var cb = seeds.collect()
+          for (_ <- 1 to PQ_ITERS)
+            cb = pqLloydRound(subs, spark.createDataFrame(
+              java.util.Arrays.asList(cb: _*), pqCbSchema)).collect()
+          cb
+        } finally { subs.unpersist(); () }
+      }
     })
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), pqCbSchema)
+  }
+
+  /** Total squared PQ quantization distortion of the corpus under the
+    * `trained`/seeded codebook — Σ over (vector, subspace) of ‖x − c‖²
+    * (the argmin metric plus the per-subvector norm, both decimal) —
+    * the Lloyd objective as one number. AnnSpec pins trained < seeded
+    * on the real testdata: the measurable claim behind "training the
+    * codebook improves the screen". */
+  private[graft] def pqDistortion(spark: SparkSession, dir: String,
+      dim: Int, trained: Boolean): Double = {
+    import spark.implicits._
+    val d24 = org.apache.spark.sql.types.DecimalType(24, 15)
+    val cb = pqCodebook(spark, dir, dim, trained)
+    pqSubvectors(embeddings(spark, dir), dim)
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("mdec",
+        ($"c_nrm".cast(d24) - lit(2) * dotDec("sub", "c_sub").cast(d24))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+      .groupBy($"vec_id", $"m")
+      .agg(min($"mdec").as("m_min"),
+        first(dotDec("sub", "sub")).as("s_nrm"))
+      .agg(sum(($"m_min".cast(d24) + $"s_nrm".cast(d24)).cast("double")))
+      .as[Double].head()
   }
 
   /** q154: product-quantized ANN serve — the high-compression scale path
@@ -2185,11 +2359,8 @@ object Ann {
   private def pqCodes(base: DataFrame, cb: DataFrame,
       dim: Int): DataFrame = {
     import base.sparkSession.implicits._
-    val sub = dim / PQ_M
     val d24 = org.apache.spark.sql.types.DecimalType(24, 15)
-    base.select($"vec_id", posexplode(expr(
-      s"transform(sequence(0, ${PQ_M - 1}), " +
-        s"mm -> slice(embedding, mm * $sub + 1, $sub))")).as(Seq("m", "sub")))
+    pqSubvectors(base, dim)
       .join(broadcast(cb), Seq("m"))
       .withColumn("mdec",
         ($"c_nrm".cast(d24) - lit(2) * dotDec("sub", "c_sub").cast(d24))
@@ -2203,24 +2374,20 @@ object Ann {
     * |Q|·M·K rows, broadcast into the screen. */
   private def pqLut(base: DataFrame, cb: DataFrame, dim: Int): DataFrame = {
     import base.sparkSession.implicits._
-    val sub = dim / PQ_M
-    base.filter($"vec_id" < NQUERIES)
-      .select($"vec_id".as("query_id"), posexplode(expr(
-        s"transform(sequence(0, ${PQ_M - 1}), " +
-          s"mm -> slice(embedding, mm * $sub + 1, $sub))"))
-        .as(Seq("m", "q_sub")))
+    pqSubvectors(base.filter($"vec_id" < NQUERIES), dim)
+      .select($"vec_id".as("query_id"), $"m", $"sub".as("q_sub"))
       .join(broadcast(cb), Seq("m"))
       .select($"query_id", $"m", $"code",
         dotDec("q_sub", "c_sub").as("dd"))
   }
 
   def pqTopK(spark: SparkSession, dir: String,
-      dim: Int = EMBED_DIM): DataFrame = {
+      dim: Int = EMBED_DIM, trained: Boolean = true): DataFrame = {
     import spark.implicits._
     require(dim % PQ_M == 0, s"dim $dim must split into $PQ_M subspaces")
     val base = graft.Caches.track(s"ann.pq_base:$dir",
       withNorm(spark, dir))
-    val cb = pqCodebook(spark, dir, dim)
+    val cb = pqCodebook(spark, dir, dim, trained)
     val codes = pqCodes(base, cb, dim)
     val lut = pqLut(base, cb, dim)
     // ADC: sum of M lookups per (query, candidate) — decimal, order-free
@@ -2252,7 +2419,48 @@ object Ann {
       .orderBy($"query_id", $"rnk")
   }
 
-  private val pqOracle = {
+  /** One per-subspace Lloyd round as CTEs (`pqcb$n` → `pqcb${n+1}`) —
+    * [[kmeansRoundSql]] one level down: the argmin partitions by
+    * (vec_id, m) instead of vec_id, the mean by (m, code, j). Requires
+    * the flat subspace-element CTE `se` (vec_id, m, j, x). */
+  private def pqRoundSql(n: Int): String =
+    s"""pqcbn$n AS (
+       |  SELECT m, code, SUM(${prodDec.format("x", "x")}) AS c_nrm
+       |  FROM pqcb$n GROUP BY 1, 2),
+       |pqmet$n AS (
+       |  SELECT s.vec_id, s.m, c.code,
+       |         CAST(n.c_nrm - 2 * SUM(${prodDec.format("s.x", "c.x")})
+       |              AS DECIMAL(38,15)) AS mdec
+       |  FROM se s
+       |  JOIN pqcb$n c ON c.m = s.m AND c.j = s.j
+       |  JOIN pqcbn$n n ON n.m = c.m AND n.code = c.code
+       |  GROUP BY s.vec_id, s.m, c.code, n.c_nrm),
+       |pqasn$n AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |             ORDER BY mdec, code) AS rn
+       |    FROM pqmet$n) WHERE rn = 1),
+       |pqcb${n + 1} AS (
+       |  SELECT a.m, a.code, s.j,
+       |         CAST(SUM(${xDec.format("s.x")}) AS DOUBLE) / COUNT(*) AS x
+       |  FROM pqasn$n a JOIN se s ON s.vec_id = a.vec_id AND s.m = a.m
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The PQ codebook-training chain from `se`: seed subvectors →
+    * [[PQ_ITERS]] Lloyd rounds → the trained codebook aliased back to
+    * `cb`/`cbn`, so the serve CTEs downstream (enc, lut) read the
+    * TRAINED codebook without changing shape. */
+  private def pqTrainSql: String =
+    s"""pqcb0 AS (
+       |  SELECT m, vec_id AS code, j, x FROM se
+       |  WHERE vec_id >= $NQUERIES AND vec_id < ${NQUERIES + PQ_K}),
+       |${(0 until PQ_ITERS).map(pqRoundSql).mkString(",\n")},
+       |cb AS (SELECT m, code, j, x FROM pqcb$PQ_ITERS),
+       |cbn AS (
+       |  SELECT m, code, SUM(${prodDec.format("x", "x")}) AS c_nrm
+       |  FROM cb GROUP BY 1, 2)""".stripMargin
+
+  private lazy val pqOracle = {
     val sub = EMBED_DIM / PQ_M
     s"""WITH el AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -2262,12 +2470,7 @@ object Ann {
        |  SELECT vec_id, CAST((i - 1) // $sub AS INT) AS m,
        |         CAST((i - 1) % $sub AS INT) AS j, x
        |  FROM el),
-       |cb AS (
-       |  SELECT m, vec_id AS code, j, x FROM se
-       |  WHERE vec_id >= $NQUERIES AND vec_id < ${NQUERIES + PQ_K}),
-       |cbn AS (
-       |  SELECT m, code, SUM(${prodDec.format("x", "x")}) AS c_nrm
-       |  FROM cb GROUP BY 1, 2),
+       |$pqTrainSql,
        |enc AS (
        |  SELECT s.vec_id, s.m, c.code,
        |         CAST(n.c_nrm - 2 * SUM(${prodDec.format("s.x", "c.x")})
@@ -2347,7 +2550,7 @@ object Ann {
     * and the [[IVF_NCENTROIDS]] coarse seeds are the same id range —
     * deterministic and replayed verbatim by the oracle. */
   def ivfPqTopK(spark: SparkSession, dir: String,
-      dim: Int = EMBED_DIM): DataFrame = {
+      dim: Int = EMBED_DIM, trained: Boolean = true): DataFrame = {
     import spark.implicits._
     import graft.functions.DotProduct
     require(dim % PQ_M == 0, s"dim $dim must split into $PQ_M subspaces")
@@ -2374,7 +2577,7 @@ object Ann {
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id")
     // the q154 back half: ADC over the PRUNED candidates, exact rerank
-    val cb = pqCodebook(spark, dir, dim)
+    val cb = pqCodebook(spark, dir, dim, trained)
     val codes = pqCodes(base, cb, dim)
     val lut = pqLut(base, cb, dim)
     val adc = cand.join(codes, "vec_id")
@@ -2444,12 +2647,7 @@ object Ann {
        |  SELECT vec_id, CAST((i - 1) // $sub AS INT) AS m,
        |         CAST((i - 1) % $sub AS INT) AS j, x
        |  FROM el),
-       |cb AS (
-       |  SELECT m, vec_id AS code, j, x FROM se
-       |  WHERE vec_id >= $NQUERIES AND vec_id < ${NQUERIES + PQ_K}),
-       |cbn AS (
-       |  SELECT m, code, SUM(${prodDec.format("x", "x")}) AS c_nrm
-       |  FROM cb GROUP BY 1, 2),
+       |$pqTrainSql,
        |enc AS (
        |  SELECT s.vec_id, s.m, c.code,
        |         CAST(n.c_nrm - 2 * SUM(${prodDec.format("s.x", "c.x")})
@@ -2696,6 +2894,21 @@ object Ann {
       "IVF+PQ composed serve (IVFADC): nprobe coarse cells prune the corpus, ADC lookup screen ranks the pruned candidates, exact decimal rerank",
       (s, d) => ivfPqTopK(s, d), Some(ivfPqOracle(EMBED_DIM)),
       headline = false),
+    Query("q162_sq_recall",
+      "recall@k of the int8 scalar-quantized screen (q132) vs exact brute force — quantized retrieval quality, exact oracle",
+      (s, d) => sqRecall(s, d).orderBy("query_id"),
+      Some(quantRecallOracle(sqOracle)), headline = false,
+      benchFn = Some(sqRecall)),
+    Query("q163_pq_recall",
+      "recall@k of the Lloyd-trained PQ ADC screen (q154) vs exact brute force — what codebook training buys, exact oracle",
+      (s, d) => pqRecall(s, d).orderBy("query_id"),
+      Some(quantRecallOracle(pqOracle)), headline = false,
+      benchFn = Some(pqRecall)),
+    Query("q164_ivfpq_recall",
+      "recall@k of the composed IVF+PQ serve (q158) vs exact brute force — both pruning legs evaluated together, exact oracle",
+      (s, d) => ivfPqRecall(s, d).orderBy("query_id"),
+      Some(quantRecallOracle(ivfPqOracle(EMBED_DIM))), headline = false,
+      benchFn = Some(ivfPqRecall)),
     Query("q141_cell_diversity_cap",
       "cell-capped diversity selection: top-16 nearest per IVF cell by exact decimal distance — semantic-space source capping",
       // orderBy is compare-presentation (q90 precedent); the bench times

@@ -269,6 +269,12 @@ object Retrieval {
     val wCum = Window.partitionBy($"query_id").orderBy($"rnk")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bm25BatchRanked(spark, dir)
+      // dl >= 1 (a doc has at least one whitespace token), so the packed
+      // prefix is at most RAG_BUDGET rows — bounding the rank BEFORE the
+      // cumulative window restores the WindowGroupLimit partial top-K
+      // plan (round-13 ADVICE: unbounded, every matching doc shipped to
+      // the per-query exchange). Oracle applies the same bound.
+      .filter($"rnk" <= RAG_BUDGET)
       .withColumn("cum_tokens", sum($"dl").over(wCum).cast("long"))
       .filter($"cum_tokens" <= RAG_BUDGET)
       .select($"query_id", $"rnk".as("ctx_pos"), $"doc_id", $"dl",
@@ -301,7 +307,7 @@ object Retrieval {
        |         CAST(SUM(dl) OVER (PARTITION BY query_id ORDER BY ctx_pos
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |              AS BIGINT) AS cum_tokens
-       |  FROM ranked
+       |  FROM ranked WHERE ctx_pos <= $RAG_BUDGET
        |)
        |SELECT query_id, ctx_pos, doc_id, dl, cum_tokens, score
        |FROM packed WHERE cum_tokens <= $RAG_BUDGET

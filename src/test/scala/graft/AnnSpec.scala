@@ -267,6 +267,21 @@ class AnnSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q101 occ-cap audit: no cell trips OCC_CAP at correctness scale") {
+    // round-13 ADVICE: the driver oracle replays the assignment but NOT
+    // the pair budget, so q101 ≡ oracle only while max occupancy stays
+    // at-or-under OCC_CAP. Assert it HERE at the driver's sf0.01 scale so
+    // a skewed corpus surfaces as this message, never as an unexplained
+    // round-hash mismatch.
+    val occ = Ann.semDedupMaxOccupancy(spark, "/root/testdata/sf0.01")
+    assert(occ <= Ann.OCC_CAP,
+      s"max cell occupancy $occ exceeds OCC_CAP=${Ann.OCC_CAP}: q101's " +
+        "capped pair stage now diverges from its all-pairs oracle")
+    Ann.clearTrainedCache()
+    graft.Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
   test("capped semdedup ≡ uncapped when no cell exceeds the budget") {
     // round-12 verdict item 3: the q88 delegate-budget + rank-chain
     // device composed into the learned-cell path. Fixture occupancies
@@ -626,13 +641,15 @@ class AnnSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("q154 PQ chain replays JDK math (codes and ADC pinned)") {
-    // the q132 discipline for the PQ screen: recompute codebook norms,
-    // per-subspace code assignment and the ADC lookup sum in plain JDK
-    // arithmetic on the 1e-12 fixed-point grid (every dotDec term is
-    // k/1e12, so integer units replay the decimal chain exactly), and
-    // require the operator's emitted adc to equal the replay for every
-    // output row.
+  test("q154 PQ chain replays JDK math (training, codes and ADC pinned)") {
+    // the q132 discipline for the PQ screen, EXTENDED through training
+    // (round-14): replay the PQ_ITERS per-subspace Lloyd rounds, the
+    // trained codebook norms, per-subspace code assignment and the ADC
+    // lookup sum in plain JDK arithmetic on the 1e-12 fixed-point grid
+    // (every dotDec term is k/1e12, so integer units replay the decimal
+    // chain exactly; round means are nearest-double of U/1e12 then one
+    // IEEE divide — the valDec-sum-cast-divide order), and require the
+    // operator's emitted adc to equal the replay for every output row.
     val sub = DIM / Ann.PQ_M
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
@@ -641,28 +658,63 @@ class AnnSpec extends SparkSpec {
       math.floor(x * y * 1e12 + 0.5).toLong
     def subv(v: Array[Double], m: Int): Array[Double] =
       v.slice(m * sub, m * sub + sub)
-    val codesIds = (Ann.NQUERIES until Ann.NQUERIES + Ann.PQ_K)
-      .map(_.toLong)
     def dotU(a: Array[Double], b: Array[Double]): Long =
       a.zip(b).map { case (x, y) => qprod(x, y) }.sum
-    def codeOf(v: Array[Double], m: Int): Long =
-      codesIds.map { c =>
-        val cs = subv(vecs(c), m)
+    // trained codebook replay: seeds → PQ_ITERS Lloyd rounds
+    type CB = Map[(Int, Long), Array[Double]]
+    val seedCb: CB = (for {
+      m <- 0 until Ann.PQ_M
+      c <- Ann.NQUERIES until Ann.NQUERIES + Ann.PQ_K
+    } yield (m, c.toLong) -> subv(vecs(c.toLong), m)).toMap
+    def argminCode(cb: CB, v: Array[Double], m: Int): Long =
+      cb.collect { case ((mm, c), cs) if mm == m =>
         ((dotU(cs, cs) - 2 * dotU(subv(v, m), cs)), c)
       }.min._2
+    def lloydRound(cb: CB): CB =
+      vecs.toSeq
+        .flatMap { case (id, v) =>
+          (0 until Ann.PQ_M).map(m => ((m, argminCode(cb, v, m)), id))
+        }
+        .groupBy(_._1)
+        .map { case (key, members) =>
+          val subs = members.map { case ((m, _), id) => subv(vecs(id), m) }
+          key -> (0 until sub).map { j =>
+            val units =
+              subs.map(s => math.floor(s(j) * 1e12 + 0.5).toLong).sum
+            (units.toDouble / 1e12) / members.size
+          }.toArray
+        }
+    var cbT = seedCb
+    for (_ <- 1 to Ann.PQ_ITERS) cbT = lloydRound(cbT)
     Ann.clearPqCache()
     val out = Ann.pqTopK(spark, dir, dim = DIM).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val (qid, nid, adc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
       val units = (0 until Ann.PQ_M).map { m =>
-        val c = codeOf(vecs(nid), m)
-        dotU(subv(vecs(qid), m), subv(vecs(c), m))
+        val c = argminCode(cbT, vecs(nid), m)
+        dotU(subv(vecs(qid), m), cbT((m, c)))
       }.sum
       val replay = units.toDouble / 1e12
       assert(adc == replay,
         s"ADC for ($qid,$nid): got $adc, JDK replay $replay")
     }
+    Ann.clearPqCache()
+    graft.Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
+  test("q154 Lloyd-trained codebook beats the seeded baseline on distortion") {
+    // the measurable claim behind training (round-13 verdict item 2):
+    // each Lloyd round weakly decreases the quantization objective, and
+    // on real testdata two rounds must STRICTLY improve on the raw seed
+    // subvectors — the number the q163/q164 recall gains ride on.
+    val real = "/root/testdata/sf0.001"
+    Ann.clearPqCache()
+    val seeded = Ann.pqDistortion(spark, real, Ann.EMBED_DIM, trained = false)
+    val trained = Ann.pqDistortion(spark, real, Ann.EMBED_DIM, trained = true)
+    assert(trained < seeded,
+      s"trained distortion $trained must beat seeded $seeded")
     Ann.clearPqCache()
     graft.Caches.releasePrefix("ann.")
     spark.catalog.clearCache()

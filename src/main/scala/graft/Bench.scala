@@ -144,6 +144,21 @@ object Bench {
       try graft.ops.Ann.warmTrained(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] IVF trained-model warm-up failed: $e") }
+    // Untimed: q101's sized-k quantizer (round-13 verdict item 6 — the
+    // first timed sample otherwise pays the one-time k≈√n training +
+    // hierarchy prologue and trips the unstable flag as a fake stall).
+    if ((headline ++ aux).exists(_.name == "q101_semdedup_auto"))
+      try graft.ops.Ann.warmSemDedupAuto(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] q101 sized-quantizer warm-up failed: $e") }
+    // Untimed: the PQ codebook the quantized-ANN serves read (train-once
+    // artifact, the trainedCache precedent).
+    if ((headline ++ aux).exists(q => Set("q154_ann_pq", "q158_ann_ivfpq",
+        "q163_pq_recall", "q164_ivfpq_recall", "q165_pq_index_serve",
+        "q166_pq_index_increment").contains(q.name)))
+      try graft.ops.Ann.warmPq(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] PQ codebook warm-up failed: $e") }
 
     // Untimed warm-up: the first TIMED query end-to-end (falls through to
     // the first aux query under a BENCH_ONLY subset with no headline

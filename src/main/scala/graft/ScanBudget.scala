@@ -107,6 +107,17 @@ object ScanBudget {
     // — train once, serve many), so the serve plan dropped from the q48
     // 3-scan form to this 2-scan floor.
     "q132_ann_quantized" -> Map("embeddings" -> 2),
+    // Quantized-screen recall evaluations (round-14): q162 composes the
+    // q132 serve (2) with the q29 exact leg (2) — the q103 evaluation
+    // floor. q163/q164 ride the DEFAULT 1-scan budget: the PQ serve's
+    // tracked persisted base plan-matches the brute leg's projection, so
+    // Spark's CacheManager serves both legs from one cached scan.
+    "q162_sq_recall" -> Map("embeddings" -> 4),
+    // BPE-budgeted RAG packing: q161's one-scan BM25 leg + the q121
+    // token-count leg. At deploy the per-doc token count is an index
+    // attribute stored next to dl (q125's postings already carry dl),
+    // so the second leg is a build-time cost, not a serve-time scan.
+    "q167_rag_context_bpe" -> Map("documents" -> 2),
     // Bigram-LM perplexity: train-the-model pass (collapses to the
     // distinct-bigram-grain model) + score-the-corpus pass — q107's
     // honest train/score 2-scan floor applied to the LM quality filter

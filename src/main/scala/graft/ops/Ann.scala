@@ -1358,7 +1358,30 @@ object Ann {
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
     trainedCents(spark, dir, vecs)
-    sqStats(spark, dir)
+    ()
+  }
+
+  /** Untimed warm-up for q101's SIZED quantizer (round-13 verdict item
+    * 6): the first timed sample otherwise pays the one-time k≈√n
+    * training + hierarchy prologue and trips the bench's unstable flag
+    * (max > 3× min) as a fake environment stall. Same trainedCache slot
+    * the serve reads — the [[warmTrained]] precedent at sized k. */
+  private[graft] def warmSemDedupAuto(spark: SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    val n = embeddings(spark, dir).select("vec_id").count()
+    val vecs = graft.Caches.track(vecsTag(dir), embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
+    trainedCents(spark, dir, vecs, ncentroidsFor(n))
+    ()
+  }
+
+  /** Untimed warm-up for the PQ codebook (q154/q158/q163–q166 serve
+    * against the driver-cached artifact; training is a build-time cost,
+    * not the serve's). */
+  private[graft] def warmPq(spark: SparkSession, dir: String): Unit = {
+    pqCodebook(spark, dir, EMBED_DIM)
     ()
   }
 
@@ -2023,96 +2046,60 @@ object Ann {
     * reach the exact rerank. */
   val SQ_CAND = 4 * TOPK
 
-  /** Session-scoped per-dimension quantizer-stats cache for [[sqTopK]]
-    * (round-12 verdict item 6 — the [[trainedCache]] precedent applied
-    * verbatim): the q132 serve re-derived its 64-row min/max artifact
-    * from a full embeddings scan on every run, a 3-scan floor where the
-    * deployment shape — per-dim stats computed once at index build, then
-    * served many times — pays 2 (corpus + probe). The cached value is
-    * exactly what the stats aggregation produces (one row: two
-    * double-array columns), so correctness is unaffected; the DuckDB
-    * oracle re-derives the stats from scratch every driver round, and
-    * AnnSpec pins cache-hit ≡ cold recompute bit-for-bit. */
-  private val sqStatsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Array[org.apache.spark.sql.Row]]()
-
-  /** Drop every cached quantizer stats row — for tests pinning cache ≡
-    * fresh equality, and for sessions whose corpus dir was regenerated. */
-  private[graft] def clearSqStatsCache(): Unit = sqStatsCache.clear()
-
-  private def sqStatsSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("mn_arr",
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.DoubleType)),
-    org.apache.spark.sql.types.StructField("mx_arr",
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.DoubleType))))
-
-  /** The per-dimension min/max arrays for `dir` (cached; see above).
-    * Exact float extremes lifted to double (exact), index-sorted. */
-  private def sqStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val rows = sqStatsCache.computeIfAbsent(dir, { _ =>
-      embeddings(spark, dir)
-        .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
-        .groupBy($"i")
-        .agg(min($"x").as("mn"), max($"x").as("mx"))
-        .agg(
-          expr("transform(array_sort(collect_list(named_struct(" +
-            "'i', i, 'v', CAST(mn AS DOUBLE)))), s -> s.v)").as("mn_arr"),
-          expr("transform(array_sort(collect_list(named_struct(" +
-            "'i', i, 'v', CAST(mx AS DOUBLE)))), s -> s.v)").as("mx_arr"))
-        .select($"mn_arr".cast("array<double>"),
-          $"mx_arr".cast("array<double>"))
-        .collect()
-    })
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), sqStatsSchema)
-  }
-
-  /** Per-dimension affine int8 quantization of the corpus, pinned to one
-    * evaluation order both engines replay: `floor((x − mn_i)·255 /
-    * (mx_i − mn_i) + 0.5)` with the zero-range guard dividing by 1.
-    * Emits the original embedding + norm alongside the quantized vector
-    * so the rerank never rescans. Stats come from [[sqStats]] (driver
-    * cache, trained-once deployment shape). */
+  /** Signed-int8 quantization of the NORMALIZED corpus: x̂ = x/‖x‖ in
+    * IEEE double (a pinned `x / sqrt(nrm) * 127 + 0.5` evaluation order
+    * both engines replay), floor-rounded onto the [-127, 127] grid; the
+    * zero-norm guard emits an all-zero code vector. Emits the original
+    * embedding + exact decimal norm alongside the quantized vector so
+    * the rerank never rescans.
+    *
+    * DESIGN NOTE (round-14, measured): the round-13 screen quantized the
+    * RAW vector per-dimension affinely — q = (x − mn_i)·255/range_i —
+    * and screened by Σ q_a·q_b. That sum expands to a²Σxy + abΣx +
+    * abΣy + b²d: the per-VECTOR offset terms abΣx swamp the signal, so
+    * the ordering is not monotone in the dot product, let alone the
+    * cosine. The q162 recall harness measured it at 0.225 recall@10 at
+    * 1× and 0.0625 at sf0.1 — the screen was returning noise at scale.
+    * Quantizing the NORMALIZED vector symmetrically (no offset) makes
+    * Σ q_a·q_b ≈ 127²·cosine: monotone up to quantization error,
+    * measured 1.0 recall@10 at sf0.001, sf0.01 AND sf0.1 (vs 0.0625). This is the
+    * "measure, don't guess" loop closing on its first real catch. */
   private def quantized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     withNorm(spark, dir)
-      .crossJoin(broadcast(sqStats(spark, dir)))
+      .withColumn("nrm_dbl", col("nrm_dec").cast("double"))
       .withColumn("qv", expr(
-        """transform(embedding, (x, i) ->
-          |  CAST(floor((CAST(x AS DOUBLE) - element_at(mn_arr, i + 1)) * 255.0D
-          |    / (CASE WHEN element_at(mx_arr, i + 1) > element_at(mn_arr, i + 1)
-          |            THEN element_at(mx_arr, i + 1) - element_at(mn_arr, i + 1)
-          |            ELSE CAST(1.0 AS DOUBLE) END) + 0.5D) AS BIGINT))"""
-          .stripMargin))
+        """CASE WHEN nrm_dbl > 0.0D THEN
+          |  transform(embedding, x ->
+          |    CAST(floor(CAST(x AS DOUBLE) / sqrt(nrm_dbl) * 127.0D + 0.5D)
+          |         AS BIGINT))
+          |ELSE transform(embedding, x -> 0L) END""".stripMargin))
       .select($"vec_id", $"embedding", $"nrm_dec", $"qv")
   }
 
   /** q132: scalar-quantized (int8) ANN serve — the memory/bandwidth
     * scale path ORTHOGONAL to the IVF/LSH pruning family: every vector
-    * is compressed to one byte per dimension by per-dimension affine
-    * quantization, candidates are screened by the INTEGER quantized dot
-    * product (codegen'd long arithmetic, order-independent — no float in
-    * the screen at all), and only the top-[[SQ_CAND]] per query reach
-    * the exact decimal-cosine rerank. The emitted rows carry both scores
-    * so the oracle pins the screen and the rerank.
+    * is compressed to one byte per dimension (signed symmetric int8 of
+    * the normalized vector, see [[quantized]]), candidates are screened
+    * by the INTEGER quantized dot product (codegen'd long arithmetic,
+    * order-independent — ≈ 127²·cosine, no float in the screen), and
+    * only the top-[[SQ_CAND]] per query reach the exact decimal-cosine
+    * rerank. The emitted rows carry both scores so the oracle pins the
+    * screen and the rerank.
     *
-    * Determinism: min/max per dimension are exact float extremes; the
-    * quantization formula is two exactly-rounded double ops in a pinned
-    * order; everything after it is integer and decimal arithmetic — the
-    * whole two-stage plan replays bit-for-bit in DuckDB.
+    * Determinism: the norm is the exact decimal [[dotDec]]; the
+    * normalize-quantize chain is IEEE double ops in one pinned order;
+    * everything after it is integer and decimal arithmetic — the whole
+    * two-stage plan replays bit-for-bit in DuckDB.
     *
     * 100 TB shape: the quantized corpus is 4× smaller than float32 (64
     * bytes/vector at dim 64) — the scan-bandwidth cut IS the point at
     * scale, where ANN serve is IO-bound; the screen is a broadcast-probe
-    * integer pass (SIMD-friendly codegen, no sqrt/div); the rerank
-    * touches CAND·|Q| rows only. Composes with IVF (quantize within
-    * cells) — this operator isolates the quantization leg. Train leg
-    * (per-dim stats) is a 64-row broadcast artifact — the honest
-    * two-pass train/score shape (q107), so the documented floor is the
-    * q48 3-scan form: stats + corpus + probe legs. */
+    * integer pass (SIMD-friendly codegen, no sqrt/div per pair); the
+    * rerank touches CAND·|Q| rows only. No train artifact at all — the
+    * 2-scan floor (corpus + probe) is the whole serve. Composes with IVF
+    * (quantize within cells) — this operator isolates the quantization
+    * leg. */
   def sqTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = quantized(spark, dir)
@@ -2145,15 +2132,16 @@ object Ann {
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |         unnest(embedding) AS x
        |  FROM embeddings),
-       |stats AS (
-       |  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY 1),
+       |norms AS (
+       |  SELECT vec_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM el GROUP BY 1),
        |qel AS (
-       |  SELECT vec_id, el.i,
-       |         CAST(floor((CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0
-       |           / (CASE WHEN mx > mn
-       |                   THEN CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)
-       |                   ELSE 1.0 END) + 0.5) AS BIGINT) AS q
-       |  FROM el JOIN stats ON el.i = stats.i),
+       |  SELECT el.vec_id, el.i,
+       |         CASE WHEN CAST(n.nrm AS DOUBLE) > 0.0 THEN
+       |           CAST(floor(CAST(x AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE))
+       |                      * 127.0 + 0.5) AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS q
+       |  FROM el JOIN norms n ON el.vec_id = n.vec_id),
        |qdots AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |         CAST(SUM(a.q * b.q) AS BIGINT) AS qscore
@@ -2166,9 +2154,6 @@ object Ann {
        |             ORDER BY qscore DESC, neighbor_id) AS crnk
        |    FROM qdots)
        |  WHERE crnk <= $SQ_CAND),
-       |norms AS (
-       |  SELECT vec_id, SUM(${prodDec.format("x", "x")}) AS nrm
-       |  FROM el GROUP BY 1),
        |dots AS (
        |  SELECT c.query_id, c.neighbor_id, c.qscore,
        |         SUM(${prodDec.format("q.x", "e.x")}) AS dot
@@ -2204,7 +2189,7 @@ object Ann {
     * the same fixed-round oracle contract. */
   val PQ_ITERS = 2
 
-  /** Session-scoped PQ codebook cache — the [[sqStatsCache]]/
+  /** Session-scoped PQ codebook cache — the
     * [[trainedCache]] precedent: codebooks are built once per corpus dir
     * and served many times; the cached value is M×K tiny rows. */
   private val pqCodebookCache = new java.util.concurrent.ConcurrentHashMap[
@@ -2275,32 +2260,40 @@ object Ann {
     * cross-engine proof. `trained = false` is the round-13 seeded
     * baseline, kept so the q163/q164 recall harnesses can measure what
     * training buys. */
+  /** The training body over an arbitrary training corpus `src` — shared
+    * by the full-corpus [[pqCodebook]] and q166's base-only codebook
+    * (the T1 deploy shape: codebooks are a versioned artifact trained on
+    * the corpus-so-far; arriving batches are ENCODED, not retrained). */
+  private def pqTrainRows(spark: SparkSession, src: DataFrame,
+      dim: Int, trained: Boolean): Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    val seeds = pqSubvectors(
+      src.filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + PQ_K),
+      dim)
+      .select($"m".cast("int"),
+        $"vec_id".cast("long").as("code"),
+        expr("transform(sub, x -> CAST(x AS DOUBLE))").as("c_sub"),
+        dotDec("sub", "sub").as("c_nrm"))
+    if (!trained) seeds.collect()
+    else {
+      val subs = pqSubvectors(src, dim).persist()
+      try {
+        var cb = seeds.collect()
+        for (_ <- 1 to PQ_ITERS)
+          cb = pqLloydRound(subs, spark.createDataFrame(
+            java.util.Arrays.asList(cb: _*), pqCbSchema)).collect()
+        cb
+      } finally { subs.unpersist(); () }
+    }
+  }
+
   private def pqCodebook(spark: SparkSession, dir: String,
       dim: Int, trained: Boolean = true): DataFrame = {
     import spark.implicits._
     val key = s"$dir#dim=$dim" +
       (if (trained) s"#iters=$PQ_ITERS" else "")
-    val rows = pqCodebookCache.computeIfAbsent(key, { _ =>
-      val seeds = pqSubvectors(
-        embeddings(spark, dir)
-          .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + PQ_K),
-        dim)
-        .select($"m".cast("int"),
-          $"vec_id".cast("long").as("code"),
-          expr("transform(sub, x -> CAST(x AS DOUBLE))").as("c_sub"),
-          dotDec("sub", "sub").as("c_nrm"))
-      if (!trained) seeds.collect()
-      else {
-        val subs = pqSubvectors(embeddings(spark, dir), dim).persist()
-        try {
-          var cb = seeds.collect()
-          for (_ <- 1 to PQ_ITERS)
-            cb = pqLloydRound(subs, spark.createDataFrame(
-              java.util.Arrays.asList(cb: _*), pqCbSchema)).collect()
-          cb
-        } finally { subs.unpersist(); () }
-      }
-    })
+    val rows = pqCodebookCache.computeIfAbsent(key,
+      _ => pqTrainRows(spark, embeddings(spark, dir), dim, trained))
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), pqCbSchema)
   }
@@ -2396,34 +2389,14 @@ object Ann {
       .groupBy($"query_id", $"vec_id")
       .agg(sum($"dd").cast(
         org.apache.spark.sql.types.DecimalType(38, 15)).as("adc_dec"))
-    val wCand = Window.partitionBy($"query_id")
-      .orderBy($"adc_dec".desc, $"vec_id".asc)
-    val wRank = Window.partitionBy($"query_id")
-      .orderBy($"cosine".desc, $"vec_id".asc)
-    val queries = base.select($"vec_id".as("query_id"),
-      $"embedding".as("q_emb"), $"nrm_dec".as("q_nrm"))
-      .filter($"query_id" < NQUERIES)
-    adc
-      .withColumn("crnk", row_number().over(wCand))
-      .filter($"crnk" <= SQ_CAND)
-      .join(base, "vec_id")
-      .join(broadcast(queries), Seq("query_id"))
-      .withColumn("cosine",
-        dotDec("q_emb", "embedding").cast("double") /
-          (sqrt($"q_nrm".cast("double")) * sqrt($"nrm_dec".cast("double"))))
-      .withColumn("adc", $"adc_dec".cast("double"))
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
-      .filter($"rnk" <= TOPK)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"adc",
-        $"cosine", $"rnk")
-      .orderBy($"query_id", $"rnk")
+    pqRankTail(adc, base)
   }
 
   /** One per-subspace Lloyd round as CTEs (`pqcb$n` → `pqcb${n+1}`) —
     * [[kmeansRoundSql]] one level down: the argmin partitions by
     * (vec_id, m) instead of vec_id, the mean by (m, code, j). Requires
     * the flat subspace-element CTE `se` (vec_id, m, j, x). */
-  private def pqRoundSql(n: Int): String =
+  private def pqRoundSql(n: Int, src: String): String =
     s"""pqcbn$n AS (
        |  SELECT m, code, SUM(${prodDec.format("x", "x")}) AS c_nrm
        |  FROM pqcb$n GROUP BY 1, 2),
@@ -2431,7 +2404,7 @@ object Ann {
        |  SELECT s.vec_id, s.m, c.code,
        |         CAST(n.c_nrm - 2 * SUM(${prodDec.format("s.x", "c.x")})
        |              AS DECIMAL(38,15)) AS mdec
-       |  FROM se s
+       |  FROM $src s
        |  JOIN pqcb$n c ON c.m = s.m AND c.j = s.j
        |  JOIN pqcbn$n n ON n.m = c.m AND n.code = c.code
        |  GROUP BY s.vec_id, s.m, c.code, n.c_nrm),
@@ -2443,24 +2416,24 @@ object Ann {
        |pqcb${n + 1} AS (
        |  SELECT a.m, a.code, s.j,
        |         CAST(SUM(${xDec.format("s.x")}) AS DOUBLE) / COUNT(*) AS x
-       |  FROM pqasn$n a JOIN se s ON s.vec_id = a.vec_id AND s.m = a.m
+       |  FROM pqasn$n a JOIN $src s ON s.vec_id = a.vec_id AND s.m = a.m
        |  GROUP BY 1, 2, 3)""".stripMargin
 
   /** The PQ codebook-training chain from `se`: seed subvectors →
     * [[PQ_ITERS]] Lloyd rounds → the trained codebook aliased back to
     * `cb`/`cbn`, so the serve CTEs downstream (enc, lut) read the
     * TRAINED codebook without changing shape. */
-  private def pqTrainSql: String =
+  private def pqTrainSql(src: String = "se"): String =
     s"""pqcb0 AS (
-       |  SELECT m, vec_id AS code, j, x FROM se
+       |  SELECT m, vec_id AS code, j, x FROM $src
        |  WHERE vec_id >= $NQUERIES AND vec_id < ${NQUERIES + PQ_K}),
-       |${(0 until PQ_ITERS).map(pqRoundSql).mkString(",\n")},
+       |${(0 until PQ_ITERS).map(pqRoundSql(_, src)).mkString(",\n")},
        |cb AS (SELECT m, code, j, x FROM pqcb$PQ_ITERS),
        |cbn AS (
        |  SELECT m, code, SUM(${prodDec.format("x", "x")}) AS c_nrm
        |  FROM cb GROUP BY 1, 2)""".stripMargin
 
-  private lazy val pqOracle = {
+  private def pqServeOracle(trainCtes: String): String = {
     val sub = EMBED_DIM / PQ_M
     s"""WITH el AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -2470,7 +2443,7 @@ object Ann {
        |  SELECT vec_id, CAST((i - 1) // $sub AS INT) AS m,
        |         CAST((i - 1) % $sub AS INT) AS j, x
        |  FROM el),
-       |$pqTrainSql,
+       |$trainCtes,
        |enc AS (
        |  SELECT s.vec_id, s.m, c.code,
        |         CAST(n.c_nrm - 2 * SUM(${prodDec.format("s.x", "c.x")})
@@ -2525,6 +2498,19 @@ object Ann {
        |  FROM cos)
        |WHERE rnk <= $TOPK ORDER BY query_id, rnk""".stripMargin
   }
+
+  private lazy val pqOracle = pqServeOracle(pqTrainSql())
+
+  /** q166's oracle: the q154 serve replay with TRAINING restricted to
+    * the base slice (`tse`, vec_id below the 4/5-max cut) while encoding
+    * and serve run over the full corpus — exactly "encode everything
+    * under the base codebook", which the pure per-vector encode makes
+    * equal to base-index + batch-append. */
+  private lazy val pqIncrementOracle = pqServeOracle(
+    s"""tse AS (
+       |  SELECT * FROM se
+       |  WHERE vec_id < (SELECT MAX(vec_id) * 4 // 5 FROM embeddings)),
+       |${pqTrainSql("tse")}""".stripMargin)
 
   // ---------------------------------------------------------------- q158
 
@@ -2585,27 +2571,7 @@ object Ann {
       .groupBy($"query_id", $"vec_id")
       .agg(sum($"dd").cast(
         org.apache.spark.sql.types.DecimalType(38, 15)).as("adc_dec"))
-    val wCand = Window.partitionBy($"query_id")
-      .orderBy($"adc_dec".desc, $"vec_id".asc)
-    val wRank = Window.partitionBy($"query_id")
-      .orderBy($"cosine".desc, $"vec_id".asc)
-    val queries = base.select($"vec_id".as("query_id"),
-      $"embedding".as("q_emb"), $"nrm_dec".as("q_nrm"))
-      .filter($"query_id" < NQUERIES)
-    adc
-      .withColumn("crnk", row_number().over(wCand))
-      .filter($"crnk" <= SQ_CAND)
-      .join(base, "vec_id")
-      .join(broadcast(queries), Seq("query_id"))
-      .withColumn("cosine",
-        dotDec("q_emb", "embedding").cast("double") /
-          (sqrt($"q_nrm".cast("double")) * sqrt($"nrm_dec".cast("double"))))
-      .withColumn("adc", $"adc_dec".cast("double"))
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
-      .filter($"rnk" <= TOPK)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"adc",
-        $"cosine", $"rnk")
-      .orderBy($"query_id", $"rnk")
+    pqRankTail(adc, base)
   }
 
   private def ivfPqOracle(dim: Int): String = {
@@ -2647,7 +2613,7 @@ object Ann {
        |  SELECT vec_id, CAST((i - 1) // $sub AS INT) AS m,
        |         CAST((i - 1) % $sub AS INT) AS j, x
        |  FROM el),
-       |$pqTrainSql,
+       |${pqTrainSql()},
        |enc AS (
        |  SELECT s.vec_id, s.m, c.code,
        |         CAST(n.c_nrm - 2 * SUM(${prodDec.format("s.x", "c.x")})
@@ -2700,6 +2666,164 @@ object Ann {
        |              ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
        |  FROM cos)
        |WHERE rnk <= $TOPK ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Shared PQ serve tail: rank ADC candidates, keep [[SQ_CAND]], exact
+    * decimal-cosine rerank from `payload` (vec_id, embedding, nrm_dec) —
+    * the corpus projection for the in-plan serves, the INDEX's own rows
+    * for q165/q166 (so the index serve never rejoins the source table). */
+  private def pqRankTail(adc: DataFrame, payload: DataFrame): DataFrame = {
+    import adc.sparkSession.implicits._
+    val wCand = Window.partitionBy($"query_id")
+      .orderBy($"adc_dec".desc, $"vec_id".asc)
+    val wRank = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    val queries = payload.select($"vec_id".as("query_id"),
+      $"embedding".as("q_emb"), $"nrm_dec".as("q_nrm"))
+      .filter($"query_id" < NQUERIES)
+    adc
+      .withColumn("crnk", row_number().over(wCand))
+      .filter($"crnk" <= SQ_CAND)
+      .join(payload, "vec_id")
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine",
+        dotDec("q_emb", "embedding").cast("double") /
+          (sqrt($"q_nrm".cast("double")) * sqrt($"nrm_dec".cast("double"))))
+      .withColumn("adc", $"adc_dec".cast("double"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter($"rnk" <= TOPK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"adc",
+        $"cosine", $"rnk")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  // --------------------------------------------------------- q165 / q166
+
+  /** q165's scratch index dir — the q91 one-live-dir reaper applied to
+    * the PQ code index (see [[liveIndexDir]] for the contract). */
+  private val livePqIndexDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private lazy val pqIndexDirReaper: Unit = {
+    sys.addShutdownHook(Option(livePqIndexDir.get).foreach(deleteLocalDir))
+    ()
+  }
+  private def nextPqIndexDir(): String = {
+    pqIndexDirReaper
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q165_pq_index").toString
+    Option(livePqIndexDir.getAndSet(dir)).foreach(deleteLocalDir)
+    dir
+  }
+
+  /** Encode `base` under `cb` into SELF-CONTAINED index rows:
+    * `(vec_id, codes[M], embedding, nrm_dec)` — codes packed to one
+    * array per vector (subspace order), plus the q91 payload convention
+    * (the index carries its vectors, so serving never rejoins the
+    * corpus; at 100 TB the CODES column is what the ADC screen reads —
+    * parquet column pruning delivers the PQ bandwidth cut, the payload
+    * column's pages stay untouched until the SQ_CAND·|Q| rerank). */
+  private def pqIndexRows(base: DataFrame, cb: DataFrame,
+      dim: Int): DataFrame = {
+    import base.sparkSession.implicits._
+    val packed = pqCodes(base, cb, dim)
+      .groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"m", $"code"))),
+        s => s.getField("code")).as("codes"))
+    base.select($"vec_id", $"embedding", $"nrm_dec").join(packed, "vec_id")
+  }
+
+  /** Serve top-k from a written PQ index: ONE index read feeds the code
+    * stream (columns vec_id+codes), the query LUT (the NQUERIES rows'
+    * payload) and the rerank payload — the source table is NEVER
+    * touched. */
+  private def pqServeFromIndex(spark: SparkSession, idx: String,
+      dim: Int, cb: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ix = spark.read.parquet(idx)
+    val codes = ix.select($"vec_id", posexplode($"codes").as(Seq("m", "code")))
+    val lut = pqLut(ix.select($"vec_id", $"embedding"), cb, dim)
+    val adc = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"dd").cast(
+        org.apache.spark.sql.types.DecimalType(38, 15)).as("adc_dec"))
+    pqRankTail(adc, ix.select($"vec_id", $"embedding", $"nrm_dec"))
+  }
+
+  /** q165: PQ index lifecycle — the q91 maintain→serve move applied to
+    * the quantized family (round-13 verdict item 3): (1) train the
+    * codebook (driver-cached artifact, [[pqCodebook]]), (2) ENCODE the
+    * corpus once and WRITE the `(vec_id, codes, payload)` index, (3)
+    * serve entirely from the index — screen from the codes column, LUT
+    * from the index's own query rows, rerank from the index payload; the
+    * embeddings table is read exactly once (the encode), zero times at
+    * serve. Serve output ≡ the in-plan q154 by construction (encoding is
+    * a pure per-vector function of the codebook), which is exactly what
+    * the oracle states — it is q154's replay verbatim.
+    *
+    * 100 TB shape: the write shuffles one M-code row per vector; the
+    * steady-state serve reads the codes column (the 32× compressed
+    * stream — column pruning IS the PQ bandwidth story on disk), M
+    * lookups per candidate against the broadcast LUT, and touches the
+    * payload column only for SQ_CAND·|Q| rerank rows. Composes with the
+    * q91 cell-partitioned layout (partition by coarse cell, PQ codes
+    * within) — q158 proves the composed arithmetic in-plan. */
+  def pqServeFromWrittenIndex(spark: SparkSession, dir: String,
+      dim: Int = EMBED_DIM): DataFrame = {
+    import spark.implicits._
+    val base = graft.Caches.track(s"ann.pq_base:$dir",
+      withNorm(spark, dir))
+    val cb = pqCodebook(spark, dir, dim)
+    val idx = nextPqIndexDir()
+    pqIndexRows(base, cb, dim)
+      .write.mode("overwrite").parquet(idx)
+    pqServeFromIndex(spark, idx, dim, cb)
+  }
+
+  /** q166: T1 increment for the PQ index — the q126/q104 lifecycle
+    * applied to codes: the BASE corpus (vec_id < the 4/5-max cut, the
+    * checkpoint device) owns the codebook AND a written index; a new
+    * batch (vec_id ≥ cut) arrives and ONE batch-sized encode appends its
+    * code rows — the codebook is NOT retrained (the PQ deploy contract:
+    * codebooks are a versioned artifact; retraining re-encodes the
+    * world, so it is a scheduled rebuild, not an increment). Serving the
+    * merged index must equal encoding the FULL corpus under the base
+    * codebook in one shot — encoding is per-vector pure, so increment ≡
+    * recompute EXACTLY, which the oracle states by replaying training on
+    * the base slice and the serve over everything. AnnSpec additionally
+    * pins merged-index rows ≡ one-shot-index rows byte-for-byte.
+    *
+    * 100 TB shape: the increment touches the batch (one scan, one
+    * append) and two 1-row stats — never the settled corpus; the serve
+    * is q165's index-only plan. */
+  def pqIndexIncrement(spark: SparkSession, dir: String,
+      dim: Int = EMBED_DIM, oneShot: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val all = withNorm(spark, dir)
+    val cut = embeddings(spark, dir)
+      .agg(expr("max(vec_id) * 4 div 5")).head().getLong(0)
+    // base-only codebook: trained on the corpus-so-far (cache key is the
+    // cut so a regenerated dir cannot alias)
+    val cbRows = pqCodebookCache.computeIfAbsent(
+      s"$dir#dim=$dim#iters=$PQ_ITERS#cut=$cut",
+      _ => pqTrainRows(spark,
+        embeddings(spark, dir).filter($"vec_id" < cut), dim,
+        trained = true))
+    val cb = spark.createDataFrame(
+      java.util.Arrays.asList(cbRows: _*), pqCbSchema)
+    val idx = nextPqIndexDir()
+    if (oneShot) {
+      // the recompute twin (AnnSpec's merge-identity pin): encode the
+      // full corpus under the SAME base codebook in one write
+      pqIndexRows(all, cb, dim).write.mode("overwrite").parquet(idx)
+    } else {
+      pqIndexRows(all.filter($"vec_id" < cut), cb, dim)
+        .write.mode("overwrite").parquet(idx)
+      // the increment: one batch-sized encode, appended
+      pqIndexRows(all.filter($"vec_id" >= cut), cb, dim)
+        .write.mode("append").parquet(idx)
+    }
+    pqServeFromIndex(spark, idx, dim, cb)
   }
 
   // ---------------------------------------------------------------- q151
@@ -2893,6 +3017,14 @@ object Ann {
     Query("q158_ann_ivfpq",
       "IVF+PQ composed serve (IVFADC): nprobe coarse cells prune the corpus, ADC lookup screen ranks the pruned candidates, exact decimal rerank",
       (s, d) => ivfPqTopK(s, d), Some(ivfPqOracle(EMBED_DIM)),
+      headline = false),
+    Query("q165_pq_index_serve",
+      "PQ maintain→serve: encode once into a written (vec_id, codes, payload) index, screen from the codes column, rerank from the payload — zero corpus reads at serve; oracle is q154's replay",
+      (s, d) => pqServeFromWrittenIndex(s, d), Some(pqServeOracle(pqTrainSql())),
+      headline = false),
+    Query("q166_pq_index_increment",
+      "T1 increment for the PQ index: batch-only encode appended under the stored base codebook, serve from the merged index; oracle replays base-slice training + full-corpus encode",
+      (s, d) => pqIndexIncrement(s, d), Some(pqIncrementOracle),
       headline = false),
     Query("q162_sq_recall",
       "recall@k of the int8 scalar-quantized screen (q132) vs exact brute force — quantized retrieval quality, exact oracle",

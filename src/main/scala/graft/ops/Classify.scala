@@ -293,25 +293,54 @@ object Classify {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
-    def termCounts(df: DataFrame) = df
-      .select($"lang".as("cls"), explode(split($"text", " ")).as("term"))
-      .groupBy($"cls", $"term").agg(count(lit(1)).cast("long").as("c_ct"))
-    def priorCounts(df: DataFrame) = df
-      .groupBy($"lang".as("cls")).agg(count(lit(1)).cast("long").as("n_c"))
     // setup: the stored artifacts, as a prior load would have left them
-    termCounts(corpus.filter($"doc_id" < cut))
+    nbTermCounts(corpus.filter($"doc_id" < cut))
       .write.mode("overwrite").parquet(s"$sk/q157_terms")
-    priorCounts(corpus.filter($"doc_id" < cut))
+    nbPriorCounts(corpus.filter($"doc_id" < cut))
       .write.mode("overwrite").parquet(s"$sk/q157_prior")
     // ONE batch scan feeds both merges (persisted batch projection)
     val batch = graft.Caches.track(s"classify.nbIncBatch:$dir",
       corpus.filter($"doc_id" >= cut).select($"doc_id", $"lang", $"text"))
     val ct = graft.Caches.track(s"classify.nbIncModel:$dir",
-      spark.read.parquet(s"$sk/q157_terms").union(termCounts(batch))
-        .groupBy($"cls", $"term").agg(sum($"c_ct").cast("long").as("c_ct")))
-    val prior = spark.read.parquet(s"$sk/q157_prior")
-      .union(priorCounts(batch))
+      nbMergeTerms(spark.read.parquet(s"$sk/q157_terms"), batch))
+    val prior = nbMergePrior(spark.read.parquet(s"$sk/q157_prior"), batch)
+    nbServingSurface(ct, prior)
+  }
+
+  /** The two sum-mergeable model halves (shared by q157's batch
+    * increment and [[graft.streaming.StreamingNbModel]]'s maintain
+    * loop, so the paths cannot drift): per-(class, term) token counts
+    * and per-class document counts. */
+  private[graft] def nbTermCounts(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"lang".as("cls"), explode(split($"text", " ")).as("term"))
+      .groupBy($"cls", $"term").agg(count(lit(1)).cast("long").as("c_ct"))
+  }
+  private[graft] def nbPriorCounts(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.groupBy($"lang".as("cls")).agg(count(lit(1)).cast("long").as("n_c"))
+  }
+
+  /** Key-summed union merges — the T1 fold for each half. */
+  private[graft] def nbMergeTerms(stored: DataFrame,
+      batch: DataFrame): DataFrame = {
+    import stored.sparkSession.implicits._
+    stored.union(nbTermCounts(batch))
+      .groupBy($"cls", $"term").agg(sum($"c_ct").cast("long").as("c_ct"))
+  }
+  private[graft] def nbMergePrior(stored: DataFrame,
+      batch: DataFrame): DataFrame = {
+    import stored.sparkSession.implicits._
+    stored.union(nbPriorCounts(batch))
       .groupBy($"cls").agg(sum($"n_c").cast("long").as("n_c"))
+  }
+
+  /** The complete serving surface derived from the two merged halves —
+    * V, T_c, N and every smoothed lp / prior / unseen-default RE-DERIVED
+    * (the V-shift and N-shift a cell-local increment gets wrong). */
+  private[graft] def nbServingSurface(ct: DataFrame,
+      prior: DataFrame): DataFrame = {
+    import ct.sparkSession.implicits._
     val vocab = ct.agg(countDistinct($"term").cast("long").as("v"))
     val nAll = prior.agg(sum($"n_c").cast("long").as("n_all"))
     ct.withColumn("t_c",

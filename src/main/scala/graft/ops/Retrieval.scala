@@ -314,6 +314,91 @@ object Retrieval {
        |ORDER BY query_id, ctx_pos""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q167
+
+  /** Context budget for [[ragContextBpe]] in BPE tokens. The corpus
+    * measures fertility ≈ 3.87 subword tokens per word (q160), so 450
+    * packs the same 2–4 docs per query that q161's 120-word budget does
+    * — but in the units the MODEL actually consumes. */
+  val RAG_BUDGET_BPE = 450L
+
+  /** q167: [[ragContext]] budgeted in REAL tokenizer units — the fix
+    * q160 argues for (round-13 verdict item 4): q161 packs by whitespace
+    * `dl`, and a context budgeted in words overflows a BPE-denominated
+    * model window by the language's fertility (measured ≈ 3.87× here,
+    * and per-language variance is exactly what q160 reports). This
+    * variant joins the ranked candidates to q121's doc-grain BPE counts
+    * and fills [[RAG_BUDGET_BPE]] in rank order — same prefix semantics,
+    * exact integer running sums, and RetrievalSpec pins that under ONE
+    * shared budget number the BPE-denominated packing admits strictly
+    * fewer docs than the word-denominated one (fertility > 1).
+    *
+    * 100 TB shape: q161's plan plus one token-count leg (at deploy the
+    * count is an INDEX attribute stored next to dl — q125 already
+    * carries dl per posting — so the leg costs nothing at serve; here it
+    * is q121's one-scan projection); the rank bound keeps the partial
+    * top-K shape (n_tokens_bpe ≥ n_words ≥ 1). */
+  def ragContextBpe(spark: SparkSession, dir: String): DataFrame =
+    ragContextBy(spark, dir, bpe = true, RAG_BUDGET_BPE)
+
+  /** The budget-parametrized packer behind q167 (and RetrievalSpec's
+    * same-budget comparison). `bpe = false` reproduces q161's packing
+    * column-for-column plus the `n_tokens` alias. */
+  private[graft] def ragContextBy(spark: SparkSession, dir: String,
+      bpe: Boolean, budget: Long): DataFrame = {
+    import spark.implicits._
+    val wCum = Window.partitionBy($"query_id").orderBy($"rnk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = bm25BatchRanked(spark, dir).filter($"rnk" <= budget)
+    val withTok =
+      if (!bpe) ranked.withColumn("n_tokens", $"dl")
+      else ranked.join(
+        Terms.bpeDocTokenCounts(spark, dir)
+          .withColumnRenamed("n_tokens_bpe", "n_tokens"),
+        Seq("doc_id"))
+    withTok
+      .withColumn("cum_tokens", sum($"n_tokens").over(wCum).cast("long"))
+      .filter($"cum_tokens" <= budget)
+      .select($"query_id", $"rnk".as("ctx_pos"), $"doc_id", $"dl",
+        $"n_tokens", $"cum_tokens", $"score")
+      .orderBy($"query_id", $"ctx_pos")
+  }
+
+  private val ragContextBpeOracle = {
+    val allTerms = QUERY_BATCH.flatMap(_._2).distinct.sorted
+    val values = QUERY_BATCH
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""${bm25Sql(allTerms)}, ${Terms.bpeDocCountCtes}, qt AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, term
+       |  FROM (VALUES $values) AS v(query_id, term)
+       |), byq AS (
+       |  SELECT qt.query_id, scored.doc_id, scored.dl,
+       |         CAST(SUM(CAST(scored.rscore AS DECIMAL(30,6))) AS DOUBLE)
+       |           AS score
+       |  FROM scored JOIN qt ON scored.term = qt.term
+       |  GROUP BY 1, 2, 3
+       |), ranked AS (
+       |  SELECT query_id, CAST(ROW_NUMBER() OVER (
+       |           PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+       |           AS BIGINT) AS ctx_pos,
+       |         doc_id, dl, score
+       |  FROM byq
+       |), packed AS (
+       |  SELECT r.query_id, r.ctx_pos, r.doc_id, r.dl,
+       |         d.n_tokens_bpe AS n_tokens, r.score,
+       |         CAST(SUM(d.n_tokens_bpe) OVER (
+       |                PARTITION BY r.query_id ORDER BY r.ctx_pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              AS BIGINT) AS cum_tokens
+       |  FROM ranked r JOIN bpedoc d ON d.doc_id = r.doc_id
+       |  WHERE r.ctx_pos <= $RAG_BUDGET_BPE
+       |)
+       |SELECT query_id, ctx_pos, doc_id, dl, n_tokens, cum_tokens, score
+       |FROM packed WHERE cum_tokens <= $RAG_BUDGET_BPE
+       |ORDER BY query_id, ctx_pos""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q125
 
   /** Term-hash partition count of the on-disk index. 64 directories at
@@ -600,6 +685,9 @@ object Retrieval {
     Query("q161_rag_context",
       "RAG context assembly: BM25-ranked candidates packed into a fixed token budget in rank order, exact running totals per query",
       ragContext, Some(ragContextOracle), headline = false),
+    Query("q167_rag_context_bpe",
+      "RAG context packed by REAL BPE token counts (q121's doc grain) instead of whitespace words — the budget the model actually consumes; fertility makes it admit fewer docs",
+      ragContextBpe, Some(ragContextBpeOracle), headline = false),
     Query("q125_bm25_serve_index",
       "build→serve: BM25 over a term-hash-partitioned on-disk index, PartitionFilters-pruned bucket reads, ≡ the scan path",
       bm25ServeIndex, Some(bm25Oracle), headline = false),

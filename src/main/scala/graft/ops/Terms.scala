@@ -627,6 +627,69 @@ object Terms {
       .orderBy($"lang")
   }
 
+  /** `(doc_id, n_tokens_bpe)` — the doc-grain BPE token counts alone,
+    * for consumers that budget in REAL tokenizer units (q167's RAG
+    * packing). Rides [[bpeTokenized]]'s one-scan K-replace projection. */
+  private[ops] def bpeDocTokenCounts(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTokenized(spark, dir).select($"doc_id", $"n_tokens_bpe")
+  }
+
+  /** The per-doc BPE token-count replay as a CTE chain ending in
+    * `bpedoc(doc_id, n_tokens_bpe)` — the q121 scaffolding packaged for
+    * CROSS-MODULE oracles (q167 composes it with the BM25 CTEs; the
+    * CTE names — w0, pN, bN, wN, tok, bpedoc — are disjoint from
+    * [[Retrieval]]'s). */
+  private[ops] def bpeDocCountCtes: String = {
+    val rounds = (1 to BPE_ROUNDS).map { i =>
+      s"""p$i AS (
+         |  SELECT l[i] AS lft, l[i + 1] AS rgt,
+         |         CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(sym, '  ') AS l, freq FROM w${i - 1}),
+         |       unnest(range(2, len(l) - 1)) AS u(i)
+         |  GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT lft, rgt, lft || rgt AS merged
+         |  FROM p$i ORDER BY cnt DESC, lft, rgt LIMIT 1
+         |), w$i AS (
+         |  SELECT replace(sym, ' ' || b$i.lft || '  ' || b$i.rgt || ' ',
+         |                 ' ' || b$i.merged || ' ') AS sym, freq
+         |  FROM w${i - 1}, b$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val appliedSql = (1 to BPE_ROUNDS).foldLeft(
+      """'  ' || array_to_string(list_transform(range(1, length(w) + 1),
+        |                        i -> substr(w, i, 1)), '  ') || '  '"""
+        .stripMargin) { (acc, i) =>
+      s"replace($acc, ' ' || b$i.lft || '  ' || b$i.rgt || ' ', ' ' || b$i.merged || ' ')"
+    }
+    val bJoin = (1 to BPE_ROUNDS).map(i => s"b$i").mkString(", ")
+    s"""w0 AS (
+       |  SELECT '  ' || array_to_string(
+       |           list_transform(range(1, length(w) + 1),
+       |                          i -> substr(w, i, 1)), '  ') || '  '
+       |           AS sym,
+       |         CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1
+       |),
+       |$rounds,
+       |tok AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split($appliedSql, '  ')) - 2 AS BIGINT)
+       |           AS w_tokens
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents),
+       |       $bJoin
+       |  WHERE length(w) > 0
+       |),
+       |bpedoc AS (
+       |  SELECT doc_id, CAST(SUM(w_tokens) AS BIGINT) AS n_tokens_bpe
+       |  FROM tok GROUP BY doc_id
+       |)""".stripMargin
+  }
+
   private val bpeTokenizeOracle = {
     // the trained rules replayed as the q120 CTE chain, then applied as a
     // 6-deep replace over each word's char-split symbol string

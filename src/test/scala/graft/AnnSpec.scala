@@ -704,6 +704,37 @@ class AnnSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q165 index serve ≡ q154 in-plan serve (pure encode, same codebook)") {
+    Ann.clearPqCache()
+    val inPlan = Ann.pqTopK(spark, dir, dim = DIM)
+      .collect().map(_.toSeq).toSeq
+    val fromIndex = Ann.pqServeFromWrittenIndex(spark, dir, dim = DIM)
+      .collect().map(_.toSeq).toSeq
+    assert(fromIndex == inPlan,
+      "serving from the written code index must replay the in-plan serve")
+    Ann.clearPqCache()
+    graft.Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
+  test("q166 merge identity: base+appended-batch index serves ≡ one-shot encode") {
+    // fixture cut = 115*4 div 5 = 92: base = ids 0..23 (queries + the
+    // seed block the codebook trains on), batch = the 16 companions —
+    // the arriving rows land in the hot cells, the worst case for an
+    // increment shortcut. Encoding is per-vector pure under the stored
+    // codebook, so increment ≡ recompute must be EXACT.
+    Ann.clearPqCache()
+    val inc = Ann.pqIndexIncrement(spark, dir, dim = DIM)
+      .collect().map(_.toSeq).toSeq
+    val oneShot = Ann.pqIndexIncrement(spark, dir, dim = DIM, oneShot = true)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == oneShot, "incremented index must serve ≡ full re-encode")
+    assert(inc.nonEmpty)
+    Ann.clearPqCache()
+    graft.Caches.releasePrefix("ann.")
+    spark.catalog.clearCache()
+  }
+
   test("q154 Lloyd-trained codebook beats the seeded baseline on distortion") {
     // the measurable claim behind training (round-13 verdict item 2):
     // each Lloyd round weakly decreases the quantization objective, and
@@ -758,45 +789,62 @@ class AnnSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("q132 quantizer-stats cache serves byte-identical to fresh derivation") {
-    // round-12 verdict item 6: the per-dim min/max artifact is cached on
-    // the driver like the trained centroids (q85 precedent). The cache
-    // must be invisible to results — a cache-hit serve, a warm-hit serve
-    // and a cold re-derivation produce identical rows, cosines included.
-    def serve() = Ann.sqTopK(spark, dir).collect().map(_.toSeq).toSeq
-    Ann.clearSqStatsCache()
-    val cold = serve() // derives stats, populates the cache
-    val warm = serve() // cache hit
-    assert(warm == cold, "cache-hit serve must be byte-identical")
-    Ann.clearSqStatsCache()
-    assert(serve() == cold, "fresh stats must reproduce the cached serve")
-    Ann.clearSqStatsCache()
+  test("q132 zero-norm vector is guarded in the screen and ranked out") {
+    // a zero vector would NaN the normalize, and ANSI CAST(NaN AS
+    // BIGINT) aborts the job — the guard must keep the SCREEN integer
+    // (all-zero codes, qscore 0) so the serve COMPLETES. Every real
+    // vector here is strictly positive (eps ≤ 0.04 < the 0.05 fill), so
+    // every real pair's quantized dot is ≥ 1 while the zero vector
+    // scores exactly 0; with 49 candidates per query it ranks 49th >
+    // SQ_CAND=40 and never reaches the rerank (whose 0/0 is q151's
+    // catch, and must never be reachable through this plan on a corpus
+    // whose only defect is a zero vector).
+    val zDir = fixtureDir(
+      "embeddings" -> (
+        (0 until 8).map(q => Emb(q, base(q).toSeq, q)) ++
+          (300 until 325).map(j => Emb(j, jitter(base(j % 8), 0.04f), j % 8)) ++
+          (0 until 8).flatMap(q => Seq(
+            Emb(100 + 2 * q, jitter(base(q), 0.01f), q),
+            Emb(101 + 2 * q, jitter(base(q), 0.02f), q))) :+
+          Emb(999, Seq.fill(DIM)(0.0f), 0)
+        ).toDF())
+    val out = Ann.sqTopK(spark, zDir).collect()
+    assert(out.nonEmpty, "serve must complete with a zero vector present")
+    assert(!out.exists(_.getLong(1) == 999L),
+      "zero vector screens to qscore 0 and must rank out of the rerank")
+    // companions still surface through the screen
+    val top = out.filter(_.getLong(4) <= 2L)
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    (0 until 8).foreach { q =>
+      assert(top(q.toLong) == Set(100L + 2 * q, 101L + 2 * q),
+        s"query $q top-2 = ${top(q.toLong)}")
+    }
     spark.catalog.clearCache()
   }
 
   test("q132 quantization chain replays JDK math (screen scores pinned)") {
     // The q124/q128 discipline applied to the int8 screen: recompute the
-    // per-dim affine quantization and the integer dot product in plain
-    // JDK arithmetic on the driver, and require the operator's emitted
-    // qscore to equal the replay for every output row. This pins the
-    // entire screen construction — floor((x−mn)·255/range + 0.5) in that
-    // exact double evaluation order, then exact long dots — so a drift in
-    // either engine shows up as a unit failure, not a driver-round hash.
+    // decimal norm, the normalize-quantize chain and the integer dot
+    // product in plain JDK arithmetic on the driver, and require the
+    // operator's emitted qscore to equal the replay for every output
+    // row. This pins the entire screen construction —
+    // floor(x/sqrt(nrm)·127 + 0.5) in that exact double evaluation
+    // order over the nearest-double of the exact decimal norm, then
+    // exact long dots — so a drift in either engine shows up as a unit
+    // failure, not a driver-round hash.
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
       .collect()
       .map(r => r.getLong(0) ->
         r.getSeq[Float](1).map(_.toDouble).toArray)
       .toMap
-    val dims = vecs.values.head.length
-    val mn = (0 until dims).map(i => vecs.values.map(_(i)).min).toArray
-    val mx = (0 until dims).map(i => vecs.values.map(_(i)).max).toArray
-    def quant(v: Array[Double]): Array[Long] =
-      v.zipWithIndex.map { case (x, i) =>
-        val range = if (mx(i) > mn(i)) mx(i) - mn(i) else 1.0d
-        math.floor((x - mn(i)) * 255.0d / range + 0.5d).toLong
-      }
+    def quant(v: Array[Double]): Array[Long] = {
+      val units = v.map(x => math.floor(x * x * 1e12 + 0.5).toLong).sum
+      val nrm = units.toDouble / 1e12
+      if (nrm > 0.0) v.map(x => math.floor(x / math.sqrt(nrm) * 127.0 + 0.5).toLong)
+      else v.map(_ => 0L)
+    }
     val q = vecs.map { case (id, v) => id -> quant(v) }
-    Ann.clearSqStatsCache()
     val out = Ann.sqTopK(spark, dir).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
@@ -805,7 +853,6 @@ class AnnSpec extends SparkSpec {
       assert(qscore == replay,
         s"screen qscore for ($qid,$nid): got $qscore, JDK replay $replay")
     }
-    Ann.clearSqStatsCache()
     spark.catalog.clearCache()
   }
 }

@@ -485,4 +485,45 @@ class StreamingSpec extends SparkSpec {
       StreamingReservoir.mergeBatch(once, b1.toDF()).collect())
     assert(replay == canon(once.collect()), "a replayed batch must be a no-op")
   }
+
+  test("streaming NB model: maintained model ≡ batch recompute, fenced replay is a no-op") {
+    import graft.streaming.{NbDoc, StreamingNbModel}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_nbstream").toString
+    // two labeled batches; batch 2 ADDS vocabulary ("nieve") and shifts
+    // class totals — the V-shift/N-shift every cell's smoothed lp must
+    // absorb (the q157 boundary, streamed)
+    val b1 = Seq(
+      NbDoc(0, "en", "the cat sat"), NbDoc(1, "en", "the dog sat"),
+      NbDoc(2, "es", "el gato come"))
+    val b2 = Seq(
+      NbDoc(3, "es", "el perro nieve"), NbDoc(4, "en", "cat and dog"))
+    val input = MemoryStream[NbDoc]
+    val query = StreamingNbModel.ingestStream(input.toDF(), stateDir).start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+    } finally query.stop()
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq).toSet
+    val streamed = canon(
+      StreamingNbModel.servingSurface(spark, stateDir).collect())
+    // batch recompute through the SAME shared core over all rows at once
+    val all = (b1 ++ b2).toDF()
+    val full = canon(graft.ops.Classify.nbServingSurface(
+      graft.ops.Classify.nbTermCounts(all),
+      graft.ops.Classify.nbPriorCounts(all)).collect())
+    assert(streamed == full, "streamed model must equal batch recompute")
+    // vocabulary actually grew across batches (the hard boundary)
+    assert(streamed.exists(_.contains("nieve")))
+    // the batch-id fence: re-delivering the LAST batch id is a whole-
+    // batch no-op (count-sum merges are not idempotent; the fence is
+    // what makes the sink exactly-once)
+    StreamingNbModel.foldBatch(spark, stateDir, b2.toDF(), 1L)
+    val refolded = canon(
+      StreamingNbModel.servingSurface(spark, stateDir).collect())
+    assert(refolded == streamed, "a fenced replayed batch must be a no-op")
+  }
 }

@@ -1159,6 +1159,86 @@ object Ann {
        |${kmeansRoundSql(0, "cel0")},
        |${kmeansRoundSql(1, "cel1")}""".stripMargin
 
+  /** One HIERARCHICAL Lloyd training round as CTEs (`cel$n` →
+    * `cel${n+1}` via the two-level argmin) — the [[hierAsnCtes]] replay
+    * device applied to a TRAINING round (round-14: the 1000× run showed
+    * flat training is the n^1.5 head round 13 left alive; q101 now
+    * TRAINS hier too, so its oracle replays hier rounds). As with the
+    * final-assignment replay, every stage is a FILTERED RANKING of the
+    * flat decimal metric table `metric$n` — the oracle replays
+    * semantics, not cost. */
+  private def hierKmeansRoundSql(n: Int): String =
+    s"""cnrm$n AS (
+       |  SELECT cent_id, SUM(${prodDec.format("x", "x")}) AS nrm
+       |  FROM cel$n GROUP BY 1),
+       |metric$n AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         CAST(nn.nrm - 2 * SUM(${prodDec.format("e.x", "c.x")})
+       |              AS DECIMAL(38,15)) AS m
+       |  FROM el e
+       |  JOIN cel$n c ON c.i = e.i
+       |  JOIN cnrm$n nn USING (cent_id)
+       |  GROUP BY e.vec_id, c.cent_id, nn.nrm),
+       |nc$n AS (
+       |  SELECT GREATEST(1, CAST(round(sqrt(COUNT(DISTINCT cent_id)))
+       |           AS BIGINT)) AS nc
+       |  FROM cel$n),
+       |crs$n AS (
+       |  SELECT cent_id, ROW_NUMBER() OVER (ORDER BY cent_id) AS crn
+       |  FROM (SELECT DISTINCT cent_id FROM cel$n)),
+       |coarse$n AS (
+       |  SELECT cent_id FROM crs$n CROSS JOIN nc$n WHERE crn <= nc),
+       |pm$n AS (
+       |  SELECT c.cent_id, o.cent_id AS coarse_id,
+       |         CAST(nn.nrm - 2 * SUM(${prodDec.format("c.x", "o.x")})
+       |              AS DECIMAL(38,15)) AS m
+       |  FROM cel$n c
+       |  JOIN cel$n o ON o.i = c.i
+       |    AND o.cent_id IN (SELECT cent_id FROM coarse$n)
+       |  JOIN cnrm$n nn ON nn.cent_id = o.cent_id
+       |  GROUP BY c.cent_id, o.cent_id, nn.nrm),
+       |parent$n AS (
+       |  SELECT cent_id, coarse_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cent_id
+       |             ORDER BY m, coarse_id) AS rn
+       |    FROM pm$n) WHERE rn = 1),
+       |vco$n AS (
+       |  SELECT vec_id, cent_id AS coarse_id FROM (
+       |    SELECT vec_id, cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY m, cent_id) AS rn
+       |    FROM metric$n
+       |    WHERE cent_id IN (SELECT cent_id FROM coarse$n)) WHERE rn = 1),
+       |asnh$n AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT m2.vec_id, m2.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY m2.vec_id
+       |             ORDER BY m2.m, m2.cent_id) AS rn
+       |    FROM metric$n m2
+       |    JOIN parent$n p ON p.cent_id = m2.cent_id
+       |    JOIN vco$n ON vco$n.vec_id = m2.vec_id
+       |      AND vco$n.coarse_id = p.coarse_id)
+       |  WHERE rn = 1),
+       |cel${n + 1} AS (
+       |  SELECT a.cent_id, e.i,
+       |         CAST(SUM(${xDec.format("e.x")}) AS DOUBLE) / COUNT(*) AS x,
+       |         COUNT(*) AS n_assigned
+       |  FROM asnh$n a JOIN el e USING (vec_id)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** [[kmeansCtesSqlSeed]] with BOTH training rounds hierarchical —
+    * q101's training replay. */
+  private def kmeansCtesSqlSeedHier(seedEnd: String): String =
+    s"""el AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |cel0 AS (
+       |  SELECT vec_id AS cent_id, i, x FROM el
+       |  WHERE vec_id >= $NQUERIES AND vec_id < $seedEnd),
+       |${hierKmeansRoundSql(0)},
+       |${hierKmeansRoundSql(1)}""".stripMargin
+
   private def kmeansCtesSql: String =
     kmeansCtesSqlSeed((NQUERIES + IVF_NCENTROIDS).toString)
 
@@ -1373,7 +1453,7 @@ object Ann {
     val vecs = graft.Caches.track(vecsTag(dir), embeddings(spark, dir)
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
-    trainedCents(spark, dir, vecs, ncentroidsFor(n))
+    trainedCents(spark, dir, vecs, ncentroidsFor(n), hier = true)
     ()
   }
 
@@ -1390,23 +1470,49 @@ object Ann {
     * sizes the seed set (`vec_id ∈ [NQUERIES, NQUERIES+k)`) — the
     * default is the fixture-pinned [[IVF_NCENTROIDS]]; [[semDedupAuto]]
     * passes [[ncentroidsFor]] so cell occupancy tracks corpus size. */
+  /** `hier = true` runs each Lloyd round's E-step through the two-level
+    * [[assignCellsHier]] argmin instead of the flat n·k pass — the
+    * round-14 scale fix the 1000× measurement forced: under the k ≈ √n
+    * sizing the FLAT training round is n·k = n^1.5 decimal dots (the
+    * same super-linear head round 13 cut from the per-run assignment —
+    * training kept it), which at 1000× (2M vectors, k = 1414) is 2.8G
+    * decimal dots PER ROUND — measured as a >45-minute training stall.
+    * Hier training is n·O(2√k) = n^1.25 per round (19× fewer dots at
+    * that size). The q101 oracle replays the hier rounds exactly
+    * (filtered rankings of the same decimal metric, the
+    * [[assignCellsHier]] replay device per round), and AnnSpec pins
+    * hier-trained ≡ flat-trained on the separated fixture. Fixture-k
+    * consumers (q85/q91/q100) keep flat training — at k = 16 the flat
+    * round IS the cheap one, and their oracles replay it. */
   private def trainedCents(spark: SparkSession, dir: String,
-      vecs: DataFrame, k: Int = IVF_NCENTROIDS): DataFrame = {
+      vecs: DataFrame, k: Int = IVF_NCENTROIDS,
+      hier: Boolean = false): DataFrame = {
     import spark.implicits._
-    val key = s"$dir#k=$k#iters=$KMEANS_ITERS"
+    val key = s"$dir#k=$k#iters=$KMEANS_ITERS" +
+      (if (hier) "#hier" else "")
     val rows = trainedCache.computeIfAbsent(key, { _ =>
-      var cents = vecs
-        .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + k)
-        .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"))
-        .withColumn("c_nrm_dec", dotDec("c_emb", "c_emb"))
-      for (_ <- 1 to KMEANS_ITERS)
-        cents = centsFromFlat(kmeansStep(vecs, cents))
       // normalize to the declared schema (cast, not assume) before
-      // collecting so replays are layout-independent
-      cents.select($"cent_id".cast("long"),
+      // collecting so replays are layout-independent; each round is
+      // collected (k tiny rows — the trainedCache precedent applied
+      // per round) so round n+1 reads a LocalRelation instead of
+      // re-running round n's corpus pass per consumer subtree
+      def norm(df: DataFrame) = df.select($"cent_id".cast("long"),
         $"c_emb".cast("array<double>"),
         $"c_nrm_dec".cast(org.apache.spark.sql.types.DecimalType(38, 15)))
         .collect()
+      var rs = norm(vecs
+        .filter($"vec_id" >= NQUERIES && $"vec_id" < NQUERIES + k)
+        .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"))
+        .withColumn("c_nrm_dec", dotDec("c_emb", "c_emb")))
+      for (_ <- 1 to KMEANS_ITERS) {
+        val cents = spark.createDataFrame(
+          java.util.Arrays.asList(rs: _*), trainedCentSchema)
+        rs = norm(
+          if (hier) centsFromFlat(cellMeans(
+            assignCellsHier(vecs, cents, exactMetric = true)))
+          else centsFromFlat(kmeansStep(vecs, cents)))
+      }
+      rs
     })
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), trainedCentSchema)
@@ -1692,7 +1798,7 @@ object Ann {
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
     val kk = k.getOrElse(IVF_NCENTROIDS)
-    val cents = trainedCents(spark, dir, vecs, kk)
+    val cents = trainedCents(spark, dir, vecs, kk, hier)
     val assigned =
       if (hier) assignCellsHier(vecs, cents,
         exactMetric = semDedupExactMetric)
@@ -1830,7 +1936,8 @@ object Ann {
     val vecs = graft.Caches.track(vecsTag(dir), embeddings(spark, dir)
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
-    val cents = trainedCents(spark, dir, vecs, ncentroidsFor(n))
+    val cents = trainedCents(spark, dir, vecs, ncentroidsFor(n),
+      hier = true)
     assignCellsHier(vecs, cents, exactMetric = semDedupExactMetric)
       .groupBy($"cent_id").agg(count(lit(1)).as("occ"))
       .agg(max($"occ")).as[Long].head()
@@ -1845,7 +1952,7 @@ object Ann {
     * both engines' round-half-up agree on positive values and sqrt is
     * IEEE-correctly-rounded in both). */
   private def semDedupAutoOracle: String =
-    semDedupOracleFrom(kmeansCtesSqlSeed(
+    semDedupOracleFrom(kmeansCtesSqlSeedHier(
       s"$NQUERIES + GREATEST(1, LEAST(${1 << 20}, " +
         "CAST(round(sqrt((SELECT COUNT(*) FROM embeddings))) AS BIGINT)))"),
       hier = true)

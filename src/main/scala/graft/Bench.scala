@@ -156,7 +156,11 @@ object Bench {
     if ((headline ++ aux).exists(q => Set("q154_ann_pq", "q158_ann_ivfpq",
         "q163_pq_recall", "q164_ivfpq_recall", "q165_pq_index_serve",
         "q166_pq_index_increment").contains(q.name)))
-      try graft.ops.Ann.warmPq(spark, sfDir)
+      // q166 trains under a CUT-KEYED cache key; warm that codebook too
+      // when it is in the benched set (round-14 ADVICE — otherwise its
+      // first timed sample still pays PQ Lloyd training).
+      try graft.ops.Ann.warmPq(spark, sfDir, incrementCut =
+        (headline ++ aux).exists(_.name == "q166_pq_index_increment"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] PQ codebook warm-up failed: $e") }
 

@@ -35,12 +35,19 @@ object Caches {
     * track sites would otherwise accumulate orphaned persisted frames
     * over a long session). Same-plan displacement must NOT unpersist:
     * Spark's CacheManager dedupes by canonical plan, so dropping the old
-    * handle would evict the cache entry the incoming frame relies on. */
+    * handle would evict the cache entry the incoming frame relies on —
+    * and that protection extends across TAGS (round-14 ADVICE): the same
+    * frame tracked under two tags and displaced under one stays cached
+    * while any OTHER registry entry still resolves to the same result,
+    * so the surviving tag's consumers keep their cache and its later
+    * release() stays meaningful. */
   def track(tag: String, df: DataFrame): DataFrame = {
     if (df.storageLevel == StorageLevel.NONE) df.persist()
     reg.put(tag, df).foreach { old =>
-      if ((old ne df) && !old.queryExecution.analyzed
-            .sameResult(df.queryExecution.analyzed))
+      def same(a: DataFrame, b: DataFrame) =
+        a.queryExecution.analyzed.sameResult(b.queryExecution.analyzed)
+      if ((old ne df) && !same(old, df) &&
+          !reg.exists { case (t, h) => t != tag && same(h, old) })
         old.unpersist()
     }
     df

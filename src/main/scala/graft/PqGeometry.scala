@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Production-geometry PQ recall sweep — the measurement behind
+  * SCALING.md's K/SQ_CAND trade table (round-14 verdict item 3).
+  *
+  * The REGISTERED q154/q163 run the M=8/K=16 fixture geometry (32
+  * bits/vector, a 64× compression) because that keeps the full
+  * Lloyd-train → encode → ADC chain replayable as one DuckDB oracle;
+  * its measured 100× recall@10 is 0.3375, and the standing claim was
+  * "production raises K (256) and SQ_CAND — the same construction".
+  * This main makes that claim a measured curve: for each (k, cand) it
+  * trains the k-entry codebooks (driver-cached, the same
+  * [[graft.ops.Ann]] training body), serves PQ top-k at candidate depth
+  * `cand`, and reports mean recall@10 against the exact brute-force leg
+  * plus the serve's wall time.
+  *
+  * Usage: runMain graft.PqGeometry <sfDir> [k:cand[,k:cand...]]
+  *   default sweep: 16:40 (the fixture), 64:40, 64:80, 64:160
+  * Output: one JSON line per geometry + a closing summary line.
+  */
+object PqGeometry {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val geoms: Seq[(Int, Int)] =
+      (if (args.length > 1) args(1) else "16:40,64:40,64:80,64:160")
+        .split(',').toSeq.map { g =>
+          val Array(k, c) = g.split(':'); (k.trim.toInt, c.trim.toInt)
+        }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = geoms.map { case (k, cand) =>
+      // train untimed (the codebook is a build-time artifact — the
+      // warmPq contract), then time the serve+eval end-to-end
+      graft.ops.Ann.pqRecallGeom(spark, dir, k, cand).count()
+      val t0 = System.nanoTime()
+      val rows = graft.ops.Ann.pqRecallGeom(spark, dir, k, cand)
+        .collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+      spark.catalog.clearCache()
+      graft.Caches.releasePrefix("ann.")
+      val line = f"""{"k":$k,"cand":$cand,"mean_recall_at_10":$mean%.4f,"eval_s":$secs%.1f}"""
+      println(line)
+      line
+    }
+    println(s"""{"sweep":[${out.mkString(",")}],"dir":"$dir"}""")
+    spark.stop()
+  }
+}

@@ -60,6 +60,10 @@ object ScaleDrivers {
       val sweepJson =
         if (sweep.isEmpty) "" else sweep.mkString(""","cap_sweep":{""", ",", "}")
       val p = ops.TextPipeline.postingStats(spark, dir).head()
+      // Hot-fallback driver histogram (round-14 verdict item 8): the
+      // mega-cluster probe's pair-volume bound, from the hot posting
+      // histogram alone — no pair join executed.
+      val h = ops.TextPipeline.hotFallbackStats(spark, dir).head()
       println(
         s"""{"dir":"$dir","srp":{"n":${c.getLong(0)},""" +
           s""""nplanes":${c.getInt(1)},"n_buckets":${c.getLong(2)},""" +
@@ -69,7 +73,11 @@ object ScaleDrivers {
           s""""rare_shingles":${p.getLong(1)},""" +
           s""""posting_pairs":${p.getLong(2)},""" +
           s""""cand_pairs":${p.getLong(3)},""" +
-          s""""rerank_rows":${p.getLong(4)}}}""")
+          s""""rerank_rows":${p.getLong(4)}},""" +
+          s""""hot_fallback":{"qualifying_docs":${h.getLong(1)},""" +
+          s""""hot_buckets":${h.getLong(2)},""" +
+          s""""max_bucket_occ":${h.getLong(3)},""" +
+          s""""driver_pairs":${h.getLong(4)}}}""")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -52,7 +52,7 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: ScaleGen <outDir> [mult] [tables] [clusters=fixed|grow|<k>] " +
-        "[docmode=plain|curation]")
+        "[docmode=plain|curation|megadup]")
     val dir = args(0)
     val mult = if (args.length > 1) args(1).toDouble else 1.0
     val wanted = if (args.length > 2)
@@ -94,8 +94,8 @@ object ScaleGen {
       expr("concat('WH-', CAST(id AS STRING))").as("s_name"))
 
     val docMode = args.lift(4).getOrElse("plain")
-    require(docMode == "plain" || docMode == "curation",
-      s"docmode must be plain|curation, got $docMode")
+    require(Set("plain", "curation", "megadup")(docMode),
+      s"docmode must be plain|curation|megadup, got $docMode")
     /** Curation-noise post-pass (scaladoc above): deterministic by
       * doc_id, built from [[ops.TextPipeline.STOPWORDS]] so the planted
       * tails hit exactly the lists `langPredict` scores. Tails are
@@ -127,9 +127,38 @@ object ScaleGen {
         .selectExpr("doc_id", "text", "lang", "source",
           "CAST(length(text) AS BIGINT) AS n_chars")
     }
+    /** Adversarial-skew post-pass (round-14 verdict item 8, the
+      * mega-cluster probe): every doc with doc_id % 10 == 0 — 10% of
+      * the corpus — becomes a member of ONE planted near-dup cluster: a
+      * fixed 60-token block plus a 3-token doc-unique tail. Tails keep
+      * members byte-DISTINCT (exact-hash dedup must not absorb the
+      * cluster) while pairwise 3-shingle Jaccard stays ≈ 0.9 ≥ the 0.8
+      * near-dup threshold. Every block shingle's df is n/10 ≫
+      * MAX_SHINGLE_DF, so the whole cluster is invisible to the rare
+      * index and exercises the MOSTLY-HOT FALLBACK exclusively
+      * (hot_frac ≈ 0.95 per member) — the exact skew the df cutoff +
+      * bounded-probe design claims to survive; `hotFallbackStats`
+      * measures its pair-volume driver. */
+    def megadupNoise(d: org.apache.spark.sql.DataFrame) = {
+      val block = (1 to 60).map(i => s"dupblock$i").mkString(" ")
+      d.selectExpr(
+        "doc_id",
+        s"""CASE WHEN doc_id % 10 = 0
+           |     THEN concat('$block tail', CAST(doc_id AS STRING),
+           |                 ' u', CAST(doc_id % 7 AS STRING),
+           |                 ' v', CAST(doc_id % 11 AS STRING))
+           |     ELSE text END AS text""".stripMargin,
+        "lang", "source")
+        .selectExpr("doc_id", "text", "lang", "source",
+          "CAST(length(text) AS BIGINT) AS n_chars")
+    }
     val docGen = () => {
       val d0 = ops.Generator.fixtureDocuments(spark, nDocs)
-      if (docMode == "curation") curationNoise(d0) else d0
+      docMode match {
+        case "curation" => curationNoise(d0)
+        case "megadup" => megadupNoise(d0)
+        case _ => d0
+      }
     }
     val gens = Seq(
       "lineitem" -> (() => ops.Generator.fixtureLineitem(spark, nOrders, nTransfers)),

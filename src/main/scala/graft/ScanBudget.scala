@@ -107,12 +107,11 @@ object ScanBudget {
     // — train once, serve many), so the serve plan dropped from the q48
     // 3-scan form to this 2-scan floor.
     "q132_ann_quantized" -> Map("embeddings" -> 2),
-    // Quantized-screen recall evaluations (round-14): q162 composes the
-    // q132 serve (2) with the q29 exact leg (2) — the q103 evaluation
-    // floor. q163/q164 ride the DEFAULT 1-scan budget: the PQ serve's
-    // tracked persisted base plan-matches the brute leg's projection, so
-    // Spark's CacheManager serves both legs from one cached scan.
-    "q162_sq_recall" -> Map("embeddings" -> 4),
+    // Quantized-screen recall evaluations: q162/q163/q164 all ride the
+    // DEFAULT 1-scan budget since round 15 — recallAgainstBrute tracks
+    // the withNorm projection, so the exact leg's two subtrees and the
+    // serve's screen leg plan-match one cached embeddings scan (the
+    // round-14 form executed 4 scans in q162; ADVICE #5).
     // BPE-budgeted RAG packing: q161's one-scan BM25 leg + the q121
     // token-count leg. At deploy the per-doc token count is an index
     // attribute stored next to dl (q125's postings already carry dl),

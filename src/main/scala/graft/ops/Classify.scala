@@ -42,10 +42,21 @@ import org.apache.spark.sql.functions._
   * lp = ln((c_ct+1)/(T_c+V)) and the unseen-term default ln(1/(T_c+V)) —
   * is [[graft.functions.PinnedMath.lnRatioSql]], one shared SQL text both
   * engines evaluate verbatim. Per-(doc, class) accumulation is an
-  * ORDER-PINNED left fold over term-sorted contributions (contrib =
-  * lp · n as one correctly rounded product), seeded at 0.0 (0.0 + x = x,
-  * so Spark's seeded `aggregate` equals DuckDB's unseeded `list_reduce`);
-  * the final score is the single add prior + Σ. Bit-identical scores make
+  * ORDER-FREE fixed-point SUM: each contribution (contrib = lp · n, one
+  * correctly rounded product) is lifted onto the 1e-12 integer grid —
+  * floor(contrib·1e12 + 0.5), identical in both engines because ×, +,
+  * floor on doubles are correctly rounded/exact — and the per-group
+  * reduction is an exact DECIMAL(38,0) integer SUM, associative and
+  * commutative, so NO ordering pin is needed and Spark plans a hash
+  * aggregation (the round-14 order-pinned float fold forced a sort-based
+  * aggregation that spilled unboundedly at 1000× scale). The score
+  * re-scales once (CAST(Σ AS DOUBLE)/1e12, one correctly rounded
+  * division) and adds the prior; each lift perturbs the float score by
+  * ≤ 0.5e-12 — the scoring function is DOCUMENTED as this quantized sum,
+  * not as the float sum it approximates. Domain bound: |contrib|·1e12
+  * must stay inside BIGINT (|lp·n| < 9.2e6 — holds for any real doc:
+  * |lp| ≤ ~40 even at web-scale vocab and n is one term's count in ONE
+  * doc). Bit-identical scores make
   * the argmax — and therefore the prediction, the confusion matrix and
   * the audit ranking — identical by construction; ties (equal doubles,
   * impossible in practice) break by class name ascending via the shared
@@ -143,13 +154,23 @@ object Classify {
       .join(model, Seq("cls", "term"), "left")
       .withColumn("contrib", coalesce($"lp", $"lp0") * $"n".cast("double"))
 
-    // order-pinned fold by term, then ONE add for the prior (both engines
-    // evaluate the same two-operand trees — see class doc).
+    // ORDER-FREE fixed-point accumulation (see class doc). The round-14
+    // version order-pinned a float fold (aggregate(array_sort(
+    // collect_list(...)))), which forced Spark into a sort-based
+    // aggregation materializing every per-(doc, class) term list — it
+    // spilled past a 77 GB ceiling at 1000× corpus scale. Lifting each
+    // contribution onto the 1e-12 integer grid makes the per-group
+    // reduction an integer SUM: associative + commutative, so it runs as
+    // a HASH aggregation with map-side partials and no list, and DuckDB's
+    // SUM of the same lifted values matches bit-for-bit with no ordering
+    // clause (the Ann decimal-dot device, applied to log space).
     val scored = cand
+      .withColumn("fx",
+        expr("CAST(floor(contrib * 1e12 + 0.5) AS DECIMAL(38,0))"))
       .groupBy($"doc_id", $"label", $"cls", $"lp_prior")
-      .agg(expr("aggregate(array_sort(collect_list(struct(term, contrib)))," +
-        " cast(0.0 AS double), (a, x) -> a + x.contrib)").as("sum_lp"))
-      .withColumn("score", $"lp_prior" + $"sum_lp")
+      .agg(sum($"fx").as("sum_fx"))
+      .withColumn("score",
+        $"lp_prior" + expr("CAST(sum_fx AS DOUBLE) / 1e12"))
 
     val w = Window.partitionBy($"doc_id")
       .orderBy($"score".desc, $"cls".asc)
@@ -412,19 +433,22 @@ object Classify {
        |  LEFT JOIN model m ON m.cls = c.cls AND m.term = h.term
        |), sc AS (
        |  SELECT doc_id, label, cls, lp_prior,
-       |         list_reduce(
-       |           list(COALESCE(lp, lp0) * CAST(n AS DOUBLE) ORDER BY term),
-       |           (a, b) -> a + b) AS sum_lp
+       |         SUM(CAST(floor(COALESCE(lp, lp0) * CAST(n AS DOUBLE) * 1e12
+       |           + 0.5) AS DECIMAL(38,0))) AS sum_fx
        |  FROM cand GROUP BY 1, 2, 3, 4
-       |), rk AS (
-       |  SELECT doc_id, label, cls, lp_prior + sum_lp AS score,
-       |         ROW_NUMBER() OVER (PARTITION BY doc_id
-       |           ORDER BY lp_prior + sum_lp DESC, cls) AS rk,
-       |         LEAD(lp_prior + sum_lp, 1) OVER (PARTITION BY doc_id
-       |           ORDER BY lp_prior + sum_lp DESC, cls) AS nxt,
-       |         MAX(CASE WHEN cls = label THEN lp_prior + sum_lp END)
-       |           OVER (PARTITION BY doc_id) AS lbl_score
+       |), sc2 AS (
+       |  SELECT doc_id, label, cls,
+       |         lp_prior + CAST(sum_fx AS DOUBLE) / 1e12 AS score
        |  FROM sc
+       |), rk AS (
+       |  SELECT doc_id, label, cls, score,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id
+       |           ORDER BY score DESC, cls) AS rk,
+       |         LEAD(score, 1) OVER (PARTITION BY doc_id
+       |           ORDER BY score DESC, cls) AS nxt,
+       |         MAX(CASE WHEN cls = label THEN score END)
+       |           OVER (PARTITION BY doc_id) AS lbl_score
+       |  FROM sc2
        |)""".stripMargin
 
   private val splitTrain = s"doc_id % $HOLDOUT_MOD <> 0"

@@ -316,10 +316,27 @@ object Retrieval {
 
   // ---------------------------------------------------------------- q167
 
-  /** Context budget for [[ragContextBpe]] in BPE tokens. The corpus
-    * measures fertility ≈ 3.87 subword tokens per word (q160), so 450
-    * packs the same 2–4 docs per query that q161's 120-word budget does
-    * — but in the units the MODEL actually consumes. */
+  /** DEFAULT context budget for [[ragContextBpe]] in BPE tokens — a
+    * PARAMETER of the packer, not a constant of the algorithm (the
+    * overload below takes any budget). This default is derived from the
+    * fixture: the corpus measures fertility ≈ 3.87 subword tokens per
+    * word (q160), so 450 packs the same 2–4 docs per query that q161's
+    * 120-word budget does — but in the units the MODEL actually
+    * consumes.
+    *
+    * Per-language budget policy (what the q160 fertility report is
+    * FOR): a deploy sets ONE number — the model's context window minus
+    * prompt/answer reserve — and passes it here; no per-language
+    * adjustment is needed precisely BECAUSE the packing is denominated
+    * in BPE tokens (the window's own unit). The per-language knob q160
+    * informs is the RANKING side: a corpus whose languages differ in
+    * fertility (q160 measures the spread) over-charges high-fertility
+    * languages per unit of content, so a mixed-corpus deploy can
+    * normalize candidate scores by the language's measured fertility —
+    * or simply accept that a BPE budget buys less high-fertility text,
+    * which is the true cost to the model. Budgeting in words (q161) and
+    * correcting per language would need exactly the q160 table; in BPE
+    * units the table is advisory, not load-bearing. */
   val RAG_BUDGET_BPE = 450L
 
   /** q167: [[ragContext]] budgeted in REAL tokenizer units — the fix
@@ -337,9 +354,19 @@ object Retrieval {
     * count is an INDEX attribute stored next to dl — q125 already
     * carries dl per posting — so the leg costs nothing at serve; here it
     * is q121's one-scan projection); the rank bound keeps the partial
-    * top-K shape (n_tokens_bpe ≥ n_words ≥ 1). */
+    * top-K shape (n_tokens_bpe ≥ n_words ≥ 1).
+    *
+    * The registered entry packs the default [[RAG_BUDGET_BPE]]; the
+    * overload takes any budget (a deploy passes its model window minus
+    * reserve — see the budget-policy note on [[RAG_BUDGET_BPE]]), and
+    * RetrievalSpec pins the parameter's semantics: a smaller budget
+    * yields exactly a per-query PREFIX of a larger budget's packing. */
   def ragContextBpe(spark: SparkSession, dir: String): DataFrame =
-    ragContextBy(spark, dir, bpe = true, RAG_BUDGET_BPE)
+    ragContextBpe(spark, dir, RAG_BUDGET_BPE)
+
+  def ragContextBpe(spark: SparkSession, dir: String,
+      budget: Long): DataFrame =
+    ragContextBy(spark, dir, bpe = true, budget)
 
   /** The budget-parametrized packer behind q167 (and RetrievalSpec's
     * same-budget comparison). `bpe = false` reproduces q161's packing

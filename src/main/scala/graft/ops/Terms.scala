@@ -949,12 +949,18 @@ object Terms {
     * series in pure `+ − × ÷` doubles, ONE SHARED SQL TEXT evaluated
     * verbatim by Spark and DuckDB — IEEE basic ops are correctly rounded
     * by spec, so the bits match by construction. The per-doc sum is an
-    * ORDER-PINNED left fold (Spark: `aggregate(array_sort(collect_list(
-    * struct(pos, lp))))`; DuckDB: `list_reduce(list(lp ORDER BY pos))` —
-    * a fold from 0.0 equals the fold from the first element because
-    * 0.0 + x = x in IEEE). An unordered SUM would be legal SQL and wrong:
-    * float addition is not associative, and two engines' partial-
-    * aggregation orders never match.
+    * ORDER-FREE fixed-point SUM (the q149/q153 device): each position's
+    * lp is lifted onto the 1e-12 integer grid — floor(lp·1e12 + 0.5),
+    * identical in both engines — and summed as exact DECIMAL(38,0);
+    * integer addition is associative + commutative, so the engines'
+    * differing partial-aggregation orders cannot matter and Spark plans
+    * a HASH aggregation (the previous order-pinned float fold
+    * `aggregate(array_sort(collect_list(...)))` forced a sort-based
+    * aggregation materializing every per-doc list — the measured q153
+    * 1000× spill cliff, same shape). An unordered FLOAT sum would still
+    * be wrong (float addition is not associative); the quantized integer
+    * sum sidesteps it, perturbing nll by ≤ 0.5e-12 per position — the
+    * documented scoring function IS this quantized sum.
     *
     * 100 TB shape: honest TWO-PASS train/score (q107's documented
     * 2-scan design floor — a production run trains on a sample or a
@@ -1035,9 +1041,11 @@ object Terms {
         // c2 = 1 ⇔ this occurrence is the bigram's ONLY one corpus-wide:
         // the doc's novel-continuation count (novelty evidence for free)
         count(when($"c2" === 1L, lit(1))).cast("long").as("n_singleton"),
-        expr("aggregate(array_sort(collect_list(struct(pos, lp))), " +
-          "cast(0.0 AS double), (a, x) -> a + x.lp)").as("sum_lp"))
-      .withColumn("nll", -$"sum_lp")
+        // order-free 1e-12 fixed-point lift + exact integer SUM → hash
+        // aggregation, no per-doc list (see class doc)
+        sum(expr("CAST(floor(lp * 1e12 + 0.5) AS DECIMAL(38,0))"))
+          .as("sum_fx"))
+      .withColumn("nll", -(expr("CAST(sum_fx AS DOUBLE) / 1e12")))
       .withColumn("nll_per_tok", $"nll" / $"n_bigrams")
       .select($"doc_id", $"n_bigrams", $"n_singleton", $"nll",
         $"nll_per_tok")
@@ -1078,7 +1086,8 @@ object Terms {
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        |         CAST(COUNT(CASE WHEN c2 = 1 THEN 1 END) AS BIGINT)
        |           AS n_singleton,
-       |         -list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS nll
+       |         -(CAST(SUM(CAST(floor(lp * 1e12 + 0.5) AS DECIMAL(38,0)))
+       |             AS DOUBLE) / 1e12) AS nll
        |  FROM s GROUP BY 1
        |)
        |SELECT doc_id, n_bigrams, n_singleton, nll,

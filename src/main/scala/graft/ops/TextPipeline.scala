@@ -844,6 +844,53 @@ object TextPipeline {
         "rerank_rows")
   }
 
+  /** Scale drivers for the MOSTLY-HOT FALLBACK under adversarial skew
+    * (round-14 verdict item 8 — the planted-mega-cluster probe): from
+    * the hot-probe posting HISTOGRAM alone, no pair join executed,
+    * returns one row `(n_docs, qualifying_docs, hot_buckets,
+    * max_bucket_occ, driver_pairs)` where `driver_pairs` =
+    * Σ over hot-probe buckets of occ·(occ−1)/2 — the EXACT upper bound
+    * on the hot candidate join's distinct-pair output (each pair needs
+    * one shared probe shingle to meet; counting every bucket's full
+    * pair set over-counts multi-bucket pairs, so the Σ bounds the
+    * distinct output from above). The documented acceptance bound
+    * ([[shingleNearDup]]'s fan-out paragraph): a planted cluster of d
+    * true near-duplicates IS d·(d−1)/2 REQUIRED output pairs, so
+    * driver_pairs ≈ required output + the qualifying docs' linear
+    * probe budget — output-sized, never corpus². SCALING.md's megadup
+    * rows pair this histogram with the executed q27 at the decades the
+    * pair OUTPUT itself fits. */
+  def hotFallbackStats(spark: SparkSession, dir: String,
+      maxDf: Int = MAX_SHINGLE_DF): DataFrame = {
+    import spark.implicits._
+    val nDocs = docs(spark, dir).count()
+    val shDf = shingles(spark, dir).withColumn("df",
+      count(lit(1)).over(Window.partitionBy($"sh")))
+    val docStats = shDf.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_sh"),
+      count(when($"df" <= maxDf, lit(1))).as("n_rare"))
+    val mostlyHot = docStats
+      .filter(($"n_sh" - $"n_rare").cast("double") / $"n_sh"
+        >= NEARDUP_THRESHOLD)
+      .select($"doc_id")
+    val probes = shDf.filter($"df" > maxDf).select($"doc_id", $"sh")
+      .join(mostlyHot, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy(xxhash64($"sh"), $"sh")))
+      .filter($"rnk" <= ALLHOT_PROBES)
+      .select($"doc_id", $"sh")
+    val nQual = mostlyHot.count()
+    val hist = probes.groupBy($"sh").agg(count(lit(1)).as("occ"))
+      .agg(count(lit(1)),
+        coalesce(max($"occ"), lit(0L)),
+        coalesce(sum(($"occ" * ($"occ" - 1) / 2).cast("long")), lit(0L)))
+      .head()
+    Seq((nDocs, nQual, hist.getLong(0), hist.getLong(1), hist.getLong(2)))
+      .toDF("n_docs", "qualifying_docs", "hot_buckets", "max_bucket_occ",
+        "driver_pairs")
+  }
+
   /** Candidate near-dup pairs from the SKETCHED df-bounded inverted
     * index (the [[shingleNearDup]] round-10 generation): pairs whose
     * bottom-[[RARE_PROBES]]-by-hash rare-shingle sketches intersect. */

@@ -100,11 +100,24 @@ object StreamingNbModel {
 
   /** The maintain loop: arriving labeled documents (doc_id, lang, text)
     * → merged model halves published at `stateDir` (read the serving
-    * surface back with [[servingSurface]]). */
-  def ingestStream(docs: DataFrame,
-      stateDir: String): DataStreamWriter[Row] =
+    * surface back with [[servingSurface]]).
+    *
+    * A DURABLE `checkpointDir` is load-bearing for the fence, not an
+    * option (round-14 ADVICE): Structured Streaming only guarantees
+    * monotone batch ids under a persistent checkpointLocation — without
+    * one, a restarted query resets ids to 0, and the fence would then
+    * silently SKIP real new batches until the counter passes the
+    * published version (or re-fold old data once it does), breaking the
+    * exactly-once contract the count-sum merge depends on. It defaults
+    * to `stateDir/_checkpoint` so the id sequence lives and dies with
+    * the state it fences; pass an explicit dir to relocate it, never to
+    * drop it. */
+  def ingestStream(docs: DataFrame, stateDir: String,
+      checkpointDir: String = null): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
+      .option("checkpointLocation",
+        Option(checkpointDir).getOrElse(s"$stateDir/_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch.sparkSession, stateDir, batch, batchId)
       }

@@ -75,4 +75,29 @@ class RetrievalSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("q167 budget is a real parameter: a smaller budget packs a per-query prefix") {
+    // the budget-parameter contract (round-14 verdict item 7): packing
+    // is a rank-order prefix fill, so halving the budget must yield, per
+    // query, exactly the rows of the full packing whose cum_tokens fit —
+    // never a different candidate set or order
+    def rows(b: Long) = Retrieval.ragContextBpe(spark, dir, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    val full = rows(Retrieval.RAG_BUDGET_BPE)
+    val half = rows(Retrieval.RAG_BUDGET_BPE / 2)
+    assert(half.nonEmpty && half.length < full.length)
+    val fullSet = full.toSet
+    half.foreach { r =>
+      assert(fullSet.contains(r),
+        s"row $r of the half-budget packing is not in the full packing")
+      assert(r._4 <= Retrieval.RAG_BUDGET_BPE / 2)
+    }
+    // prefix, not subset: every full-packing row under the half budget
+    // is present
+    val halfSet = half.toSet
+    full.filter(_._4 <= Retrieval.RAG_BUDGET_BPE / 2).foreach { r =>
+      assert(halfSet.contains(r), s"row $r fits the half budget but was cut")
+    }
+    spark.catalog.clearCache()
+  }
 }

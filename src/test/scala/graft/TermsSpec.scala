@@ -196,11 +196,15 @@ class TermsSpec extends SparkSpec {
     // only (a,c) occurs exactly once corpus-wide
     assert(r.map(_.getAs[Long]("n_singleton")).toSeq == Seq(0L, 0L, 1L))
     val nll = r.map(_.getAs[Double]("nll"))
-    // ln(1/2) rides the exact power-of-two path: nll = LN2 to the bit
-    assert(nll(0) == 0.6931471805599453)
+    // ln(1/2) rides the exact power-of-two path of the pinned ln; the
+    // order-free accumulator then quantizes each lp onto the 1e-12 grid
+    // (floor(lp·1e12 + 0.5)/1e12), so nll is LN2 rounded to that grid —
+    // pin the EXACT quantized value, not a tolerance
+    val q = (x: Double) => math.floor(x * 1e12 + 0.5) / 1e12
+    assert(nll(0) == -q(-0.6931471805599453))
     // identical docs must score bit-identically (determinism, not luck)
     assert(nll(0) == nll(1))
-    assert(math.abs(nll(2) - math.log(3.0)) < 1e-14)
+    assert(math.abs(nll(2) - math.log(3.0)) < 1e-9)
     assert(r.forall(row =>
       row.getAs[Double]("nll_per_tok") == row.getAs[Double]("nll")))
   }

@@ -1,12 +1,17 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--json <path>]
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB against the raw testdata
 parquet tables, and compares: row count, column names, and exact values
 (columns sorted by name, rows sorted by all columns).
+
+With --json <path>, also writes a machine-readable per-query summary
+(the round's SELF-ATTESTATION record — round-14's driver-side
+CORRECTNESS_r14.json came back `{}`, leaving the round unattested; a
+committed self-run record makes that impossible to repeat silently).
 """
 import glob
 import json
@@ -26,7 +31,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> int:
     con = duckdb.connect()
     # Derive the table list from the testdata dir (single source of truth —
     # a second hardcoded list here would drift from graft.Tables.names).
@@ -36,11 +41,13 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
     n_skip = 0
+    record = {}
     for name, sql in sorted(oracle.items()):
         # A dump dir produced with SPARK_GRAFT_VERIFY_ONLY holds a subset;
         # absent results are "not run here", not failures.
         if not os.path.exists(f"{out_dir}/{name}"):
             n_skip += 1
+            record[name] = {"status": "not_dumped"}
             continue
         try:
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
@@ -48,10 +55,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             a, b = norm(spark_df), norm(duck_df)
             if list(a.columns) != list(b.columns):
                 print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+                record[name] = {"status": "fail", "why": "columns"}
                 n_fail += 1
                 continue
             if len(a) != len(b):
                 print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+                record[name] = {"status": "fail", "why": "rows"}
                 n_fail += 1
                 continue
             # exact compare, treating NaN == NaN; report first mismatch
@@ -62,17 +71,35 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"FAIL {name}: value mismatch at row {r} col {col}: "
                       f"spark={a.iloc[r, c]!r} duck={b.iloc[r, c]!r} "
                       f"({neq.sum()} cells differ)")
+                record[name] = {"status": "fail", "why": f"values:{col}"}
                 n_fail += 1
                 continue
             print(f"PASS {name}: {len(a)} rows x {len(a.columns)} cols exact")
+            record[name] = {"status": "pass", "rows": len(a),
+                            "cols": len(a.columns)}
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {type(e).__name__}: {e}")
+            record[name] = {"status": "fail",
+                            "why": f"{type(e).__name__}: {e}"[:300]}
             n_fail += 1
     skipped = f", {n_skip} not dumped" if n_skip else ""
-    print(f"{'ALL PASS' if n_fail == 0 else f'{n_fail} FAILURES'} "
-          f"({len(oracle) - n_skip} oracle-checked queries{skipped})")
+    summary = (f"{'ALL PASS' if n_fail == 0 else f'{n_fail} FAILURES'} "
+               f"({len(oracle) - n_skip} oracle-checked queries{skipped})")
+    print(summary)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"summary": summary, "sf_dir": sf_dir,
+                       "n_queries": len(oracle), "n_checked":
+                       len(oracle) - n_skip, "n_fail": n_fail,
+                       "queries": record}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    jout = None
+    if "--json" in sys.argv:
+        jout = sys.argv[sys.argv.index("--json") + 1]
+        args.remove(jout) if jout in args else None
+    sys.exit(main(args[0], args[1], jout))

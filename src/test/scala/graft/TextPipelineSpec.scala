@@ -252,6 +252,37 @@ class TextPipelineSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 1.0)
   }
 
+  test("hotFallbackStats: the mega-cluster driver histogram matches the executed operator") {
+    // the zero-rare fixture above, instrumented (round-14 verdict item
+    // 8): 5 identical docs under maxDf=2 → every member's 4 shingles are
+    // hot, all 5 qualify, each posts its (≤ ALLHOT_PROBES) 4 hot
+    // shingles → 4 buckets of occupancy 5 and driver_pairs =
+    // 4·C(5,2) = 40 — an UPPER bound on the distinct hot-candidate
+    // output (C(5,2) = 10, the required cluster pairs), probes-factor
+    // over-counted exactly as the scaladoc states, never corpus².
+    val t12 = (1 to 12).map(i => s"p$i")
+    val d = fixtureDir("documents" -> (
+      (1 to 5).map(i => Doc(i, "dup dup2 dup3 dup4 dup5 dup6")) ++ Seq(
+        Doc(6, "six alpha beta gamma"),
+        Doc(7, "seven delta epsilon zeta"),
+        Doc(8, t12.mkString(" ")),
+        Doc(9, (t12.init :+ "OTHER").mkString(" ")))).toDF())
+    val h = TextPipeline.hotFallbackStats(spark, d, maxDf = 2).head()
+    assert(h.getAs[Long]("n_docs") == 9L)
+    assert(h.getAs[Long]("qualifying_docs") == 5L,
+      "exactly the cluster members are mostly-hot")
+    assert(h.getAs[Long]("hot_buckets") == 4L)
+    assert(h.getAs[Long]("max_bucket_occ") == 5L)
+    assert(h.getAs[Long]("driver_pairs") == 40L)
+    // bound check against the executed operator: the emitted cluster
+    // pairs (C(5,2)) never exceed the histogram's driver
+    val emitted = TextPipeline.shingleNearDup(spark, d, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .count { case (a, b) => a <= 5 && b <= 5 }
+    assert(emitted == 10)
+    assert(emitted <= h.getAs[Long]("driver_pairs"))
+  }
+
   test("sketched rare index bounds candidates per doc and keeps true pairs") {
     // 12 docs share a moderately-rare 4-token prefix (its shingles have
     // df = 12, under maxDf = 64, so the FULL rare index would join all

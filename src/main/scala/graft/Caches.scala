@@ -54,9 +54,19 @@ object Caches {
   }
 
   /** Unpersist and forget the handle tracked under `tag` (no-op when
-    * absent or already cleared by the harness's clearCache). */
+    * absent or already cleared by the harness's clearCache). Mirrors
+    * [[track]]'s cross-tag guard (round-15 ADVICE): when another
+    * registry entry's handle is sameResult with the removed one — e.g.
+    * `ann.recall_base:<dir>` and `ann.pq_base:<dir>` both tracking the
+    * withNorm plan — releasing ONE tag must not unpersist the shared
+    * CacheManager entry out from under the surviving tag's consumers;
+    * the block is freed when the LAST aliasing tag releases. */
   def release(tag: String): Unit =
-    reg.remove(tag).foreach(_.unpersist())
+    reg.remove(tag).foreach { old =>
+      val aliased = reg.values.exists(h =>
+        h.queryExecution.analyzed.sameResult(old.queryExecution.analyzed))
+      if (!aliased) old.unpersist()
+    }
 
   /** Release every tracked handle whose tag starts with `prefix` — the
     * module-scoped cleanup (`"textpipeline."`, `"ann."`, …). */

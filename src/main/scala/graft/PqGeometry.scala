@@ -26,7 +26,12 @@ object PqGeometry {
     val geoms: Seq[(Int, Int)] =
       (if (args.length > 1) args(1) else "16:40,64:40,64:80,64:160")
         .split(',').toSeq.map { g =>
-          val Array(k, c) = g.split(':'); (k.trim.toInt, c.trim.toInt)
+          // clear diagnostics beat a MatchError in a measurement main
+          // (round-15 ADVICE)
+          val parts = g.split(':')
+          require(parts.length == 2 && parts.forall(_.trim.matches("\\d+")),
+            s"geometry token '$g' is not k:cand (e.g. 64:160)")
+          (parts(0).trim.toInt, parts(1).trim.toInt)
         }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -44,6 +49,10 @@ object PqGeometry {
       val rows = graft.ops.Ann.pqRecallGeom(spark, dir, k, cand)
         .collect()
       val secs = (System.nanoTime() - t0) / 1e9
+      // empty-guard: a recall frame with zero query rows must read as a
+      // loud failure, not a NaN smuggled into the JSON record
+      require(rows.nonEmpty,
+        s"pqRecallGeom(k=$k,cand=$cand) returned zero query rows")
       val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
       spark.catalog.clearCache()
       graft.Caches.releasePrefix("ann.")

@@ -24,11 +24,22 @@ object Verify {
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }
+    // Per-query dump status, recorded for the durable machine-readable
+    // result file below (round-15 verdict item 1: the driver's log-tail
+    // parse zeroed two consecutive rounds' correctness records; a FILE
+    // the driver — and the committed repo — can read cannot be truncated
+    // away). Row counts come from the written parquet's footer metadata
+    // (no second execution of the query).
+    val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        status(name) = s"""{"status":"dumped","rows":$rows}"""
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        status(name) = s"""{"status":"failed"}"""
       }
       // Scale.prefixSum caller contract: release per-query persisted blocks.
       spark.catalog.clearCache()
@@ -48,6 +59,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Durable result record, the BENCH_LAST.json pattern: written to the
+    // dump dir AND (full-registry runs only) a repo-root VERIFY_LAST.json,
+    // then printed as ONE stdout line — whichever channel the driver
+    // captures, the record survives log truncation.
+    val nFail = status.valuesIterator.count(_.contains("failed"))
+    val result =
+      s"""{"n_queries":${status.size},"n_failed":$nFail,"sf":${q(sfDir)},""" +
+        s""""queries":${status.map { case (k, v) => s"${q(k)}:$v" }
+          .mkString("{", ",", "}")}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_result.json"), result)
+    val rootOut = sys.env.getOrElse("SPARK_GRAFT_VERIFY_OUT",
+      if (only.isEmpty) "VERIFY_LAST.json" else "")
+    if (rootOut.nonEmpty)
+      try Files.writeString(Paths.get(rootOut), result + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[verify] could not write $rootOut: $e") }
+    println(result)
     spark.stop()
+    if (nFail > 0) sys.exit(1)
   }
 }

@@ -55,4 +55,25 @@ class CachesSpec extends SparkSpec {
     Caches.releasePrefix("cachesspec.")
     spark.catalog.clearCache()
   }
+
+  test("release() keeps a plan another tag still aliases (r15 ADVICE)") {
+    // the Ann pattern: two DISTINCT frames with the SAME canonical plan
+    // tracked under two tags (ann.recall_base / ann.pq_base both track
+    // the withNorm projection) — releasing one tag must not unpersist
+    // the shared CacheManager entry under the survivor
+    val a = df(9)
+    val twin = df(9) // distinct object, same canonical plan
+    Caches.track("cachesspec.r1", a)
+    Caches.track("cachesspec.r2", twin)
+    Caches.release("cachesspec.r1")
+    assert(twin.storageLevel != StorageLevel.NONE,
+      "releasing one tag must not evict a plan another tag still holds")
+    assert(a.storageLevel != StorageLevel.NONE,
+      "the shared cache entry must survive the single-tag release")
+    // the LAST aliasing tag's release frees the block
+    Caches.release("cachesspec.r2")
+    assert(twin.storageLevel == StorageLevel.NONE)
+    Caches.releasePrefix("cachesspec.")
+    spark.catalog.clearCache()
+  }
 }

@@ -97,9 +97,12 @@ def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> int:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    jout = None
-    if "--json" in sys.argv:
-        jout = sys.argv[sys.argv.index("--json") + 1]
-        args.remove(jout) if jout in args else None
-    sys.exit(main(args[0], args[1], jout))
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("sf_dir", help="testdata dir with the raw parquet tables")
+    p.add_argument("out_dir", help="graft.Verify dump dir")
+    p.add_argument("--json", metavar="PATH", default=None,
+                   help="also write a machine-readable per-query summary")
+    a = p.parse_args()
+    sys.exit(main(a.sf_dir, a.out_dir, a.json))

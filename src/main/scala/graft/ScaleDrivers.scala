@@ -77,7 +77,8 @@ object ScaleDrivers {
           s""""hot_fallback":{"qualifying_docs":${h.getLong(1)},""" +
           s""""hot_buckets":${h.getLong(2)},""" +
           s""""max_bucket_occ":${h.getLong(3)},""" +
-          s""""driver_pairs":${h.getLong(4)}}}""")
+          s""""driver_pairs":${h.getLong(4)},""" +
+          s""""capped_pairs":${h.getLong(5)}}}""")
       spark.catalog.clearCache()
     }
     spark.stop()

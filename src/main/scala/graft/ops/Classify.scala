@@ -52,11 +52,18 @@ import org.apache.spark.sql.functions._
   * aggregation that spilled unboundedly at 1000× scale). The score
   * re-scales once (CAST(Σ AS DOUBLE)/1e12, one correctly rounded
   * division) and adds the prior; each lift perturbs the float score by
-  * ≤ 0.5e-12 — the scoring function is DOCUMENTED as this quantized sum,
-  * not as the float sum it approximates. Domain bound: |contrib|·1e12
-  * must stay inside BIGINT (|lp·n| < 9.2e6 — holds for any real doc:
-  * |lp| ≤ ~40 even at web-scale vocab and n is one term's count in ONE
-  * doc). Bit-identical scores make
+  * ≤ 0.5·ulp(contrib·1e12)/1e12 — exactly 0.5e-12 while |contrib| ≤
+  * ~9e3 (contrib·1e12 inside 2^53, where the grid is resolved at
+  * integer ulp), growing with the double's ulp beyond that (≈1e-9 near
+  * the BIGINT edge); cross-engine BIT-IDENTITY is unaffected at any
+  * magnitude because both engines compute the identical doubles
+  * (round-15 ADVICE: the earlier flat 0.5e-12 claim over the whole
+  * domain was wrong past 2^53). The scoring function is DOCUMENTED as
+  * this quantized sum, not as the float sum it approximates. Domain
+  * bound: |contrib|·1e12 must stay inside BIGINT (|lp·n| < 9.2e6 —
+  * holds for any real doc: |lp| ≤ ~40 even at web-scale vocab and n is
+  * one term's count in ONE doc; real contribs also sit well inside the
+  * ~9e3 exact-grid region). Bit-identical scores make
   * the argmax — and therefore the prediction, the confusion matrix and
   * the audit ranking — identical by construction; ties (equal doubles,
   * impossible in practice) break by class name ascending via the shared

@@ -51,8 +51,17 @@ object Scale {
     }
     require(changed == 0,
       s"component propagation did not converge in $maxIters rounds")
+    lastComponentRounds = iters
     comp
   }
+
+  /** Rounds the most recent [[minLabelComponents]] call on this JVM took
+    * to converge (including the zero-change observation round) — a
+    * measurement DIAGNOSTIC for the scaling harness (the SCALING_r16
+    * fixpoint rows report wall time + rounds), not an API: concurrent
+    * component runs overwrite each other and callers must not branch on
+    * it. */
+  @volatile var lastComponentRounds: Int = 0
 
   /** Distributed, exact running sum (and grand total) over a totally-ordered
     * input — the scalable replacement for

@@ -859,9 +859,16 @@ object TextPipeline {
     * driver_pairs ≈ required output + the qualifying docs' linear
     * probe budget — output-sized, never corpus². SCALING.md's megadup
     * rows pair this histogram with the executed q27 at the decades the
-    * pair OUTPUT itself fits. */
+    * pair OUTPUT itself fits.
+    *
+    * `capped_pairs` (round-16) replays the same arithmetic under
+    * [[shingleEvidence]]'s budget — per bucket
+    * C(min(occ,cap),2) + max(occ−cap,0)·chainW — the candidate volume
+    * the COMPONENTS family actually joins on a mega-cluster corpus
+    * (the [[graft.ops.Ann.candidateStats]] capped_pairs precedent). */
   def hotFallbackStats(spark: SparkSession, dir: String,
-      maxDf: Int = MAX_SHINGLE_DF): DataFrame = {
+      maxDf: Int = MAX_SHINGLE_DF,
+      occCap: Int = HOT_OCC_CAP, chainW: Int = HOT_CHAIN_W): DataFrame = {
     import spark.implicits._
     val nDocs = docs(spark, dir).count()
     val shDf = shingles(spark, dir).withColumn("df",
@@ -884,11 +891,20 @@ object TextPipeline {
     val hist = probes.groupBy($"sh").agg(count(lit(1)).as("occ"))
       .agg(count(lit(1)),
         coalesce(max($"occ"), lit(0L)),
-        coalesce(sum(($"occ" * ($"occ" - 1) / 2).cast("long")), lit(0L)))
+        // `div` (integer division) keeps the bound exact at ANY bucket
+        // occupancy — Spark's `/` on longs is double division, exact
+        // only while occ·(occ−1) < 2^53, and this histogram exists
+        // precisely for giant-occupancy mega-cluster buckets (round-15
+        // ADVICE). The product is always even, so div loses nothing.
+        coalesce(sum(expr("occ * (occ - 1) div 2")), lit(0L)),
+        coalesce(sum(
+          expr(s"least(occ, ${occCap}L) * (least(occ, ${occCap}L) - 1) div 2" +
+            s" + greatest(occ - ${occCap}L, 0L) * ${chainW}L")), lit(0L)))
       .head()
-    Seq((nDocs, nQual, hist.getLong(0), hist.getLong(1), hist.getLong(2)))
+    Seq((nDocs, nQual, hist.getLong(0), hist.getLong(1), hist.getLong(2),
+        hist.getLong(3)))
       .toDF("n_docs", "qualifying_docs", "hot_buckets", "max_bucket_occ",
-        "driver_pairs")
+        "driver_pairs", "capped_pairs")
   }
 
   /** Candidate near-dup pairs from the SKETCHED df-bounded inverted
@@ -950,6 +966,36 @@ object TextPipeline {
     * for Jaccard ≥ 0.8 pairs each probe lands in the intersection w.p.
     * ≥ j/(1+j) ≈ 0.44, so 8 probes miss with odds < (1−0.44)⁸ ≈ 1%. */
   val ALLHOT_PROBES = 8
+
+  /** Per-probe-bucket delegate budget for the COMPONENTS-evidence mode of
+    * the hot fallback ([[shingleEvidence]]): buckets at or under this
+    * occupancy keep exact all-pairs candidates (every fixture bucket —
+    * the oracles stay exact); only a genuinely mega bucket is ever
+    * capped. Same 32×-expected-occupancy rationale as
+    * [[graft.ops.Ann.OCC_CAP]]. */
+  val HOT_OCC_CAP = 256
+
+  /** Rank-chain width for over-cap hot buckets: every over-cap member
+    * still meets its `chainW` rank predecessors, so a mega-cluster's
+    * bucket stays one CONNECTED candidate set and the q60/q93/q138
+    * components recover the full cluster from ~linear edge volume. */
+  val HOT_CHAIN_W = 8
+
+  /** The shingle near-dup stream in COMPONENTS-EVIDENCE mode — what the
+    * q60/q93/q138 family consumes: identical to [[shingleNearDup]]
+    * (same indexes, same exact-Jaccard rerank, same threshold) except the
+    * hot-fallback candidate join runs under the [[HOT_OCC_CAP]] delegate
+    * budget + [[HOT_CHAIN_W]] rank chain. Pairs emitted are a SUBSET of
+    * the pair-complete output with per-cluster connectivity preserved, so
+    * the components — and every verdict derived from them — are unchanged
+    * while a planted 10%-of-corpus mega-cluster costs
+    * Σ [C(cap,2) + (occ−cap)·chainW] edges instead of Σ C(occ,2)
+    * (round-16 verdict item 3; measured in SCALING.md's megadup rows).
+    * At fixture occupancies the cap never fires and the output is
+    * byte-identical to [[shingleNearDup]] — the q60/q93/q138 oracles
+    * stay the exact pair-complete closure. */
+  def shingleEvidence(spark: SparkSession, dir: String): DataFrame =
+    shingleNearDup(spark, dir, hotOccCap = HOT_OCC_CAP)
 
   /** Bottom-K sketch width for the RARE pair-join index (round-9 verdict
     * item 4): the df ceiling bounds per-shingle posting pairs, but
@@ -1099,7 +1145,19 @@ object TextPipeline {
       /** Explicit gate override for callers/tests (ADVICE round 11:
         * toggling the global system property is not parallel-safe);
         * None = the deploy default ([[sketchMinDocs]]). */
-      sketchGate: Option[Long] = None): DataFrame = {
+      sketchGate: Option[Long] = None,
+      /** Per-probe-bucket delegate budget for the hot-fallback candidate
+        * join (round-16: the megadup sub-quadratic demand). The default
+        * Int.MaxValue keeps the PAIR-COMPLETE semantics — q27's contract
+        * is every qualifying pair, and its plan is byte-unchanged. A
+        * finite cap ([[HOT_OCC_CAP]] via [[shingleEvidence]]) bounds the
+        * in-bucket pair volume the way [[graft.ops.Ann.OCC_CAP]] bounds
+        * the SRP buckets: delegates keep all-pairs, over-cap members keep
+        * a [[HOT_CHAIN_W]] rank chain — connectivity-preserving, so the
+        * q60/q93/q138 COMPONENTS are unchanged while the edge volume
+        * drops from Σ C(occ,2) to Σ [C(cap,2) + (occ−cap)·chainW]. */
+      hotOccCap: Int = Int.MaxValue,
+      hotChainW: Int = HOT_CHAIN_W): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, dir)
     // ONE window over ONE shuffle tags every posting with its shingle's
@@ -1155,10 +1213,61 @@ object TextPipeline {
           .orderBy(xxhash64($"sh"), $"sh")))
       .filter($"rnk" <= ALLHOT_PROBES)
       .select($"doc_id", $"sh")
-    val candHot = probes.select($"doc_id".as("doc_a"), $"sh")
-      .join(probes.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
+    val candHot =
+      if (hotOccCap == Int.MaxValue)
+        // pair-complete (q27's contract): every qualifying pair meets
+        probes.select($"doc_id".as("doc_a"), $"sh")
+          .join(probes.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
+          .filter($"doc_a" < $"doc_b")
+          .select($"doc_a", $"doc_b").distinct()
+      else {
+        // CAPPED (components-evidence mode): a planted mega-cluster makes
+        // every probe bucket's occupancy = cluster size d, and the
+        // pair-complete join there is C(d,2) per bucket — required output
+        // for q27, but pure waste for the q60/q93/q138 components, which
+        // only need each cluster CONNECTED. The embeddingNearDupCapped
+        // device, re-keyed to probe shingles:
+        //  - members of each bucket get a LOCALITY-SENSITIVE rank: order
+        //    by the doc's full sorted probe-hash signature (near-dup docs
+        //    have near-identical probe sets, so they share a long
+        //    signature prefix and sit at neighboring ranks), doc_id
+        //    tie-break — deterministic, engine-independent;
+        //  - delegates (rank ≤ cap) keep exact all-pairs, so a bucket at
+        //    or under its budget is byte-identical to the uncapped join
+        //    (fixture occupancies never reach the cap → oracles exact);
+        //  - every over-cap member still meets its chainW rank
+        //    predecessors, so consecutive-rank pairs all exist and the
+        //    bucket's member set stays ONE connected candidate set; for a
+        //    homogeneous duplicate cluster every chain edge passes the
+        //    exact-Jaccard rerank, so the component — and therefore the
+        //    keep list — is identical to the pair-complete result. What
+        //    is dropped is only the transitively implied in-bucket
+        //    remainder (the documented heterogeneous-bucket caveat of
+        //    [[graft.ops.Ann.embeddingNearDupCapped]] applies).
+        require(hotOccCap >= hotChainW,
+          s"hotOccCap $hotOccCap must be >= hotChainW $hotChainW")
+        val sig = probes.groupBy($"doc_id")
+          .agg(sort_array(collect_list(xxhash64($"sh"))).as("sig"))
+        val member = probes.join(sig, Seq("doc_id"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"sh").orderBy($"sig", $"doc_id")))
+        val del = member.filter($"rk" <= hotOccCap)
+        val delPairs = del.select($"doc_id".as("doc_a"), $"sh")
+          .join(del.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
+          .filter($"doc_a" < $"doc_b")
+          .select($"doc_a", $"doc_b")
+        val aCh = member.filter($"rk" > hotOccCap - hotChainW)
+          .select($"doc_id".as("id_a"), $"sh", $"rk",
+            explode(array((1 to hotChainW).map(lit): _*)).as("d"))
+          .withColumn("rk_b", $"rk" + $"d")
+          .filter($"rk_b" > hotOccCap)
+        val bCh = member.select($"doc_id".as("id_b"), $"sh",
+          $"rk".as("rk_b"))
+        val chPairs = aCh.join(bCh, Seq("sh", "rk_b"))
+          .select(least($"id_a", $"id_b").as("doc_a"),
+            greatest($"id_a", $"id_b").as("doc_b"))
+        delPairs.unionByName(chPairs).distinct()
+      }
     // Candidate pairs with their exact shared_rare count, by strategy
     // (scaladoc above). Either way the frame is (doc_a, doc_b,
     // shared_rare) and everything downstream is identical.
@@ -1394,7 +1503,9 @@ object TextPipeline {
       .withColumn("m", min($"doc_id").over(gmin))
       .filter($"doc_id" =!= $"m")
       .select($"m".as("a"), $"doc_id".as("b"))
-    val nearEdges = shingleNearDup(spark, dir)
+    // components-evidence mode: capped hot fallback, components unchanged
+    // (see [[shingleEvidence]] — fixture-identical, megadup-linear)
+    val nearEdges = shingleEvidence(spark, dir)
       .select($"doc_a".as("a"), $"doc_b".as("b"))
     val comp = Scale.minLabelComponents(
       exactEdges.unionByName(nearEdges), COMPONENT_MAX_ITERS)
@@ -1455,7 +1566,9 @@ object TextPipeline {
       .withColumn("m", min($"doc_id").over(gmin))
       .filter($"doc_id" =!= $"m")
       .select($"m".as("a"), $"doc_id".as("b"))
-    val nearEdges = shingleNearDup(spark, dir)
+    // components-evidence mode: capped hot fallback, components unchanged
+    // (see [[shingleEvidence]] — fixture-identical, megadup-linear)
+    val nearEdges = shingleEvidence(spark, dir)
       .select($"doc_a".as("a"), $"doc_b".as("b"))
     val comp = Scale.minLabelComponents(
       exactEdges.unionByName(nearEdges), COMPONENT_MAX_ITERS)
@@ -2020,7 +2133,9 @@ object TextPipeline {
       .withColumn("m", min($"doc_id").over(gmin))
       .filter($"doc_id" =!= $"m")
       .select($"m".as("a"), $"doc_id".as("b"))
-    val nearEdges = shingleNearDup(spark, dir)
+    // components-evidence mode: capped hot fallback, components unchanged
+    // (see [[shingleEvidence]] — fixture-identical, megadup-linear)
+    val nearEdges = shingleEvidence(spark, dir)
       .select($"doc_a".as("a"), $"doc_b".as("b"))
     val comp = Scale.minLabelComponents(
       exactEdges.unionByName(nearEdges), COMPONENT_MAX_ITERS)

@@ -281,6 +281,53 @@ class TextPipelineSpec extends SparkSpec {
       .count { case (a, b) => a <= 5 && b <= 5 }
     assert(emitted == 10)
     assert(emitted <= h.getAs[Long]("driver_pairs"))
+    // capped_pairs replays the same histogram under the evidence budget:
+    // default cap (256) is above every occupancy here → ≡ driver_pairs;
+    // a cap of 2 with chain width 2 prices each occ-5 bucket at
+    // C(2,2) + 3·2 = 7 → 4·7 = 28 < 40
+    assert(h.getAs[Long]("capped_pairs") == 40L)
+    val h2 = TextPipeline.hotFallbackStats(spark, d, maxDf = 2,
+      occCap = 2, chainW = 2).head()
+    assert(h2.getAs[Long]("capped_pairs") == 28L)
+    assert(h2.getAs[Long]("driver_pairs") == 40L)
+  }
+
+  test("capped hot-fallback evidence: components identical, edges strictly fewer") {
+    // round-16 verdict item 3: a byte-distinct 6-doc mega-cluster whose
+    // every shared shingle is hot (df = 6 > maxDf = 2) and whose only
+    // rare shingles are the per-doc unique tails (no rare-index pairs) —
+    // the q60/q93/q138 evidence must come from the hot fallback. Under
+    // hotOccCap = 2 / hotChainW = 2 the cap FIRES (occ 6 > 2): the
+    // emitted pair set must be a STRICT SUBSET of the pair-complete
+    // output, every member must still appear (connectivity), and the
+    // min-label components — the q60 keep verdict — must be identical.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = fixtureDir("documents" -> (
+      (1 to 6).map(i => Doc(i, s"$base tail$i")) ++ Seq(
+        Doc(10, "solo alpha beta gamma delta"),
+        Doc(11, "other epsilon zeta eta theta"))).toDF())
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(TextPipeline.shingleNearDup(spark, d, maxDf = 2))
+    val capped = pairSet(TextPipeline.shingleNearDup(spark, d, maxDf = 2,
+      hotOccCap = 2, hotChainW = 2))
+    val all = (for (a <- 1 to 6; b <- (a + 1) to 6)
+      yield (a.toLong, b.toLong)).toSet
+    assert(full == all, s"pair-complete baseline: $full")
+    assert(capped.subsetOf(full), "capped edges must be verified pairs")
+    assert(capped.size < full.size, "the cap must actually fire here")
+    assert((1 to 6).forall(i =>
+      capped.exists(p => p._1 == i || p._2 == i)),
+      "every cluster member must keep >= 1 surviving edge")
+    // the verdict-level identity: same components from either edge set
+    def comps(edges: Set[(Long, Long)]) = {
+      import spark.implicits._
+      val e = edges.toSeq.toDF("a", "b")
+      ops.Scale.minLabelComponents(e, 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    assert(comps(capped) == comps(full),
+      "capped evidence must produce identical components")
   }
 
   test("sketched rare index bounds candidates per doc and keeps true pairs") {

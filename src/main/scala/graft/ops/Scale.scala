@@ -15,12 +15,25 @@ object Scale {
     *
     * `undirected`: one row per edge, columns (a, b). Returns one row per
     * TOUCHED node: (node, comp) with comp = the component's minimum node
-    * id. Per round: two candidate-sized shuffles; `localCheckpoint` per
-    * round bounds lineage (the standard Spark iterate device); the
-    * driver-side convergence count is iteration CONTROL, not data
-    * movement. Rounds needed = component diameter (duplicate clusters
-    * are near-cliques, diameter ≤ 2–3); fails LOUDLY if `maxIters`
-    * rounds don't converge rather than returning a wrong labeling. */
+    * id. Per round: two candidate-sized shuffles for the edge
+    * propagation PLUS one node-sized self-join for POINTER JUMPING —
+    * the hash-min + path-doubling device of the MapReduce-CC literature
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * after the edge step lowers each node's label to the min over its
+    * closed neighborhood, the jump step lowers it again to its LABEL'S
+    * label (every label is itself a touched node, so the lookup is a
+    * self-join), which doubles the distance a minimum travels per round.
+    * Convergence is O(log diameter), not O(diameter) — load-bearing
+    * since round 16: the capped mega-cluster evidence
+    * ([[graft.ops.TextPipeline.shingleEvidence]]) is deliberately
+    * chain-shaped (a 50k-member cluster arrives as rank chains, diameter
+    * ~6k), and plain hash-min propagation measured >16 rounds there
+    * while near-clique duplicate evidence converged in 2.
+    * `localCheckpoint` per round bounds lineage (the standard Spark
+    * iterate device); the driver-side convergence count is iteration
+    * CONTROL, not data movement. Fails LOUDLY if `maxIters` rounds don't
+    * converge rather than returning a wrong labeling — with doubling,
+    * `maxIters` of k covers a diameter of ~2^k. */
   def minLabelComponents(undirected: DataFrame, maxIters: Int): DataFrame = {
     import undirected.sparkSession.implicits._
     val edges = undirected
@@ -35,14 +48,23 @@ object Scale {
     var iters = 0
     var changed = 1L
     // <= not <: observing convergence costs one round AFTER the last
-    // change, so a chain using all maxIters moves still gets its
+    // change, so a run using all maxIters moves still gets its
     // zero-change observation round instead of a spurious abort
     while (changed > 0 && iters <= maxIters) {
       val nbrComp = edges
         .join(comp.select($"node".as("nbr"), $"comp"), Seq("nbr"))
         .select($"node", $"comp")
-      val next = comp.unionByName(nbrComp)
+      val lowered = comp.unionByName(nbrComp)
         .groupBy($"node").agg(min($"comp").as("comp"))
+      // pointer jump: comp' = min(comp, comp(comp)). Labels are always
+      // ids of touched nodes (they originate as node ids and min only
+      // selects among them), so the label's own row exists; the left
+      // join + coalesce is belt-and-braces, not a semantic choice.
+      val next = lowered
+        .join(lowered.select($"node".as("comp"), $"comp".as("comp2")),
+          Seq("comp"), "left")
+        .select($"node",
+          least($"comp", coalesce($"comp2", $"comp")).as("comp"))
         .localCheckpoint()
       changed = next.join(comp.withColumnRenamed("comp", "prev"), Seq("node"))
         .filter($"comp" < $"prev").count()

@@ -1464,11 +1464,14 @@ object TextPipeline {
 
   // ---------------------------------------------------------------- q60
 
-  /** Iteration bound for the component propagation — label propagation
-    * needs one round per edge of a component's DIAMETER, and duplicate
-    * clusters are near-cliques (diameter ≤ 2–3); 16 covers a 16-link
-    * chain of borderline pairs. The loop fails LOUDLY if a pathological
-    * edge set hasn't converged rather than returning a wrong keep list. */
+  /** Iteration bound for the component propagation. With the pointer-
+    * jumping fixpoint ([[Scale.minLabelComponents]]) each round DOUBLES
+    * the distance a minimum travels, so 16 rounds cover a component
+    * diameter of ~2^16 ≈ 65k — far past the longest chain the capped
+    * evidence can produce (a mega-cluster of d members arrives as rank
+    * chains of diameter ≲ d/[[HOT_CHAIN_W]]). The loop fails LOUDLY if a
+    * pathological edge set hasn't converged rather than returning a
+    * wrong keep list. */
   val COMPONENT_MAX_ITERS = 16
 
   /** Connected-components keep list — the transitive-closure alternative

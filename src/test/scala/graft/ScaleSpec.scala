@@ -97,4 +97,23 @@ class ScaleSpec extends SparkSpec {
     assert(out.map(r => BigDecimal(r.getDecimal(2)).toInt).toSeq == Seq(10, 20, 25))
     assert(out.forall(r => BigDecimal(r.getDecimal(3)).toInt == 25))
   }
+
+  test("minLabelComponents: pointer jumping converges a long chain in O(log d) rounds") {
+    // round 16: the capped mega-cluster evidence is CHAIN-shaped, so the
+    // fixpoint must converge in O(log diameter) — a 2000-link path needs
+    // ~11 doubling rounds where plain hash-min propagation would need
+    // 2000 (and previously failed the 16-round bound on megadup). The
+    // same call also pins correctness on a multi-component graph.
+    val chain = (0L until 2000L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val other = Seq((5000L, 5001L), (5001L, 5002L)) // a second component
+    val comp = Scale.minLabelComponents(
+      (chain ++ other).toDF("a", "b"), 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Scale.lastComponentRounds <= 16,
+      s"doubling must beat the bound (took ${Scale.lastComponentRounds})")
+    assert((0L until 2000L).forall(comp(_) == 0L),
+      "every chain node must label to the component minimum")
+    assert(Seq(5000L, 5001L, 5002L).forall(comp(_) == 5000L))
+    spark.catalog.clearCache()
+  }
 }

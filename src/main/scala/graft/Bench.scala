@@ -399,6 +399,20 @@ object Bench {
         System.err.println(s"[bench] could not write $out: $e")
     }
     println(json)
+    // Compact summary LAST (round-15 verdict item 1's driver half): the
+    // full line above is ~20 KB for the 174-query registry, and the
+    // driver that grades rounds captures only the final ~2000 chars of
+    // stdout — rounds 14 and 15 both came back `parsed: null` because
+    // the capture window landed MID-LINE. This line keeps the driver's
+    // required fields (metric/value/unit/queries/sf) with the headline
+    // query map only (~1 KB), so it always fits the window whole; the
+    // full record lives in the artifact file either way.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""runs":$runs,"master":"$master","heap_mib":$heapMib,""" +
+        s""""cpus":$cpus,"steal_pct":$stealPct,"calib_sec":$calibSec,""" +
+        s""""contended":$contended,"attempts":$attempt,""" +
+        s""""value_norm":$valueNorm,"summary":true,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
     // Opt-in hard gate (ADVICE round 5): a stalled environment otherwise

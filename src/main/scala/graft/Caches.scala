@@ -29,6 +29,24 @@ import org.apache.spark.storage.StorageLevel
 object Caches {
   private val reg = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Drop registry entries whose plan has NO live cache entry (round-16
+    * ADVICE: a tag left behind by `spark.catalog.clearCache()` would
+    * otherwise keep `aliased` true for a freshly tracked same-plan frame
+    * forever, turning the live tag's release into a permanent no-op —
+    * a leak in long sessions mixing clearCache with track/release).
+    *
+    * The purge MUST run before a new `persist()` re-creates the cache
+    * entry: `Dataset.storageLevel` is a CacheManager lookup keyed by the
+    * canonical PLAN, not by handle, so once a same-plan frame is
+    * re-persisted the stale tag's handle reports the new entry's level
+    * and becomes indistinguishable from a live alias — which is why the
+    * check sits at the top of [[track]] (pre-persist) and [[release]]
+    * rather than inside the alias predicate. */
+  private def purgeStale(): Unit =
+    reg.foreach { case (t, h) =>
+      if (h.storageLevel == StorageLevel.NONE) { reg.remove(t, h); () }
+    }
+
   /** Persist `df` (if not already persisted) and track the handle under
     * `tag`; returns `df`. A displaced handle whose plan DIFFERS from the
     * incoming one is unpersisted here (round-13 ADVICE: repeat-callable
@@ -42,6 +60,7 @@ object Caches {
     * so the surviving tag's consumers keep their cache and its later
     * release() stays meaningful. */
   def track(tag: String, df: DataFrame): DataFrame = {
+    purgeStale()
     if (df.storageLevel == StorageLevel.NONE) df.persist()
     reg.put(tag, df).foreach { old =>
       def same(a: DataFrame, b: DataFrame) =
@@ -61,12 +80,14 @@ object Caches {
     * withNorm plan — releasing ONE tag must not unpersist the shared
     * CacheManager entry out from under the surviving tag's consumers;
     * the block is freed when the LAST aliasing tag releases. */
-  def release(tag: String): Unit =
+  def release(tag: String): Unit = {
+    purgeStale()
     reg.remove(tag).foreach { old =>
       val aliased = reg.values.exists(h =>
         h.queryExecution.analyzed.sameResult(old.queryExecution.analyzed))
       if (!aliased) old.unpersist()
     }
+  }
 
   /** Release every tracked handle whose tag starts with `prefix` — the
     * module-scoped cleanup (`"textpipeline."`, `"ann."`, …). */

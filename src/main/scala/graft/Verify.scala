@@ -69,8 +69,19 @@ object Verify {
         s""""queries":${status.map { case (k, v) => s"${q(k)}:$v" }
           .mkString("{", ",", "}")}}"""
     Files.writeString(Paths.get(s"$outDir/verify_result.json"), result)
+    // Root-file placement (round-16 ADVICE): a bare relative path landed
+    // wherever the JVM was launched; resolve against the repo root — the
+    // nearest ancestor of CWD holding build.sbt — so a wrapper launched
+    // from a subdirectory still refreshes the committed VERIFY_LAST.json.
+    // SPARK_GRAFT_VERIFY_OUT (absolute or relative-to-CWD) overrides.
+    def repoRoot: java.nio.file.Path = {
+      var d = Paths.get("").toAbsolutePath
+      while (d != null && !Files.exists(d.resolve("build.sbt")))
+        d = d.getParent
+      if (d == null) Paths.get("").toAbsolutePath else d
+    }
     val rootOut = sys.env.getOrElse("SPARK_GRAFT_VERIFY_OUT",
-      if (only.isEmpty) "VERIFY_LAST.json" else "")
+      if (only.isEmpty) repoRoot.resolve("VERIFY_LAST.json").toString else "")
     if (rootOut.nonEmpty)
       try Files.writeString(Paths.get(rootOut), result + "\n")
       catch { case e: Exception =>

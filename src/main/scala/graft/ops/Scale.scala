@@ -54,8 +54,13 @@ object Scale {
       val nbrComp = edges
         .join(comp.select($"node".as("nbr"), $"comp"), Seq("nbr"))
         .select($"node", $"comp")
+      // Checkpointed BEFORE the self-join (round-16 ADVICE): the jump
+      // step consumes `lowered` twice (probe and build side), so without
+      // a cut the union+groupBy edge subtree — the round's two
+      // candidate-sized shuffles — would execute twice per round.
       val lowered = comp.unionByName(nbrComp)
         .groupBy($"node").agg(min($"comp").as("comp"))
+        .localCheckpoint()
       // pointer jump: comp' = min(comp, comp(comp)). Labels are always
       // ids of touched nodes (they originate as node ids and min only
       // selects among them), so the label's own row exists; the left

@@ -986,14 +986,21 @@ object TextPipeline {
     * (same indexes, same exact-Jaccard rerank, same threshold) except the
     * hot-fallback candidate join runs under the [[HOT_OCC_CAP]] delegate
     * budget + [[HOT_CHAIN_W]] rank chain. Pairs emitted are a SUBSET of
-    * the pair-complete output with per-cluster connectivity preserved, so
-    * the components — and every verdict derived from them — are unchanged
-    * while a planted 10%-of-corpus mega-cluster costs
-    * Σ [C(cap,2) + (occ−cap)·chainW] edges instead of Σ C(occ,2)
-    * (round-16 verdict item 3; measured in SCALING.md's megadup rows).
-    * At fixture occupancies the cap never fires and the output is
-    * byte-identical to [[shingleNearDup]] — the q60/q93/q138 oracles
-    * stay the exact pair-complete closure. */
+    * the pair-complete output, so capped components can only REFINE the
+    * pair-complete ones (split, never merge — conservative for every
+    * dedup verdict: a split cluster keeps an extra representative, it
+    * never over-deletes). Component EQUALITY holds when in-bucket
+    * rank-adjacent members pass the exact-Jaccard rerank — true for
+    * homogeneous duplicate clusters (the mega-dup case the cap exists
+    * for) and spec-pinned for a heterogeneous bucket mixing two distinct
+    * clusters; a CHAIN-similarity cluster crossing the cap can split
+    * (TextPipelineSpec pins the exact counterexample). The trade buys
+    * Σ [C(cap,2) + (occ−cap)·chainW] edges instead of Σ C(occ,2) on a
+    * planted 10%-of-corpus mega-cluster (round-16 verdict item 3;
+    * measured in SCALING.md's megadup rows). At fixture occupancies the
+    * cap never fires and the output is byte-identical to
+    * [[shingleNearDup]] — the q60/q93/q138 oracles stay the exact
+    * pair-complete closure. */
   def shingleEvidence(spark: SparkSession, dir: String): DataFrame =
     shingleNearDup(spark, dir, hotOccCap = HOT_OCC_CAP)
 
@@ -1237,20 +1244,59 @@ object TextPipeline {
         //    (fixture occupancies never reach the cap → oracles exact);
         //  - every over-cap member still meets its chainW rank
         //    predecessors, so consecutive-rank pairs all exist and the
-        //    bucket's member set stays ONE connected candidate set; for a
+        //    bucket's member set stays ONE connected CANDIDATE set; for a
         //    homogeneous duplicate cluster every chain edge passes the
         //    exact-Jaccard rerank, so the component — and therefore the
-        //    keep list — is identical to the pair-complete result. What
-        //    is dropped is only the transitively implied in-bucket
-        //    remainder (the documented heterogeneous-bucket caveat of
-        //    [[graft.ops.Ann.embeddingNearDupCapped]] applies).
+        //    keep list — is identical to the pair-complete result (and a
+        //    heterogeneous bucket mixing two clusters stays exact too:
+        //    near-identical signatures sort each cluster contiguous, and
+        //    each cluster's run chains internally — spec-pinned). What a
+        //    CHAIN-similarity cluster loses is real: rank order is
+        //    signature-lexicographic, not similarity-adjacent, so its
+        //    verified edges may not bridge the bucket and the component
+        //    can SPLIT — never merge (every emitted edge is verified),
+        //    i.e. capped components REFINE pair-complete components;
+        //    TextPipelineSpec pins the exact counterexample and the
+        //    refinement invariant.
         require(hotOccCap >= hotChainW,
           s"hotOccCap $hotOccCap must be >= hotChainW $hotChainW")
         val sig = probes.groupBy($"doc_id")
           .agg(sort_array(collect_list(xxhash64($"sh"))).as("sig"))
-        val member = probes.join(sig, Seq("doc_id"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy($"sh").orderBy($"sig", $"doc_id")))
+        // TWO-STAGE in-bucket rank (round-16 verdict item 4): the direct
+        // `row_number over (partition by sh order by sig, doc_id)` puts
+        // ALL d members of a hot bucket in ONE task — id-sized rows and
+        // fine at the measured d = 50k, but a 10⁹-member cluster at real
+        // scale would be one task ranking 10⁹ rows. The Scale.prefixSum
+        // device instead: range-partition by the FULL sort key (so a
+        // bucket's members span partitions in key order and partition
+        // ids are ordered), local rank within (pid, sh), then a
+        // per-(sh, pid) COUNT rollup — ≤ shuffle-partition rows per
+        // bucket, config-bounded — supplies each slice's exclusive
+        // offset. global rk = local rk + offset, bit-identical to the
+        // single-task rank for any data (the forced-cap specs and the
+        // q60/q93/q138 oracles run this branch). The join+agg member
+        // subtree is tracked-persisted so the range sampler's pass and
+        // the two consumers don't recompute it (doc-sized, not
+        // pair-sized — the pair-frame 4× persist regression above does
+        // not apply).
+        val member0 = graft.Caches.track(s"textpipeline.capped_member:$dir",
+          probes.join(sig, Seq("doc_id")))
+        val ranged = member0
+          .repartitionByRange($"sh", $"sig", $"doc_id")
+          .withColumn("__pid", spark_partition_id())
+        val offs = ranged.groupBy($"sh", $"__pid")
+          .agg(count(lit(1)).as("__c"))
+          .withColumn("__off", coalesce(sum($"__c").over(
+            Window.partitionBy($"sh").orderBy($"__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"sh", $"__pid", $"__off")
+        val member = ranged
+          .withColumn("__lrk", row_number().over(
+            Window.partitionBy($"__pid", $"sh")
+              .orderBy($"sig", $"doc_id")))
+          .join(offs, Seq("sh", "__pid"))
+          .withColumn("rk", $"__lrk" + $"__off")
+          .drop("__pid", "__lrk", "__off")
         val del = member.filter($"rk" <= hotOccCap)
         val delPairs = del.select($"doc_id".as("doc_a"), $"sh")
           .join(del.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))

@@ -32,12 +32,18 @@ final case class StreamVec(
   *    serve path's cell filter stays PartitionFilters-only — no index
   *    rebuild between retrains, and a retrain swaps the centroid frame
   *    and (optionally) starts a fresh index dir.
-  *  - Delivery: `foreachBatch` replays a failed batch, so the append sink
-  *    is at-least-once; re-assigned duplicates carry identical
-  *    (vec_id, cent_id) rows and the serve path's top-k rerank is
-  *    idempotent under them (same candidate, same score). An
-  *    exactly-once upgrade is the ledger sink's batchId-dedup pattern,
-  *    orthogonal to assignment.
+  *  - Delivery: EXACTLY-ONCE (round-16 verdict item 6). `foreachBatch`
+  *    replays a failed batch — failure between sink write and offset
+  *    commit — and a plain append would duplicate index rows; a
+  *    duplicate occupying two slots of a later top-k can displace a true
+  *    k-th candidate, so "same candidate, same score" is NOT idempotence
+  *    for a top-k consumer. The sink therefore writes each micro-batch
+  *    under a `batch_id=` partition with dynamic partition overwrite
+  *    (the [[StreamingLedger.dqFanoutStream]] device): a replay replaces
+  *    exactly its own partitions, never appends beside them.
+  *    [[readCells]] is unchanged — `cent_id` stays a partition column,
+  *    so the serve filter still prunes directories whatever level it
+  *    nests at.
   */
 object StreamingAnn {
 
@@ -59,19 +65,32 @@ object StreamingAnn {
       exactMetric: Boolean = false): DataFrame =
     graft.ops.Ann.assignVectors(batch, centroids, exactMetric)
 
+  /** One micro-batch of the index sink: assignment rows written under
+    * their `batch_id=` partition with dynamic partition overwrite, so a
+    * replayed id REPLACES its own partitions (exactly-once; see the
+    * Delivery note above). Exposed so the spec can replay a batch id and
+    * pin the no-duplicate contract the way StreamingNbModel.foldBatch's
+    * fence is pinned. */
+  def appendIndexBatch(batch: DataFrame, centroids: DataFrame,
+      indexDir: String, batchId: Long): Unit =
+    indexBatch(batch, centroids)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cent_id")
+      .parquet(indexDir)
+
   /** The maintain loop: arriving vectors → argmin assignment → appended
     * cell-partitioned parquet index at `indexDir` (self-contained rows
-    * via [[indexBatch]]). Start with `.start()` / stop via the returned
-    * query handle. */
+    * via [[indexBatch]], exactly-once via [[appendIndexBatch]]). Start
+    * with `.start()` / stop via the returned query handle. */
   def ingestStream(
       vecs: DataFrame, centroids: DataFrame,
       indexDir: String): DataStreamWriter[Row] =
     vecs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        indexBatch(batch, centroids)
-          .write.mode("append").partitionBy("cent_id").parquet(indexDir)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendIndexBatch(batch, centroids, indexDir, batchId)
       }
 
   /** Serve-side read of the maintained index: candidates of the probe's

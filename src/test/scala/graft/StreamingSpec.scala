@@ -135,6 +135,87 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ledger snapshot: restart from the checkpoint RESUMES state, not recomputed, not lost") {
+    // Round-16 verdict item 6 — the flatMapGroupsWithState twin of the
+    // NB-model restart pin: STOP the snapshot query mid-stream and
+    // restart it against the SAME checkpoint (one MemoryStream across
+    // both incarnations, the committed offsets telling the restart where
+    // to resume). Three distinguishable failure modes, each pinned:
+    //  - state LOST (fresh store): the post-restart update for a cell
+    //    touched before the stop would be the new batch alone (-3, not
+    //    12);
+    //  - input RECOMPUTED (offsets ignored): pre-stop batches would be
+    //    re-read and their cells re-emitted after the restart;
+    //  - both correct: exactly the post-stop batch's cells emit, with
+    //    quantities AND movement counts cumulative across incarnations.
+    // The memory sink refuses checkpoint recovery by design, so the sink
+    // here is foreachBatch into a shared driver-side buffer — itself the
+    // recoverable-sink device the T1/T2 report sinks use.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ledger_restart").toString
+    val emitted =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, CellUpdate)]()
+    val input = MemoryStream[Movement]
+    def start() = StreamingLedger.runningSnapshot(input.toDS())
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[CellUpdate], id: Long) =>
+          batch.collect().foreach(u => emitted.add((id, u)))
+      }
+      .start()
+    val b1 = Seq(
+      Movement(1, 1, 10.0, ts("2024-01-01 00:00:00")),
+      Movement(2, 1, 7.0, ts("2024-01-01 01:00:00")))
+    val b2 = Seq(Movement(1, 1, 5.0, ts("2024-01-02 00:00:00")))
+    val b3 = Seq(
+      Movement(1, 1, -3.0, ts("2024-01-03 00:00:00")),
+      Movement(3, 3, 2.0, ts("2024-01-03 01:00:00")))
+    val q1 = start()
+    try {
+      input.addData(b1: _*); q1.processAllAvailable()
+      input.addData(b2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    val preCount = emitted.size()
+    val preIds = {
+      val it = emitted.iterator(); var s = Set.empty[Long]
+      while (it.hasNext) s += it.next()._1; s
+    }
+    val q2 = start()
+    try {
+      input.addData(b3: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val all = emitted.iterator().asScala.toVector
+    val post = all.drop(preCount)
+    // batch ids CONTINUED past the pre-stop sequence — never reset to 0
+    assert(post.nonEmpty && post.forall(_._1 > preIds.max),
+      s"restart must continue batch ids past ${preIds.max}: " +
+        s"${post.map(_._1).distinct}")
+    // no pre-stop batch was re-read: only b3's two cells emit
+    assert(post.map(u => (u._2.part_id, u._2.warehouse_id)).toSet ==
+      Set((1L, 1L), (3L, 3L)),
+      s"only the post-restart batch's cells may emit: $post")
+    // state RESUMED: quantity and movement count are cumulative across
+    // the stop (10 + 5 - 3 = 12 over 3 movements, not -3 over 1)
+    val cell11 = post.collect { case (_, u)
+      if u.part_id == 1L && u.warehouse_id == 1L => u }.head
+    assert(cell11.quantity_on_hand == 12.0 && cell11.n_movements == 3L,
+      s"state must resume across the restart: $cell11")
+    // and the latest update per cell is STILL the batch replay of
+    // everything ever ingested — the T3 contract, now across incarnations
+    val latest = all.map(_._2)
+      .groupBy(u => (u.part_id, u.warehouse_id))
+      .map { case (k, us) => k -> us.maxBy(_.n_movements).quantity_on_hand }
+    val replayed = StreamingLedger.batchReplay((b1 ++ b2 ++ b3).toDS())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(latest == replayed)
+  }
+
   test("streaming daily windows ≡ batch buckets; too-late stragglers dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Movement]
@@ -412,6 +493,74 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(cellRows == expect.collect {
       case (id, c) if c == someCell => id }.toSet)
+    graft.Caches.releasePrefix("ann.")
+  }
+
+  test("streaming ANN ingest: restart resumes offsets; a replayed batch id never duplicates the index") {
+    // Round-16 verdict item 6, the StreamingAnn half: the index sink is
+    // STATELESS, so the restart risk is not lost state but re-read input
+    // (duplicate index rows — which DO change a later top-k: a duplicate
+    // can occupy two slots and displace the true k-th candidate). Pins:
+    // (a) stop/restart over one MemoryStream re-reads nothing — the index
+    // holds exactly one row per vector; (b) an explicitly REPLAYED batch
+    // id (the failure-between-write-and-offset-commit case foreachBatch
+    // is documented to produce) overwrites its own batch_id partitions —
+    // a net no-op, the exactly-once upgrade's whole point.
+    import graft.streaming.{StreamVec, StreamingAnn}
+    implicit val sqlCtx = spark.sqlContext
+    def v(axis: Int, eps: Float): Seq[Float] = {
+      val a = Array.fill(8)(0.02f * (axis + 1))
+      a(axis) = 1.0f + eps
+      a.toSeq
+    }
+    val corpus = (0 until 24).map(i => Emb(i, v(i % 3, 0.004f * i), i % 3))
+    val dir = fixtureDir("embeddings" -> corpus.toDF())
+    val trained = graft.ops.Ann.ivfKmeansTrain(spark, dir,
+      tol = 1e-9, maxIters = 20).centroids.localCheckpoint()
+    val arriving = (200 until 212).map(i =>
+      (i.toLong, v(i % 3, 0.007f * (i % 4))))
+    val (b1, b2) = arriving.splitAt(5)
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-annidx-restart").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-annchk-restart").toString
+    val input = MemoryStream[StreamVec]
+    def start() = StreamingAnn.ingestStream(input.toDF(), trained, indexDir)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      input.addData(b1.map { case (id, e) =>
+        StreamVec(id, e, ts("2024-01-01 10:00:00")) })
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(b2.map { case (id, e) =>
+        StreamVec(id, e, ts("2024-01-01 11:00:00")) })
+      q2.processAllAvailable()
+    } finally q2.stop()
+    def indexPairs() = spark.read.parquet(indexDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id"))
+    val afterRestart = indexPairs()
+    assert(afterRestart.length == arriving.length,
+      s"restart must not re-read committed batches: ${afterRestart.length}")
+    val expect = graft.ops.Ann
+      .assignTo(arriving.toDF("vec_id", "embedding"), trained)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterRestart.toMap == expect)
+    // the replay pin: re-deliver b2 under ITS OWN batch id (the restarted
+    // query's first batch). batch ids are recorded in the index itself.
+    // partition-column type is INFERRED on read (small ids come back as
+    // Integer) — go through toString for the id
+    val b2Id = spark.read.parquet(indexDir)
+      .agg(org.apache.spark.sql.functions.max("batch_id"))
+      .head.get(0).toString.toLong
+    StreamingAnn.appendIndexBatch(
+      b2.toDF("vec_id", "embedding"), trained, indexDir, b2Id)
+    val afterReplay = indexPairs()
+    assert(afterReplay.length == arriving.length &&
+      afterReplay.toMap == expect,
+      "a replayed batch id must replace its own partitions, not append")
     graft.Caches.releasePrefix("ann.")
   }
 

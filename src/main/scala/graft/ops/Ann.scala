@@ -2691,10 +2691,19 @@ object Ann {
     * and the [[IVF_NCENTROIDS]] coarse seeds are the same id range —
     * deterministic and replayed verbatim by the oracle. */
   def ivfPqTopK(spark: SparkSession, dir: String,
-      dim: Int = EMBED_DIM, trained: Boolean = true): DataFrame = {
+      dim: Int = EMBED_DIM, trained: Boolean = true,
+      /** Serve-side trade knobs (round-16 verdict item 8): probe width,
+        * codebook size, exact-rerank candidate depth. Defaults = the
+        * registered q158/q164 fixture geometry (oracle-replayed); the
+        * [[ivfPqRecallGeom]] sweep varies them for the SCALING.md
+        * serve-side trade table. */
+      nprobe: Int = IVF_NPROBE, k: Int = PQ_K,
+      cand: Int = SQ_CAND): DataFrame = {
     import spark.implicits._
     import graft.functions.DotProduct
     require(dim % PQ_M == 0, s"dim $dim must split into $PQ_M subspaces")
+    require(nprobe >= 1 && nprobe <= IVF_NCENTROIDS,
+      s"nprobe $nprobe out of [1, $IVF_NCENTROIDS]")
     val base = graft.Caches.track(s"ann.pq_base:$dir",
       withNorm(spark, dir))
     val cents = base
@@ -2712,22 +2721,35 @@ object Ann {
       .orderBy($"aff".desc, $"cent_id".asc)
     val probes = aff.filter($"vec_id" < NQUERIES)
       .withColumn("arn", row_number().over(byAff))
-      .filter($"arn" <= IVF_NPROBE)
+      .filter($"arn" <= nprobe)
       .select($"vec_id".as("query_id"), $"cent_id")
-    val cand = assigned.join(broadcast(probes), Seq("cent_id"))
+    val candidates = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id")
     // the q154 back half: ADC over the PRUNED candidates, exact rerank
-    val cb = pqCodebook(spark, dir, dim, trained)
+    val cb = pqCodebook(spark, dir, dim, trained, k)
     val codes = pqCodes(base, cb, dim)
     val lut = pqLut(base, cb, dim)
-    val adc = cand.join(codes, "vec_id")
+    val adc = candidates.join(codes, "vec_id")
       .join(broadcast(lut), Seq("query_id", "m", "code"))
       .groupBy($"query_id", $"vec_id")
       .agg(sum($"dd").cast(
         org.apache.spark.sql.types.DecimalType(38, 15)).as("adc_dec"))
-    pqRankTail(adc, base)
+    pqRankTail(adc, base, cand)
   }
+
+  /** [[ivfPqRecall]] at an arbitrary (nprobe, rerank depth, codebook
+    * size) serve geometry — the IVF+PQ sibling of [[pqRecallGeom]]
+    * (round-16 verdict item 8: the PQ knobs have a measured trade curve;
+    * the composed serve rode fixture nprobe). Not a registered query for
+    * the same reason: the fixture geometry keeps the exact SQL-replay
+    * oracle tractable; this hook exists so the serve-side trade table
+    * carries numbers. */
+  private[graft] def ivfPqRecallGeom(spark: SparkSession, dir: String,
+      nprobe: Int, cand: Int, k: Int = PQ_K): DataFrame =
+    recallAgainstBrute(spark, dir,
+      ivfPqTopK(spark, dir, EMBED_DIM, trained = true,
+        nprobe = nprobe, k = k, cand = cand))
 
   private def ivfPqOracle(dim: Int): String = {
     val sub = dim / PQ_M

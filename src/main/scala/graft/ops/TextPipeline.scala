@@ -1274,13 +1274,15 @@ object TextPipeline {
         // bucket, config-bounded — supplies each slice's exclusive
         // offset. global rk = local rk + offset, bit-identical to the
         // single-task rank for any data (the forced-cap specs and the
-        // q60/q93/q138 oracles run this branch). The join+agg member
-        // subtree is tracked-persisted so the range sampler's pass and
-        // the two consumers don't recompute it (doc-sized, not
-        // pair-sized — the pair-frame 4× persist regression above does
-        // not apply).
-        val member0 = graft.Caches.track(s"textpipeline.capped_member:$dir",
-          probes.join(sig, Seq("doc_id")))
+        // q60/q93/q138 oracles run this branch). NO persist here: a
+        // cache build is its own query execution, so persisting this
+        // subtree re-runs the corpus shingle explosion OUTSIDE the
+        // shared window exchange — measured 1.9× on the whole evidence
+        // leg at megadup 100× (the same lore as the pair-frame persist
+        // note above). Un-persisted, the range sampler's extra pass and
+        // every member consumer re-derive through the ONE reused
+        // exchange under shDf — shuffle-file reads, not rescans.
+        val member0 = probes.join(sig, Seq("doc_id"))
         val ranged = member0
           .repartitionByRange($"sh", $"sig", $"doc_id")
           .withColumn("__pid", spark_partition_id())

@@ -30,10 +30,12 @@ object Scale {
     * ~6k), and plain hash-min propagation measured >16 rounds there
     * while near-clique duplicate evidence converged in 2.
     * `localCheckpoint` per round bounds lineage (the standard Spark
-    * iterate device); the driver-side convergence count is iteration
-    * CONTROL, not data movement. Fails LOUDLY if `maxIters` rounds don't
-    * converge rather than returning a wrong labeling — with doubling,
-    * `maxIters` of k covers a diameter of ~2^k. */
+    * iterate device); the driver-side convergence witness (an exact
+    * decimal Σcomp riding the jump step's own materialization job — see
+    * `materializeWithSum`) is iteration CONTROL, not data movement.
+    * Fails LOUDLY if `maxIters` rounds don't converge rather than
+    * returning a wrong labeling — with doubling, `maxIters` of k covers
+    * a diameter of ~2^k. */
   def minLabelComponents(undirected: DataFrame, maxIters: Int): DataFrame = {
     import undirected.sparkSession.implicits._
     val edges = undirected
@@ -42,22 +44,41 @@ object Scale {
         struct(col("b").as("node"), col("a").as("nbr")))).as("e"))
       .select($"e.node", $"e.nbr")
       .localCheckpoint()
-    var comp = edges.select($"node").distinct()
-      .withColumn("comp", $"node")
-      .localCheckpoint()
+    /** Exact Σcomp over a checkpointed labeling — the round's convergence
+      * witness. Labels only ever DECREASE (min/least select among node
+      * ids), so a round changed some label iff Σcomp strictly dropped;
+      * DECIMAL(38,0) keeps the sum exact at any node count × id
+      * magnitude (a double sum would saturate past 2^53 and miss a
+      * 1-unit label drop). This replaces the round-16 shape's per-round
+      * `next ⋈ comp` count — one node-sized join (two exchanges) and a
+      * THIRD job per round (optimization guide §2.4: remove shuffles
+      * outright) — and rides the SAME job that materializes the lazy
+      * checkpoint, so each round is now two jobs (edge-step checkpoint +
+      * jump/convergence) instead of three. */
+    def materializeWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val ck = df.localCheckpoint(false)
+      val s = ck.agg(coalesce(
+        sum($"comp".cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+      (ck, s)
+    }
+    var (comp, compSum) = materializeWithSum(
+      edges.select($"node").distinct().withColumn("comp", $"node"))
     var iters = 0
-    var changed = 1L
+    var changed = true
     // <= not <: observing convergence costs one round AFTER the last
     // change, so a run using all maxIters moves still gets its
     // zero-change observation round instead of a spurious abort
-    while (changed > 0 && iters <= maxIters) {
+    while (changed && iters <= maxIters) {
       val nbrComp = edges
         .join(comp.select($"node".as("nbr"), $"comp"), Seq("nbr"))
         .select($"node", $"comp")
-      // Checkpointed BEFORE the self-join (round-16 ADVICE): the jump
-      // step consumes `lowered` twice (probe and build side), so without
-      // a cut the union+groupBy edge subtree — the round's two
-      // candidate-sized shuffles — would execute twice per round.
+      // Checkpointed EAGERLY before the self-join (round-16 ADVICE): the
+      // jump step consumes `lowered` twice (probe and build side) in
+      // CONCURRENT map stages, so a lazy cut would race both stages into
+      // recomputing the union+groupBy edge subtree — the round's two
+      // candidate-sized shuffles — per side.
       val lowered = comp.unionByName(nbrComp)
         .groupBy($"node").agg(min($"comp").as("comp"))
         .localCheckpoint()
@@ -65,18 +86,17 @@ object Scale {
       // ids of touched nodes (they originate as node ids and min only
       // selects among them), so the label's own row exists; the left
       // join + coalesce is belt-and-braces, not a semantic choice.
-      val next = lowered
+      val (next, nextSum) = materializeWithSum(lowered
         .join(lowered.select($"node".as("comp"), $"comp".as("comp2")),
           Seq("comp"), "left")
         .select($"node",
-          least($"comp", coalesce($"comp2", $"comp")).as("comp"))
-        .localCheckpoint()
-      changed = next.join(comp.withColumnRenamed("comp", "prev"), Seq("node"))
-        .filter($"comp" < $"prev").count()
+          least($"comp", coalesce($"comp2", $"comp")).as("comp")))
+      changed = nextSum.compareTo(compSum) != 0
       comp = next
+      compSum = nextSum
       iters += 1
     }
-    require(changed == 0,
+    require(!changed,
       s"component propagation did not converge in $maxIters rounds")
     lastComponentRounds = iters
     comp

@@ -500,6 +500,25 @@ object Terms {
     * per round bounds lineage (the q60 device). */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // LAZY localCheckpoint per round (optimization guide §1.2/§2.4 —
+    // this round's job-count cut): the round-16 shape eagerly
+    // localCheckpoint'ed `words` after every merge, so each round ran TWO
+    // jobs (pair-count argmax + checkpoint materialization) and the LAST
+    // round's frame — which nothing consumes — was still materialized.
+    // Each round's only consumer of words(k) is round k+1's pair count
+    // (one stage — no concurrent-stage race), so a lazy checkpoint is
+    // enough: the argmax job of round k+1 computes words(k) from the
+    // checkpointed words(k−1) blocks plus one replace projection and
+    // stores it in passing. One vocab-grain job per round, the final
+    // frame never materializes, and lineage still truncates per round
+    // (each frame is a LogicalRDD over its predecessor's blocks).
+    // localCheckpoint, NOT persist: a persist variant was measured
+    // +0.6–0.7 s on every consumer at sf0.1 — the columnar string
+    // encode of the sym column costs more than the job it saves (the
+    // same lore as the shingle pair-frame persist note). Values are
+    // untouched: the pair counts aggregate the same frames, so the
+    // learned ruleset is byte-identical (TermsSpec + the
+    // q120/q121/q160/q167 oracles pin it).
     var words = docs(spark, dir)
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
@@ -508,7 +527,7 @@ object Terms {
         concat_ws("  ", expr(
           "transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
         lit("  ")).as("sym"), $"freq")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (round <- 1 to BPE_ROUNDS) {
       val pairs = words
@@ -532,7 +551,7 @@ object Terms {
         words = words
           .select(replace($"sym", lit(s" $a  $b "), lit(s" $a$b "))
             .as("sym"), $"freq")
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
     }
     merges.result()
